@@ -1,0 +1,98 @@
+"""Batch parquet sources over the driver-generated testdata (TESTDATA.md).
+
+The reference consumes Kafka topics (``builder.stream``/``builder.table``,
+``CallsAggregationApp.java:51``, ``CallsEnrichedApp.java:53-60``); the batch
+engine reads the equivalent record sets from parquet. Column pruning and
+predicate pushdown reach the scan because these are plain declarative reads.
+
+Two *role mappings* adapt the TPC-H-ish testdata to the reference's telco
+domain (FIXTURES.md "Driver mapping" notes):
+
+- ``events``   → raw CALLS stream: ``user_id`` → ``id_telef_origen``,
+  ``floor(value)`` → ``duracion_origen``, ``ts`` → event time.
+- ``customer`` → CLIENTES lookup table: ``c_custkey`` → ``TELEFONO`` (the join
+  key after rekey, ``CallsEnrichedApp.java:54``), attributes → the five
+  nullable enrichment fields (``callaggcust.avsc:32-44``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    outright (PARQUET_TYPE_ILLEGAL). Read it as a long via the legacy conf
+    (runtime-settable) and truncate to microsecond timestamps — the same
+    truncation DuckDB applies when it reads TIMESTAMP_NS, so oracles agree.
+    """
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def rosetta_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw CALLS stream (implied schema, ``CallsAggregationApp.java:54,72``).
+
+    ``duracion_origen`` is long in the reference (``callagg.avsc``); the
+    testdata value column is double, so we floor it — deterministic in both
+    Spark and the DuckDB oracle.
+    """
+    return load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("id_telef_origen"),
+        F.floor("value").alias("duracion_origen"),
+        F.col("ts").alias("event_ts"),
+    )
+
+
+def rosetta_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLIENTES_PORTA_SCR_T lookup side (``CustomerAggregate``,
+    ``callaggcust.avsc:32-44``), keyed by ``TELEFONO``.
+
+    Negative-balance customers are treated as churned (absent from the
+    dimension) so the left join's null side — untested in the reference
+    (``CallCustomerJoiner.java:24-28``) — is exercised on real data.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(F.col("c_acctbal") >= 0).select(
+        F.concat_ws("_", F.col("c_custkey").cast("string"), F.col("c_name")).alias(
+            "TELEF_Y_DOC"
+        ),
+        F.col("c_custkey").cast("string").alias("TELEFONO"),
+        F.col("c_name").alias("DOC_CLIENTE"),
+        F.col("c_nationkey").cast("int").alias("CLIENTE_ORANGE"),
+        F.floor("c_acctbal").cast("int").alias("DAYS_EXCLIENTE"),
+        F.col("c_mktsegment").alias("OPERADOR_ACTUAL"),
+        F.when(F.col("c_acctbal") < 1000, F.lit("HIGH"))
+        .when(F.col("c_acctbal") < 5000, F.lit("MEDIUM"))
+        .otherwise(F.lit("LOW"))
+        .alias("RIESGO"),
+    )
