@@ -1,1 +1,804 @@
-"""Placeholder — filled in later milestones."""
+"""Relational breadth queries (SURVEY.md §2.8).
+
+The reference has no SQL layer and none of these operators — no sorts, limits,
+set ops, distinct, grouping sets, ranking/analytic windows, subqueries,
+array/JSON functions, or approximate sketches. They all exist natively in
+Spark, so the engine declares them as first-class oracle-backed queries over
+the TPC-H-ish testdata to widen the correctness surface.
+
+Float discipline: any aggregate over doubles is rounded identically on both
+sides (sum order differs between engines, so raw double sums are not
+bit-stable); integer/string/date results are compared raw.
+
+Scale notes are on each query: which side broadcasts, where the single
+shuffle lands, why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from . import register
+
+# A cutoff near the 95th percentile of o_totalprice — keeps "large orders"
+# selective at any scale factor (prices are scale-free in this generator).
+BIG_ORDER = 475_000.0
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       round(avg(l_quantity), 6)                                            AS avg_qty,
+       round(avg(l_extendedprice), 4)                                       AS avg_price,
+       round(avg(l_discount), 6)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: 2-key groupBy, 8 aggregates.
+
+    Scale: partial (map-side) aggregation collapses 100 TB to 6 groups before
+    the shuffle; the scan reads only the 7 referenced columns (pruned) and the
+    shipdate filter pushes to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*)                  AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (absent in the reference; Spark expands it
+    to a two-phase aggregate automatically)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register("agg_approx_count_distinct")  # HLL sketch: no exact SQL twin → rows-only
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). Sketches differ across engines,
+    so no value oracle — the scale story is the point: one pass, fixed-size
+    state, no distinct-expansion shuffle at 100 TB."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 15
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → status+priority → grand total)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over both dimensions."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_median_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≙ DuckDB
+    ``quantile_cont``). The approximate variant for 100 TB is
+    ``percentile_approx`` (see agg_approx_count_distinct for the sketch
+    posture)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (the reference has only J1 left-lookup; full surface here)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_agg",
+    oracle="""
+SELECT n.n_name, count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact→dim + aggregate. The 25-row nation dim is
+    broadcast: zero shuffle of the customer side."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "join_left_outer_count",
+    oracle=f"""
+SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_big_orders
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > {BIG_ORDER}) o
+       ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+)
+def join_left_outer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched customers (count 0) — the
+    J1 null-side semantics generalized to a fact-side aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > BIG_ORDER)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle=f"""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {BIG_ORDER})
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one large order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > BIG_ORDER)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle=f"""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {BIG_ORDER})
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no large order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > BIG_ORDER)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+SELECT p.p_brand,
+       count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim) + aggregate — the canonical 100 TB star-join
+    shape: the part dim ships to every executor, lineitem never shuffles for
+    the join (only the 25-group aggregate exchanges)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+       (a.o_custkey IS NOT NULL) AS early_buyer,
+       (b.o_custkey IS NOT NULL) AS late_buyer
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two keyed sets with coalesced key."""
+    o = _t(spark, sf_dir, "orders")
+    # distinct aliases avoid self-join column ambiguity (both sides derive
+    # from the same scan)
+    a = (
+        o.where(F.col("o_orderdate") < "1996-01-01")
+        .select(F.col("o_custkey").alias("a_key"))
+        .distinct()
+    )
+    b = (
+        o.where(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("b_key"))
+        .distinct()
+    )
+    return a.join(b, a["a_key"] == b["b_key"], "full_outer").select(
+        F.coalesce("a_key", "b_key").alias("custkey"),
+        F.col("a_key").isNotNull().alias("early_buyer"),
+        F.col("b_key").isNotNull().alias("late_buyer"),
+    )
+
+
+@register(
+    "join_three_way_topk",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def join_three_way_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style 3-way join + top-k (deterministic tiebreak on the key).
+
+    Scale: segment filter prunes customers before the join; top-k is a
+    TakeOrderedAndProject — no global sort materialization."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops / distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice_r
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with deterministic tiebreak; Spark plans it as
+    TakeOrderedAndProject (per-partition heap + driver merge, no full sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice_r"))
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+""",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderdate") < "1995-07-01").select("o_custkey")
+    b = o.where(F.col("o_orderdate") >= "2001-01-01").select("o_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderdate") < "1995-07-01").select("o_custkey")
+    b = o.where(F.col("o_orderdate") >= "2001-01-01").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderdate") < "1995-07-01").select("o_custkey")
+    b = o.where(F.col("o_orderdate") >= "2001-01-01").select("o_custkey")
+    # subtract == EXCEPT DISTINCT (exceptAll keeps per-occurrence leftovers,
+    # a different operator)
+    return a.subtract(b)
+
+
+@register(
+    "distinct_pairs",
+    oracle="""
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (hash-aggregate under the hood)."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_per_nation",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       row_number() OVER w AS rn
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+QUALIFY rn <= 5
+""",
+)
+def window_rank_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking functions + top-N per group (the classic shuffle-once,
+    no-self-join pattern)."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2)                 AS price,
+       round(lag(o_totalprice)  OVER w, 2)    AS prev_price,
+       round(lead(o_totalprice) OVER w, 2)    AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a per-customer order timeline."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+    )
+
+
+@register(
+    "window_moving_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+           AS moving_sum_3,
+       count(*) OVER (PARTITION BY o_custkey) AS n_orders
+FROM orders
+""",
+)
+def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based moving aggregate + partition count."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    wc = Window.partitionBy("o_custkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("moving_sum_3"),
+        F.count(F.lit(1)).over(wc).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_strings",
+    oracle="""
+SELECT p_partkey,
+       upper(p_type)                  AS type_upper,
+       lower(p_brand)                 AS brand_lower,
+       length(p_name)                 AS name_len,
+       substr(p_name, 1, 8)           AS name_prefix,
+       concat(p_brand, ':', p_type)   AS brand_type,
+       replace(p_brand, '#', '-')     AS brand_dashed,
+       trim(p_name)                   AS name_trim,
+       strpos(p_type, 'BRASS')        AS brass_pos
+FROM part
+""",
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (upper/lower/length/substr/concat/replace/trim/
+    instr)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dashed"),
+        F.trim("p_name").alias("name_trim"),
+        F.instr("p_type", "BRASS").alias("brass_pos"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_discount - 0.05), 4)        AS abs_disc_diff,
+       CAST(ceil(l_quantity) AS BIGINT)        AS qty_ceil,
+       CAST(floor(l_quantity / 7) AS BIGINT)   AS qty_div7,
+       round(sqrt(l_extendedprice), 6)         AS price_sqrt,
+       round(ln(l_extendedprice + 1), 6)       AS price_ln,
+       round(pow(l_quantity, 2), 2)            AS qty_sq,
+       l_linenumber % 3                        AS line_mod3,
+       greatest(l_tax, l_discount)             AS max_rate,
+       least(l_tax, l_discount)                AS min_rate
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""",
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface (abs/ceil/floor/sqrt/ln/pow/mod/greatest/least)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc_diff"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_div7"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        (F.col("l_linenumber") % 3).alias("line_mod3"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "scalar_dates",
+    oracle="""
+SELECT o_orderkey,
+       extract(year FROM o_orderdate)                         AS order_year,
+       extract(month FROM o_orderdate)                        AS order_month,
+       extract(day FROM o_orderdate)                          AS order_day,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')    AS due_date,
+       date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+       strftime(last_day(o_orderdate), '%Y-%m-%d')            AS month_end
+FROM orders
+WHERE o_orderkey % 50 = 0
+""",
+)
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (extract/trunc/add/diff/last_day) — rendered
+    as strings so both engines agree on output type."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_95"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "scalar_case_when",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            WHEN o_totalprice < 450000 THEN 'large'
+            ELSE 'jumbo' END AS bucket,
+       count(*) AS n,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY 1
+""",
+)
+def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100_000, "small")
+        .when(F.col("o_totalprice") < 300_000, "medium")
+        .when(F.col("o_totalprice") < 450_000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')                    AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k_int
+FROM events
+WHERE event_id % 10 = 0
+""",
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events props payload."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 10 == 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+@register(
+    "scalar_arrays",
+    oracle="""
+SELECT vec_id,
+       len(embedding)                                   AS dim,
+       CAST(embedding[1] AS DOUBLE)                     AS first_elem,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+""",
+)
+def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column: size, element access, and a
+    fold (L2 norm) — all JVM-side, no UDF."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) AS BIGINT) AS "O",
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN 1 END), 0) AS BIGINT) AS "F"
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (line status → columns); empty combos coalesced to 0 so both
+    engines agree."""
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+    )
+
+
+@register(
+    "sql_in_subquery",
+    oracle="""
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+  AND o_orderstatus = 'F'
+""",
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery through the SQL surface (planned as a semi join)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders_v
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_v WHERE c_acctbal < 0)
+          AND o_orderstatus = 'F'
+        """
+    )
