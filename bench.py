@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query executes to completion through the noop sink — full plan runs on
+the cluster, no driver-side row transfer distorting the timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship plan + the heaviest representatives of each
+# operator family. Names must exist in the query registry.
+HEADLINE = [
+    "rosetta_enriched",
+    "rosetta_calls_window_agg",
+    "agg_pricing_summary",
+    "join_three_way_topk",
+    "join_broadcast_dim",
+    "join_left_outer_count",
+    "window_moving_sum",
+    "agg_count_distinct",
+    "set_union_distinct",
+]
+
+# Extension ops are added to the headline set as they land.
+OPTIONAL = [
+    "dedup_minhash_lsh",
+    "knn_brute_force",
+    "text_quality_scores",
+    "dedup_exact",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark(app_name="rosetta-bench")
+
+    # Warm up the JVM/session so the first timed query doesn't pay startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    names = [n for n in HEADLINE if n in registry]
+    names += [n for n in OPTIONAL if n in registry]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        q = registry[name]
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    out = {
+        "metric": "headline_query_wall_time_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
