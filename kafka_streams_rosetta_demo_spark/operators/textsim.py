@@ -1,0 +1,273 @@
+"""Text-similarity / deduplication operators (LLM-data-pipeline extensions).
+
+The reference engine has no document operators at all — this family is part
+of the north-star scope (BASELINE.json): the operations a large-scale
+training-data pipeline runs over a ~100 TB document corpus. Everything here
+is expressed with JVM-side built-ins (``split``/``transform``/``xxhash64``/
+``array_*``) so the hot path stays inside whole-stage codegen — no Python
+UDFs.
+
+Scale design, per operator:
+
+- **Shingling** is a per-row ``transform`` over the split words — no shuffle.
+- **MinHash signatures**: explode distinct shingles, then one hash-aggregate
+  on doc id with ``n`` ``min()`` columns. Partial (map-side) aggregation
+  collapses the exploded rows before the single shuffle.
+- **LSH banding**: signatures explode to ``bands`` rows/doc and the
+  candidate join is an *equi* join on (band, band_key) — never an all-pairs
+  ``crossJoin``. Bucket skew (a degenerate band key shared by a huge cluster)
+  is the classic hazard; AQE skew-join splitting is on in the session
+  defaults, and the band key is a 64-bit hash so accidental collisions don't
+  create hot keys.
+- **Prefix filtering** (AllPairs/PPJoin-style) gives the *exact* near-dup
+  join a sub-quadratic path: only the first ``|S| - ceil(t*|S|) + 1``
+  shingles of each doc (in a global canonical order) are exploded into the
+  inverted index. Two sets with Jaccard >= t provably share a prefix token,
+  so recall is 1 by construction — this is the guaranteed-exact counterpart
+  to MinHash's probabilistic recall.
+- **Verification** re-joins candidate pairs to their distinct-shingle arrays
+  and computes exact Jaccard with ``array_intersect``/``size`` — candidates
+  are rare after banding, so this is cheap.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text_col: str | Column, k: int = 3) -> Column:
+    """Distinct word ``k``-gram shingles of a single-space-tokenized text
+    column. Rows with fewer than ``k`` words yield an empty array (callers
+    filter them out so both engine and oracle agree on doc inclusion)."""
+    w = F.split(text_col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        )
+    )
+
+
+def with_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Attach a distinct ``shingles`` array; drop docs too short to shingle."""
+    w = F.split(F.col(text_col), " ")
+    return docs.where(F.size(w) >= k).withColumn("shingles", word_shingles(F.col(text_col), k))
+
+
+def minhash_signature(
+    shingled: DataFrame, id_col: str = "doc_id", n_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature: ``mh_j = min over shingles of xxhash64(j, shingle)``.
+
+    One explode + one hash-aggregate on ``id_col``; the ``n_hashes`` ``min``
+    aggregates combine map-side, so the shuffle carries one row per doc.
+    """
+    ex = shingled.select(id_col, F.explode("shingles").alias("shingle"))
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh{j}")
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Explode a MinHash signature into ``bands`` (band_id, band_key) rows.
+
+    Docs sharing any band key are candidate pairs; for Jaccard ``s`` the
+    collision probability is ``1 - (1 - s^rows)^bands`` (the standard S-curve
+    — 16x4 puts the knee near s ~ 0.6 with P(s=0.8) > 0.999).
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(id_col, F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def band_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from an equi self-join on
+    (band_id, band_key) — the banded join the 100 TB path requires instead of
+    an all-pairs product."""
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    return (
+        a.join(b, on=["band_id", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def prefix_filter_pairs(
+    shingled: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-recall candidate pairs via prefix filtering (AllPairs/PPJoin).
+
+    Shingles are globally ordered by ``(xxhash64(shingle), shingle)``; each
+    doc indexes only its first ``|S| - ceil(t*|S|) + 1`` shingles. If
+    ``J(A,B) >= t`` the prefixes must intersect, so unlike LSH banding this
+    candidate set provably contains every qualifying pair.
+    """
+    ordered = F.array_sort(
+        F.transform(
+            "shingles",
+            lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")),
+        )
+    )
+    prefix_len = (
+        F.size("shingles") - F.ceil(F.size("shingles") * F.lit(threshold)) + F.lit(1)
+    ).cast("int")
+    prefix = shingled.select(
+        id_col, F.explode(F.slice(ordered, 1, prefix_len)).alias("tok")
+    ).select(id_col, F.col("tok.h").alias("h"), F.col("tok.s").alias("s"))
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
+        a.join(b, on=["h", "s"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """Join candidate pairs back to their distinct-shingle arrays and keep
+    pairs with exact Jaccard >= threshold. Output: (out_a, out_b, jaccard
+    rounded to 6 — an exact int/int division, identical in any engine)."""
+    sa = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= F.lit(threshold))
+        .select(
+            F.col("id_a").alias(out_a),
+            F.col("id_b").alias(out_b),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit long
+
+
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long — the one hash both Spark
+    and DuckDB compute identically (``conv(substr(md5(x),1,15),16,10)`` here,
+    ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` there), so SimHash oracles
+    can mirror the engine bit for bit."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signature(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over a frame carrying a distinct ``shingles`` array
+    (unit weights).
+
+    Bit ``j`` of the signature is 1 iff ``sum over shingles of
+    (2*bit_j(md5_long(shingle)) - 1) >= 0``. One explode + one aggregate with
+    60 ``sum`` columns (map-side combinable), then the signature assembles in
+    a projection.
+    """
+    ex = shingled.select(id_col, F.explode("shingles").alias("shingle")).select(
+        id_col, md5_long(F.col("shingle")).alias("hv")
+    )
+    sums = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming distance <= max_hamming, found via chunk banding.
+
+    The 60-bit signature splits into ``chunks`` 15-bit chunks; by pigeonhole
+    any pair within ``chunks - 1`` bit flips shares an identical chunk, so an
+    equi join on (chunk_id, chunk_value) has guaranteed recall for
+    ``max_hamming <= chunks - 1`` — no crossJoin.
+    """
+    assert max_hamming <= chunks - 1, "pigeonhole guarantee requires hamming < chunks"
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    keys = signatures.select(id_col, F.explode(chunk_arr).alias("ck")).select(
+        id_col, F.col("ck.chunk_id").alias("chunk_id"), F.col("ck.chunk_val").alias("chunk_val")
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, on=["chunk_id", "chunk_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    siga = signatures.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
+    sigb = signatures.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .where(ham <= max_hamming)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+    )
+
+
+def prefix_length(n: int, threshold: float) -> int:
+    """Python twin of the prefix-filter length (for tests)."""
+    return n - math.ceil(threshold * n) + 1

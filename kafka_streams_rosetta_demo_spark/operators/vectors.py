@@ -1,0 +1,197 @@
+"""Embedding-vector operators: cosine math, hyperplane LSH, IVF-style ANN.
+
+LLM-data-pipeline extensions (north-star scope) over the ``embeddings`` table
+(``array<float>`` column). All vector math runs JVM-side through
+``zip_with``/``aggregate`` higher-order functions — Arrow/Python never sees a
+vector in the hot path.
+
+Scale design:
+
+- **Dot/cosine** are per-row expressions (no shuffle). Accumulation is
+  sequential left-to-right in ``aggregate``, which makes the doubles
+  reproducible — the DuckDB oracles accumulate in the same element order.
+- **Brute-force kNN** broadcasts the (small) query set against the corpus —
+  a BroadcastNestedLoopJoin that scans the 100 TB side exactly once and never
+  shuffles it. Top-k lands on a per-query window, which shuffles only the
+  scored pairs (|Q| x N rows); for very large |Q| use the IVF path instead.
+- **Hyperplane LSH** (random projection signs) buckets vectors by band keys;
+  the candidate join is an equi join on (band, key) — no crossJoin.
+  Hyperplanes are derived from a fixed seed, so signatures are deterministic
+  across runs and engines.
+- **IVF** assigns each vector to its nearest of ``k`` fixed centroids
+  (closed-form expression over literal centroid arrays — the centroid list is
+  a *model parameter*, not data, so materializing it driver-side is bounded
+  and legitimate). Queries probe the ``nprobe`` nearest cells; candidates
+  come from an equi join on cell id.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float-array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def const_vec(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "nrm") -> DataFrame:
+    return df.withColumn(out, norm(F.col(vec_col)))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot(a, b) / (norm_a * norm_b)
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane (random projection) LSH for cosine similarity
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, n: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (fixed seed → identical across
+    runs, machines, and engines)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def hyperplane_band_keys(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit signature over ``planes``, folded into ``bands`` integer band
+    keys and exploded to (id, band_id, band_key) rows.
+
+    A key property used by the dedup oracle: a vector and any *positive
+    scaling* of it produce identical sign bits (dot scales by a positive
+    constant), so exact-duplicate-up-to-scale pairs collide in every band —
+    recall 1 by construction, not by probability.
+    """
+    rows = len(planes) // bands
+    bits = [
+        F.when(dot(F.col(vec_col), const_vec(p)) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for p in planes
+    ]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                sum(
+                    (bits[b * rows + r] * F.lit(1 << r).cast("long") for r in range(rows)),
+                    start=F.lit(0).cast("long"),
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(id_col, F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def cosine_verify_pairs(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 3,
+) -> DataFrame:
+    """Join candidate (id_a, id_b) pairs to their vectors and keep pairs with
+    cosine >= threshold."""
+    normed = with_norm(vectors, vec_col)
+    va = normed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    vb = normed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("nrm").alias("n_b")
+    )
+    cos = cosine(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(cos >= F.lit(threshold))
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round(cos, round_to).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out: str = "cell_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (centroids are
+    literal model parameters — a closed-form expression per row, no join).
+
+    Built as an ``array_max`` over (score, cell_id) structs: struct ordering
+    compares score first, so the max struct carries the argmax cell.
+    """
+    v = F.col(vec_col)
+    nv = norm(v)
+    scored = F.array(
+        *[
+            F.struct(
+                (dot(v, const_vec(c)) / (nv * F.lit(_l2(c)))).alias("score"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    return df.withColumn(out, F.array_max(scored).getField("cid"))
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    vec_col: str = "embedding",
+    out: str = "cell_id",
+) -> DataFrame:
+    """Explode each query to its ``nprobe`` nearest cells (by cosine)."""
+    v = F.col(vec_col)
+    nv = norm(v)
+    scored = F.array(
+        *[
+            F.struct(
+                (dot(v, const_vec(c)) / (nv * F.lit(_l2(c)))).alias("score"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return queries.withColumn(out, F.explode(top.getField("cid")))
+
+
+def _l2(vec: list[float]) -> float:
+    return sum(x * x for x in vec) ** 0.5

@@ -1,1 +1,287 @@
-"""Placeholder — filled in later milestones."""
+"""Deduplication queries over ``documents`` / ``embeddings`` (north-star
+LLM-data-pipeline scope; the reference has no document operators).
+
+Five dedup families, each oracle-backed:
+
+- ``dedup_exact``          — content-hash grouping (canonical row per text).
+- ``dedup_minhash_lsh``    — shingle → MinHash → LSH band join → exact verify.
+- ``dedup_ngram_jaccard``  — prefix-filtered inverted-index join (exact recall).
+- ``dedup_simhash``        — 60-bit SimHash + chunk banding, Hamming <= 3.
+- ``dedup_embedding_cosine`` — hyperplane-LSH bucketed near-dup over vectors.
+
+Oracle strategy: the banded/bucketed Spark plans are *approximate candidate
+generators* followed by exact verification, so the DuckDB oracles compute the
+exact brute-force answer (all qualifying pairs). The testdata's planted
+near-duplicates sit at Jaccard >= 0.9 with background < 0.13, far above the
+LSH S-curve knee, so candidate recall is 1 in practice — and the pytest suite
+(tests/test_dedup.py) pins recall == 1 against the brute-force twin at sf0.01
+so a parameter regression is caught before the driver gate. For SimHash the
+oracle mirrors the *same* signature math bit-for-bit (via the shared
+md5-prefix hash), so parity is definitional, not probabilistic.
+
+The exact-dup and embedding queries inject deterministic duplicates (the
+testdata has none): re-keyed copies of every 10th document, and 1.5x-scaled
+copies of every 20th embedding. Scaling preserves hyperplane sign bits
+exactly, so the embedding LSH has provable — not probabilistic — recall on
+the injected pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.textsim import (
+    band_candidate_pairs,
+    jaccard_verify,
+    lsh_band_keys,
+    minhash_signature,
+    prefix_filter_pairs,
+    simhash_near_pairs,
+    simhash_signature,
+    with_shingles,
+)
+from ..operators.vectors import cosine_verify_pairs, hyperplane_band_keys, hyperplanes
+from ..sources.parquet import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+
+def _shingle_cte(k: int) -> str:
+    """Distinct word-``k``-gram shingles per doc (DuckDB).
+
+    Mirrors :func:`..operators.textsim.word_shingles`: docs with fewer than
+    ``k`` words are excluded on both sides.
+    """
+    return f"""
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {k}
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+{k - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - {k - 2})) AS i FROM w)
+)"""
+
+
+def _jaccard_pairs_oracle(k: int, threshold: float) -> str:
+    """Brute-force exact word-shingle Jaccard pairs >= threshold."""
+    return f"""
+WITH {_shingle_cte(k)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text)    AS content_hash,
+       min(doc_id)  AS canonical_doc_id,
+       count(*)     AS n_copies
+FROM all_docs
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one canonical (min doc_id) row per
+    distinct text, with the duplicate count observable as ``n_copies``.
+
+    The testdata has no byte-identical duplicates, so every 10th doc is
+    re-injected under a shifted id — deterministically, on both engine and
+    oracle — to make the collapse visible.
+
+    Scale: md5 is computed map-side and the group-by is a partial-agg hash
+    shuffle on the 128-bit digest — uniformly distributed keys, no skew; at
+    100 TB this is the standard one-shuffle exact-dedup pass. (Equivalent to
+    ``dropDuplicates`` on text, but grouping on the digest keeps the shuffle
+    key 16 bytes instead of document-sized.)
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return (
+        docs.unionByName(dups)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh", oracle=_jaccard_pairs_oracle(k=3, threshold=0.8))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at word-3-shingle Jaccard >= 0.8 via MinHash + LSH.
+
+    Plan: shingle (per-row) → 64-hash MinHash signature (one partial-agg
+    shuffle) → 16x4 band keys → equi self-join on (band, key) → exact-Jaccard
+    verification of the candidates. No crossJoin anywhere; the all-pairs
+    work the oracle does brute-force is replaced by banding whose collision
+    probability at J=0.8 is > 0.999 (and the planted dups sit at J >= 0.9).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = with_shingles(docs, k=3)
+    sig = minhash_signature(sh, n_hashes=64)
+    bands = lsh_band_keys(sig, bands=16, rows=4)
+    cand = band_candidate_pairs(bands)
+    return jaccard_verify(cand, sh, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_ngram_jaccard", oracle=_jaccard_pairs_oracle(k=2, threshold=0.7))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs at word-2-gram Jaccard >= 0.7 via prefix-filtered
+    inverted-index join (AllPairs/PPJoin).
+
+    Unlike MinHash banding this path has *guaranteed* recall: only the first
+    ``|S| - ceil(0.7|S|) + 1`` shingles (in global hash order) of each doc
+    enter the index, and any pair with J >= 0.7 provably shares one. The
+    candidate set is a small superset of the answer, then exact Jaccard
+    filters. Scale: the inverted index explodes ~30% of each doc's shingles;
+    the join key is the shingle hash — high-frequency shingles are the skew
+    risk, handled by AQE skew splitting (and at 100 TB by dropping the
+    globally-commonest shingles from the index, a standard stopword cut).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = with_shingles(docs, k=2)
+    cand = prefix_filter_pairs(sh, threshold=0.7)
+    return jaccard_verify(cand, sh, threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(60)
+    )
+    terms = " + ".join(f"CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(60))
+    return f"""
+WITH {_shingle_cte(3)},
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS hv FROM sh
+),
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance <= 3 (60-bit signatures
+    over word-3-shingles).
+
+    The signature hash is the md5-prefix long both engines compute
+    identically, so the oracle mirrors the signature math bit-for-bit — the
+    only difference is the pairing strategy: the oracle goes all-pairs, the
+    engine splits the signature into 4 15-bit chunks and equi-joins on
+    (chunk, value); by pigeonhole any pair within 3 flips shares a chunk, so
+    recall is exact. Scale: signatures are 8 bytes/doc; the chunk join is the
+    only shuffle beyond the signature aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = with_shingles(docs, k=3)
+    sig = simhash_signature(sh)
+    return simhash_near_pairs(sig, max_hamming=3, chunks=4)
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_cosine
+# ---------------------------------------------------------------------------
+
+_EMB_DUP_ORACLE = """
+WITH all_vecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+norms AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT sum(CAST(embedding[s.i] AS DOUBLE) * CAST(embedding[s.i] AS DOUBLE))
+               FROM (SELECT unnest(range(1, 65)) AS i) s)) AS nrm
+  FROM all_vecs
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         (SELECT sum(CAST(a.embedding[s.i] AS DOUBLE) * CAST(b.embedding[s.i] AS DOUBLE))
+          FROM (SELECT unnest(range(1, 65)) AS i) s) / (a.nrm * b.nrm) AS cos
+  FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 3) AS cosine
+FROM pairs WHERE cos >= 0.95
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_DUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine >= 0.95 via hyperplane-LSH buckets.
+
+    Every 20th vector is re-injected scaled by 1.5 (float32 rounding applied
+    identically in the oracle), planting duplicate pairs at cosine ~ 1.0.
+    Positive scaling preserves every hyperplane sign bit, so the injected
+    pairs land in identical buckets in *all* 8 bands — recall on them is
+    exactly 1, independent of the (deterministic, seeded) hyperplane draw.
+    The corpus's natural pairs top out at cosine ~ 0.51 (measured), far below
+    the 0.95 threshold, so engine and brute-force oracle agree on the exact
+    pair set. Scale: 64 sign bits per vector map-side, equi join on band
+    keys, exact cosine only on candidates — no crossJoin.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    inj = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+    )
+    allv = emb.unionByName(inj)
+    planes = hyperplanes(dim=64, n=64, seed=7)
+    bands = hyperplane_band_keys(allv, planes, bands=8, id_col="vec_id")
+    cand = band_candidate_pairs(bands, id_col="vec_id")
+    return cosine_verify_pairs(cand, allv, threshold=0.95, round_to=3)
