@@ -1,0 +1,100 @@
+"""Recall and correctness pins for the dedup family.
+
+The banded/bucketed plans (MinHash LSH, SimHash chunks, hyperplane LSH) are
+probabilistic *candidate generators* whose oracle parity holds because
+candidate recall is 1 on this data. These tests pin that property directly —
+a band/row/seed regression shows up here before it shows up as a driver
+hash mismatch.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import duckdb
+import pytest
+
+from kafka_streams_rosetta_demo_spark.operators.textsim import (
+    band_candidate_pairs,
+    lsh_band_keys,
+    minhash_signature,
+    prefix_filter_pairs,
+    prefix_length,
+    with_shingles,
+)
+from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+
+def brute_force_pairs(sf_dir: str, k: int, threshold: float) -> set[tuple[int, int]]:
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    sets = {
+        d: {" ".join(t.split()[i : i + k]) for i in range(len(t.split()) - k + 1)}
+        for d, t in docs
+        if len(t.split()) >= k
+    }
+    out = set()
+    for (a, sa), (b, sb) in itertools.combinations(sets.items(), 2):
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
+            out.add((min(a, b), max(a, b)))
+    return out
+
+
+def test_minhash_lsh_candidate_recall(spark, sf_correctness):
+    """Every true pair at J >= 0.8 must be an LSH candidate (16x4 bands)."""
+    truth = brute_force_pairs(sf_correctness, k=3, threshold=0.8)
+    assert truth, "testdata lost its planted near-duplicates"
+    docs = load_table(spark, sf_correctness, "documents").select("doc_id", "text")
+    sh = with_shingles(docs, k=3)
+    cand = band_candidate_pairs(
+        lsh_band_keys(minhash_signature(sh, n_hashes=64), bands=16, rows=4)
+    )
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    missed = truth - got
+    assert not missed, f"LSH missed true pairs: {sorted(missed)}"
+
+
+def test_prefix_filter_exact_recall(spark, sf_correctness):
+    """Prefix filtering guarantees recall for J >= t — verify the guarantee
+    holds as implemented (ordering, ceil, slice off-by-ones)."""
+    truth = brute_force_pairs(sf_correctness, k=2, threshold=0.7)
+    assert truth
+    docs = load_table(spark, sf_correctness, "documents").select("doc_id", "text")
+    sh = with_shingles(docs, k=2)
+    cand = prefix_filter_pairs(sh, threshold=0.7)
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    missed = truth - got
+    assert not missed, f"prefix filter broke its recall guarantee: {sorted(missed)}"
+
+
+def test_prefix_length_formula():
+    # |S| - ceil(t|S|) + 1, never below 1
+    assert prefix_length(10, 0.7) == 4
+    assert prefix_length(1, 0.9) == 1
+    assert prefix_length(100, 0.95) == 6
+
+
+def test_exact_dedup_collapses_injected_duplicates(spark, sf_correctness):
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["dedup_exact"].fn(spark, sf_correctness).toPandas()
+    n_docs = load_table(spark, sf_correctness, "documents").count()
+    assert len(out) == n_docs  # one row per distinct text
+    dup_groups = out[out.n_copies == 2]
+    assert len(dup_groups) == n_docs // 10
+    # canonical id is always the original (pre-injection) doc id
+    assert (dup_groups.canonical_doc_id < 1000000).all()
+
+
+def test_embedding_lsh_finds_planted_scaled_duplicates(spark, sf_correctness):
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["dedup_embedding_cosine"].fn(spark, sf_correctness).toPandas()
+    n_vecs = load_table(spark, sf_correctness, "embeddings").count()
+    planted = n_vecs // 20  # vec_id % 20 == 0, ids are 0..n-1
+    assert len(out) == planted
+    assert set(out.vec_b - out.vec_a) == {1000000}
+    assert out.cosine.tolist() == pytest.approx([1.0] * len(out))
