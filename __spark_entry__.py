@@ -24,7 +24,11 @@ def entry(spark: SparkSession) -> DataFrame:
     with formatted window bounds and null-coalesced defaults — the
     reference's two topologies fused."""
     from kafka_streams_rosetta_demo_spark.plans.rosetta import enriched_calls_plan
+    from kafka_streams_rosetta_demo_spark.session import ensure_conf
 
+    # Same conf pin the registry wrapper applies: window-bound strings must
+    # not drift with the host timezone.
+    ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     return enriched_calls_plan(spark, "/root/testdata/sf0.001")
 
 

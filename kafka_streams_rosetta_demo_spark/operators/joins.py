@@ -8,10 +8,12 @@ co-partitioning through-topic (``CallsEnrichedApp.java:56-58``) is
 unnecessary here — the shuffle exchange (or a broadcast) co-partitions the
 sides automatically (SURVEY.md J2).
 
-Scale: a customer dimension is small relative to a 100 TB fact stream, so the
-lookup is a *broadcast* hash join by default — zero shuffle of the big side.
-If the dimension outgrows broadcast (multi-GB), drop ``broadcast_dim=False``
-and AQE picks shuffle-hash / sort-merge with skew splitting.
+Scale: a customer dimension is small relative to a 100 TB fact stream, so
+the lookup wants a *broadcast* hash join — zero shuffle of the big side. The
+default is size-aware rather than hardcoded: the hint is applied only when
+Catalyst's size estimate fits ``autoBroadcastJoinThreshold``, so a dimension
+that outgrows executor memory falls back to AQE's shuffle-hash / sort-merge
+with skew splitting instead of OOMing.
 """
 
 from __future__ import annotations
@@ -22,16 +24,40 @@ from pyspark.sql import functions as F
 from ..functions.nulls import customer_defaults
 
 
+def estimated_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (None when unavailable)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _broadcast_threshold_bytes(df: DataFrame) -> int:
+    raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    digits = "".join(ch for ch in str(raw) if ch.isdigit())
+    return int(digits) if digits else 10 * 1024 * 1024
+
+
 def stream_table_left_join(
     stream: DataFrame,
     table: DataFrame,
     stream_key: str,
     table_key: str,
-    broadcast_dim: bool = True,
+    broadcast_dim: bool | None = None,
 ) -> DataFrame:
     """J1: for each stream event, look up the current table row by key; emit
     the event even when no row exists (null side handled by the caller's
-    projection, as ``CallCustomerJoiner.java:24-28`` does)."""
+    projection, as ``CallCustomerJoiner.java:24-28`` does).
+
+    ``broadcast_dim=None`` (default) is *size-aware*: the dimension gets a
+    broadcast hint only when Catalyst's own size estimate fits the session's
+    ``autoBroadcastJoinThreshold`` — a dimension that outgrows executor
+    memory at 100x falls back to AQE's shuffle/sort-merge choice instead of
+    OOMing on a hardcoded hint. Pass True/False to override.
+    """
+    if broadcast_dim is None:
+        est = estimated_size_bytes(table)
+        broadcast_dim = est is not None and est <= _broadcast_threshold_bytes(table)
     dim = F.broadcast(table) if broadcast_dim else table
     return stream.join(dim, on=stream[stream_key] == table[table_key], how="left")
 
@@ -39,7 +65,7 @@ def stream_table_left_join(
 def enrich_calls_with_customers(
     call_agg: DataFrame,
     customers: DataFrame,
-    broadcast_dim: bool = True,
+    broadcast_dim: bool | None = None,
 ) -> DataFrame:
     """J1 + P4 + F1-F3: the full ``CallsEnrichedApp`` topology body.
 
@@ -55,7 +81,17 @@ def enrich_calls_with_customers(
     joined = stream_table_left_join(
         call_agg, customers, "id_telef_origen", "TELEFONO", broadcast_dim
     )
+    # The reference defaults fields only when the whole customer row is
+    # absent (customer == null, CallCustomerJoiner.java:24-28); a matched row
+    # passes its fields through even if they are null (all CustomerAggregate
+    # fields are nullable Avro unions, callaggcust.avsc:36-42). Gate on the
+    # join key of the dimension side — null iff the lookup missed.
+    miss = F.col("TELEFONO").isNull()
     d = customer_defaults
+
+    def dflt(name: str) -> Column:
+        return F.when(miss, F.lit(d[name])).otherwise(F.col(name)).alias(name.lower())
+
     return joined.select(
         F.col("id_telef_origen"),
         F.date_format("window_start", ROSETTA_TS_FORMAT).alias("window_start_ts"),
@@ -64,11 +100,11 @@ def enrich_calls_with_customers(
         F.col("max_duracion_origen"),
         F.col("total_duracion_origen"),
         F.col("avg_duracion_origen"),
-        F.coalesce("DOC_CLIENTE", F.lit(d["DOC_CLIENTE"])).alias("doc_cliente"),
-        F.coalesce("CLIENTE_ORANGE", F.lit(d["CLIENTE_ORANGE"])).alias("cliente_orange"),
-        F.coalesce("DAYS_EXCLIENTE", F.lit(d["DAYS_EXCLIENTE"])).alias("days_excliente"),
-        F.coalesce("OPERADOR_ACTUAL", F.lit(d["OPERADOR_ACTUAL"])).alias("operador_actual"),
-        F.coalesce("RIESGO", F.lit(d["RIESGO"])).alias("riesgo"),
+        dflt("DOC_CLIENTE"),
+        dflt("CLIENTE_ORANGE"),
+        dflt("DAYS_EXCLIENTE"),
+        dflt("OPERADOR_ACTUAL"),
+        dflt("RIESGO"),
     )
 
 

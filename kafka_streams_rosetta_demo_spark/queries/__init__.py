@@ -17,6 +17,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import ensure_conf  # noqa: E402  (re-export for query modules)
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -40,9 +42,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             # The caller (driver) owns the session; pin the one conf our
             # semantics depend on. DuckDB timestamps are UTC-naive, and the
             # reference's SimpleDateFormat rendering must not drift with the
-            # host TZ (CallCustomerJoiner.java:32-40 renders in JVM-default
-            # TZ — a portability bug we fix, not inherit).
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # host TZ (CallsCustomerJoiner renders in JVM-default TZ — a
+            # portability bug we fix, not inherit). Check-then-set so a
+            # correctly-configured session is never mutated mid-flight.
+            ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
         wrapped.__doc__ = fn.__doc__

@@ -712,7 +712,7 @@ def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        json_extract_string(props, '$.k')                    AS k_str,
-       CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k_int
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
 FROM events
 WHERE event_id % 10 = 0
 """,

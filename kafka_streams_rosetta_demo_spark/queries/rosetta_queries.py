@@ -19,11 +19,15 @@ from ..sources.parquet import load_table, rosetta_calls, rosetta_customers
 from . import register
 
 # Shared oracle CTEs — the DuckDB twin of the testdata role mapping.
+# date_trunc('microseconds', ...) states the precision contract explicitly:
+# events.parquet is TIMESTAMP(NANOS) and the Spark loader truncates to
+# microseconds (sources/parquet.py), so the oracle must compare at the same
+# precision instead of relying on the generator happening to align.
 CALLS_CTE = """
 calls AS (
     SELECT CAST(user_id AS VARCHAR) AS id_telef_origen,
            CAST(floor(value) AS BIGINT) AS duracion_origen,
-           ts AS event_ts
+           date_trunc('microseconds', ts) AS event_ts
     FROM events
 )
 """
@@ -128,11 +132,11 @@ SELECT a.id_telef_origen,
        a.max_duracion_origen,
        a.total_duracion_origen,
        a.avg_duracion_origen,
-       coalesce(c.DOC_CLIENTE, 'Unknown') AS doc_cliente,
-       coalesce(c.CLIENTE_ORANGE, 0) AS cliente_orange,
-       coalesce(c.DAYS_EXCLIENTE, 0) AS days_excliente,
-       coalesce(c.OPERADOR_ACTUAL, 'Unknown') AS operador_actual,
-       coalesce(c.RIESGO, 'Unknown') AS riesgo
+       CASE WHEN c.TELEFONO IS NULL THEN 'Unknown' ELSE c.DOC_CLIENTE END AS doc_cliente,
+       CASE WHEN c.TELEFONO IS NULL THEN 0 ELSE c.CLIENTE_ORANGE END AS cliente_orange,
+       CASE WHEN c.TELEFONO IS NULL THEN 0 ELSE c.DAYS_EXCLIENTE END AS days_excliente,
+       CASE WHEN c.TELEFONO IS NULL THEN 'Unknown' ELSE c.OPERADOR_ACTUAL END AS operador_actual,
+       CASE WHEN c.TELEFONO IS NULL THEN 'Unknown' ELSE c.RIESGO END AS riesgo
 FROM call_agg a
 LEFT JOIN customers c ON a.id_telef_origen = c.TELEFONO
 """,
@@ -200,4 +204,217 @@ def rosetta_null_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("DOC_CLIENTE", F.lit("Unknown")).alias("doc_cliente"),
         F.coalesce("CLIENTE_ORANGE", F.lit(0)).alias("cliente_orange"),
         F.coalesce("OPERADOR_ACTUAL", F.lit("Unknown")).alias("operador_actual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2: KTable latest-per-key, batch-checkable
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rosetta_ktable_latest",
+    oracle="""
+SELECT user_id,
+       date_trunc('microseconds', ts) AS last_ts,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       value      AS last_value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC
+) = 1
+""",
+)
+def rosetta_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: ``builder.table(topic)`` — latest-value-per-key state
+    (``CallsEnrichedApp.java:58``), the one genuinely stateful reference
+    operator, expressed as ``max_by(struct(row), struct(ts, event_id))``.
+
+    event_id stands in for the Kafka offset as the equal-timestamp
+    tiebreaker. Scale: an aggregate (partial combine before the key shuffle),
+    NOT a row_number window — the oracle uses the window form only because
+    DuckDB's arg_max cannot take a struct ordering. The identical expression
+    is the streaming KTable state in update mode (streaming/ktable tests).
+    """
+    from ..operators.state import latest_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_key(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        seq_col="event_id",
+        value_cols=["ts", "event_id", "event_type", "value"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5: deserialization error policy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rosetta_deser_policy",
+    oracle="""
+WITH raw AS (
+  SELECT event_type,
+         CASE WHEN event_id % 37 = 0 THEN 'XX' || props ELSE props END AS payload
+  FROM events
+),
+parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(payload)
+              THEN TRY_CAST(json_extract_string(payload, '$.k') AS INTEGER)
+         END AS k
+  FROM raw
+)
+SELECT event_type,
+       count(*)                          AS n_records,
+       count(k)                          AS n_parsed,
+       count(*) - count(k)               AS n_dropped,
+       CAST(sum(k) AS BIGINT)            AS sum_k
+FROM parsed
+GROUP BY event_type
+""",
+)
+def rosetta_deser_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: ``LogAndContinueExceptionHandler`` (``CallsAggregationApp.java:
+    34,100``) — undecodable records are skipped and *counted*, never fatal.
+
+    Batch-expressible form: parse the JSON payload permissively
+    (``from_json`` → null field on corrupt input), drop-and-count instead of
+    failing. Corruption is injected deterministically (every 37th event gets
+    a leading 'XX') on both engine and oracle, since the testdata's props are
+    all well-formed. The drop count is the observable the reference exposes
+    via its skipped-records metric. Scale: per-row parse + one partial-agg
+    shuffle on event_type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 37 == 0, F.concat(F.lit("XX"), F.col("props"))
+    ).otherwise(F.col("props"))
+    k = F.from_json(payload, "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count("k").alias("n_parsed"),
+            (F.count(F.lit(1)) - F.count("k")).alias("n_dropped"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session + sliding windows (streaming parity breadth, batch-checkable —
+# SURVEY §2.8/§7-4; the reference is tumbling-only, Spark adds both natively)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_session",
+    oracle="""
+WITH e AS (
+  SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events
+),
+d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+       min(ts)                           AS session_start,
+       max(ts) + INTERVAL 30 MINUTE      AS session_end,
+       count(*)                          AS n_events,
+       round(sum(value), 2)              AS total_value
+FROM s
+GROUP BY user_id, sid
+""",
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — Spark-native
+    ``session_window``, absent in the reference (tumbling only,
+    ``CallsAggregationApp.java:57``).
+
+    The DuckDB twin is the classic gap-islands rewrite; the break condition
+    is strictly ``> gap`` because Spark merges an event landing exactly at
+    the previous session's end (windows touch → merge). Scale: sessionization
+    shuffles once on user_id and merges windows in state — no self-join, no
+    sort beyond the per-key window merge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "window_sliding",
+    oracle="""
+WITH e AS (
+  SELECT date_trunc('microseconds', ts) AS ts, event_type, value FROM events
+),
+slid AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000) AS window_start,
+         event_type, value
+  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM slid
+GROUP BY window_start, event_type
+""",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 1 hour long, 15-minute slide, per
+    event_type. Each event lands in 4 overlapping windows; the oracle
+    replays that by cross-joining each event with slide offsets 0..3 on the
+    epoch-aligned 15-minute grid (Spark windows are epoch-aligned).
+
+    Scale: Spark expands the 4 window assignments map-side then runs one
+    partial-agg shuffle on (window, event_type) — input amplification is the
+    window/slide ratio, the standard cost of hopping windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
     )

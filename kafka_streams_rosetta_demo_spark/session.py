@@ -21,6 +21,18 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a runtime conf only when it differs — per-call mutation of shared
+    session state is a cross-query hazard; idempotent check-then-set makes
+    the required value an assertion rather than a blind write."""
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
+
+
 def get_spark(
     app_name: str = "rosetta-spark",
     master: str | None = None,

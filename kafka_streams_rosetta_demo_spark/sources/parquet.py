@@ -48,7 +48,9 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..session import ensure_conf
+
+    ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
