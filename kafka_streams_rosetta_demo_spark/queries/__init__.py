@@ -64,6 +64,7 @@ def load_all() -> dict[str, Query]:
         pipeline_queries,
         relational_queries,
         rosetta_queries,
+        streaming_queries,
     )
 
     return REGISTRY

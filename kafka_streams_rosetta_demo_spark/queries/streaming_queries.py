@@ -1,0 +1,161 @@
+"""Streaming topologies run end to end under the batch correctness gate.
+
+Each query here executes a *real Structured Streaming query* — file source,
+watermark, update-mode emission, checkpointed state, ``foreachBatch`` sink —
+to completion with ``availableNow``, merges the update stream into final
+keyed state (the compacted-output-topic read), and returns that state as a
+DataFrame. The DuckDB oracle is the *same SQL* as the batch twin, so the
+gate proves the streaming execution path computes identical state — the
+strongest brokerless check available for SURVEY §2.1/§2.6 (S1 file form,
+S2, J1, T1–T4).
+
+Single-file sources mean one micro-batch here; multi-batch incremental
+updates, late-data watermark drops, and checkpoint restart-without-replay
+are pinned in tests/test_streaming.py where the input can be split and
+replayed deliberately.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..sources.parquet import events_to_calls, normalize_event_ts, rosetta_customers
+from ..streaming.runner import file_stream, run_update_query_to_state, state_to_df
+from ..streaming.transforms import (
+    enrich_batch_fn,
+    streaming_latest_per_key,
+    streaming_windowed_call_agg,
+)
+from . import register
+from .rosetta_queries import CALL_AGG_CTE, CUSTOMERS_CTE
+
+# Streaming sources need an explicit schema; ts is declared long because the
+# parquet stores TIMESTAMP(NANOS) and the reader (with nanosAsLong) surfaces
+# it as nanos — normalize_event_ts then truncates to microsecond timestamps,
+# identically to the batch loader.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_event_ts(
+        file_stream(
+            spark, sf_dir, EVENTS_STREAM_SCHEMA, path_glob_filter="events.parquet"
+        )
+    )
+
+
+@register(
+    "streaming_calls_window_agg",
+    oracle=f"""
+WITH {CALL_AGG_CTE.strip()}
+SELECT * FROM call_agg
+""",
+)
+def streaming_calls_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline 1 as a *streaming* query (``CallsAggregationApp`` whole):
+    file-source CALLS stream → 24h watermark → 1h tumbling update-mode
+    aggregate → checkpointed foreachBatch changelog merge. Final state must
+    hash-match the same oracle as the batch twin (rosetta_calls_window_agg)
+    — one plan, two execution modes, one answer."""
+    agg = streaming_windowed_call_agg(events_to_calls(_events_stream(spark, sf_dir)))
+    with tempfile.TemporaryDirectory(prefix="ckpt_swa_") as ckpt:
+        state = run_update_query_to_state(
+            agg, lambda r: (r.id_telef_origen, r.window_start), ckpt
+        )
+    return state_to_df(spark, state, agg.schema)
+
+
+@register(
+    "streaming_ktable_latest",
+    oracle="""
+SELECT user_id,
+       date_trunc('microseconds', ts) AS last_ts,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       value      AS last_value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC
+) = 1
+""",
+)
+def streaming_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 as a streaming query: ``builder.table(topic)`` — latest-per-key
+    state maintained by the same max_by aggregate as the batch twin, in
+    update mode with checkpointed state. Final state must equal the batch
+    answer (same oracle as rosetta_ktable_latest)."""
+    latest = streaming_latest_per_key(
+        _events_stream(spark, sf_dir),
+        key="user_id",
+        ts_col="ts",
+        seq_col="event_id",
+        value_cols=["ts", "event_id", "event_type", "value"],
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_skt_") as ckpt:
+        state = run_update_query_to_state(latest, lambda r: r.user_id, ckpt)
+    return state_to_df(spark, state, latest.schema)
+
+
+@register(
+    "streaming_enriched",
+    oracle=f"""
+WITH {CALL_AGG_CTE.strip()},
+{CUSTOMERS_CTE.strip()}
+SELECT a.id_telef_origen,
+       strftime(a.window_start, '%d/%m/%Y %H:%M') AS window_start_ts,
+       strftime(a.window_end, '%d/%m/%Y %H:%M') AS window_end_ts,
+       a.calls_count,
+       a.max_duracion_origen,
+       a.total_duracion_origen,
+       a.avg_duracion_origen,
+       CASE WHEN c.TELEFONO IS NULL THEN 'Unknown' ELSE c.DOC_CLIENTE END AS doc_cliente,
+       CASE WHEN c.TELEFONO IS NULL THEN 0 ELSE c.CLIENTE_ORANGE END AS cliente_orange,
+       CASE WHEN c.TELEFONO IS NULL THEN 0 ELSE c.DAYS_EXCLIENTE END AS days_excliente,
+       CASE WHEN c.TELEFONO IS NULL THEN 'Unknown' ELSE c.OPERADOR_ACTUAL END AS operador_actual,
+       CASE WHEN c.TELEFONO IS NULL THEN 'Unknown' ELSE c.RIESGO END AS riesgo
+FROM call_agg a
+LEFT JOIN customers c ON a.id_telef_origen = c.TELEFONO
+""",
+)
+def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two reference topologies fused, streaming end to end: windowed
+    update-mode aggregate → per-micro-batch broadcast-lookup left join
+    against the customer dimension (J1 in its temporal-lookup form) →
+    changelog merge. Final state must hash-match the batch flagship
+    (rosetta_enriched)."""
+    agg = streaming_windowed_call_agg(events_to_calls(_events_stream(spark, sf_dir)))
+    customers = rosetta_customers(spark, sf_dir)
+
+    state: dict = {}
+    schema_cell: list[T.StructType] = []
+
+    def sink(enriched_batch: DataFrame, batch_id: int) -> None:
+        if not schema_cell:
+            schema_cell.append(enriched_batch.schema)
+        for row in enriched_batch.collect():
+            state[(row.id_telef_origen, row.window_start_ts)] = row
+
+    fn = enrich_batch_fn(customers, sink)
+    with tempfile.TemporaryDirectory(prefix="ckpt_enr_") as ckpt:
+        (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return state_to_df(spark, state, schema_cell[0])

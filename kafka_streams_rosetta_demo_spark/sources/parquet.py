@@ -40,39 +40,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    outright (PARQUET_TYPE_ILLEGAL). Read it as a long via the legacy conf
-    (runtime-settable) and truncate to microsecond timestamps — the same
-    truncation DuckDB applies when it reads TIMESTAMP_NS, so oracles agree.
-    """
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Nanos-as-long ``ts`` → microsecond TimestampType — the same truncation
+    DuckDB applies reading TIMESTAMP_NS, so oracles agree. No-op when ``ts``
+    is already a timestamp (shared by the batch loader and the streaming
+    file source, which must state the long schema explicitly)."""
     from pyspark.sql import types as T
 
-    from ..session import ensure_conf
-
-    ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    outright (PARQUET_TYPE_ILLEGAL). Read it as a long via the legacy conf
+    (runtime-settable) and truncate to microsecond timestamps."""
+    from ..session import ensure_conf
+
+    ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def rosetta_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The raw CALLS stream (implied schema, ``CallsAggregationApp.java:54,72``).
-
-    ``duracion_origen`` is long in the reference (``callagg.avsc``); the
-    testdata value column is double, so we floor it — deterministic in both
-    Spark and the DuckDB oracle.
-    """
-    return load_table(spark, sf_dir, "events").select(
+def events_to_calls(events: DataFrame) -> DataFrame:
+    """events → the raw CALLS stream shape (implied schema,
+    ``CallsAggregationApp.java:54,72``). ``duracion_origen`` is long in the
+    reference (``callagg.avsc``); the testdata value column is double, so we
+    floor it — deterministic in both Spark and the DuckDB oracle. Shared by
+    the batch loader and the streaming file source."""
+    return events.select(
         F.col("user_id").cast("string").alias("id_telef_origen"),
         F.floor("value").alias("duracion_origen"),
         F.col("ts").alias("event_ts"),
     )
+
+
+def rosetta_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw CALLS stream over the testdata role mapping."""
+    return events_to_calls(load_table(spark, sf_dir, "events"))
 
 
 def rosetta_customers(spark: SparkSession, sf_dir: str) -> DataFrame:

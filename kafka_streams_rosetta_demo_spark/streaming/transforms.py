@@ -1,0 +1,74 @@
+"""Streaming forms of the batch operators — same plans, plus watermarks and
+output-mode semantics (SURVEY §2.6).
+
+Reference semantics being reproduced:
+
+- T1: 1-hour tumbling windows with KS 2.6's *default* 24-hour grace
+  (``TimeWindows.of`` with no grace param, ``CallsAggregationApp.java:57``)
+  → ``withWatermark(event_ts, '24 hours')``.
+- T2: continuous updates — no ``suppress()`` in the topology, every input
+  record re-emits its window's current aggregate → ``outputMode('update')``.
+- T3: late rows inside the grace update the window in place; rows later than
+  the watermark are dropped — the same contract KS applies after grace.
+- S2: KTable latest-per-key state is the *identical* ``max_by`` aggregate
+  the batch path uses (operators/state.py), run in update mode.
+- J1: the stream–table join is a per-micro-batch broadcast lookup
+  (``foreachBatch``) — KS's stream-table join is a temporal lookup against
+  current state, which micro-batch join-at-batch-time matches; a
+  stream-stream interval join would *change* semantics (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.joins import enrich_calls_with_customers
+from ..operators.state import latest_per_key
+from ..operators.windowed_agg import unwrap_window, windowed_call_agg
+
+KS_DEFAULT_GRACE = "24 hours"  # Kafka Streams 2.6 TimeWindows default
+
+
+def streaming_windowed_call_agg(
+    calls: DataFrame,
+    watermark: str = KS_DEFAULT_GRACE,
+    ts: str = "event_ts",
+) -> DataFrame:
+    """T1–T3 + A1–A4: watermarked 1h tumbling aggregate, unwrapped.
+
+    Run with ``outputMode('update')`` — each micro-batch emits the (key,
+    window) rows that changed, the KTable-changelog shape the reference
+    produces downstream (``CallsAggregationApp.java:80-85``).
+    """
+    return unwrap_window(windowed_call_agg(calls.withWatermark(ts, watermark), ts=ts))
+
+
+def streaming_latest_per_key(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    seq_col: str,
+    value_cols: list[str],
+    watermark: str = KS_DEFAULT_GRACE,
+) -> DataFrame:
+    """S2: ``builder.table(topic)`` as a streaming update-mode aggregate —
+    the same ``max_by(struct, struct(ts, seq))`` expression as the batch
+    query, so batch and streaming state agree row for row."""
+    return latest_per_key(
+        stream.withWatermark(ts_col, watermark), key, ts_col, seq_col, value_cols
+    )
+
+
+def enrich_batch_fn(customers: DataFrame, sink):
+    """J1 as a ``foreachBatch`` body: broadcast-lookup left join of each
+    micro-batch of call aggregates against the current customer dimension,
+    then hand the enriched batch to ``sink(batch_df, batch_id)``.
+
+    ``customers`` may be re-read per batch for a refreshing dimension; the
+    size-aware broadcast in the join keeps this safe if it grows.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        sink(enrich_calls_with_customers(batch_df, customers), batch_id)
+
+    return fn

@@ -1,0 +1,253 @@
+"""Streaming-semantics pins the batch oracle gate cannot see.
+
+The registered streaming queries prove single-batch equivalence; these tests
+split the input into multiple micro-batches and pin the *incremental*
+behaviors: update-mode re-emission merging to the batch answer, watermark
+late-data drops (T3), checkpoint restart without replay (T4/T6), and the
+Kafka serde round-trip (S1/S3/S5) including the log-and-continue drop path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_streams_rosetta_demo_spark.operators.state import latest_per_key
+from kafka_streams_rosetta_demo_spark.operators.windowed_agg import (
+    unwrap_window,
+    windowed_call_agg,
+)
+from kafka_streams_rosetta_demo_spark.queries.streaming_queries import (
+    EVENTS_STREAM_SCHEMA,
+)
+from kafka_streams_rosetta_demo_spark.schemas import CALL_AGGREGATE
+from kafka_streams_rosetta_demo_spark.sources.parquet import (
+    events_to_calls,
+    load_table,
+    normalize_event_ts,
+)
+from kafka_streams_rosetta_demo_spark.streaming.kafka_io import (
+    KafkaTopicSpec,
+    avro_available,
+)
+from kafka_streams_rosetta_demo_spark.streaming.runner import (
+    file_stream,
+    run_update_query_to_state,
+    state_to_df,
+)
+from kafka_streams_rosetta_demo_spark.streaming.transforms import (
+    streaming_latest_per_key,
+    streaming_windowed_call_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, sf_smoke, tmp_path_factory):
+    """sf0.001 events split into 3 time-ordered parquet files — 3 micro-
+    batches under maxFilesPerTrigger=1 (files are picked up in write order)."""
+    import shutil
+
+    out = tmp_path_factory.mktemp("events_stream")
+    stage = tmp_path_factory.mktemp("events_stage")
+    ev = load_table(spark, sf_smoke, "events").orderBy("ts").collect()
+    third = (len(ev) + 2) // 3
+    raw_schema = load_table(spark, sf_smoke, "events").schema
+    for i in range(3):
+        chunk = ev[i * third : (i + 1) * third]
+        part_dir = stage / f"part{i}"
+        spark.createDataFrame(chunk, raw_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part_dir))
+        (part_file,) = part_dir.glob("part-*.parquet")
+        shutil.copy(part_file, out / f"{i}.parquet")  # flat dir, write order = batch order
+    return str(out)
+
+
+def _stream(spark, path, **kw):
+    # ts is already TimestampType in the rewritten files; reuse the stream
+    # schema with a timestamp ts instead of the nanos-long contract.
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.TimestampType(), True)
+            for f in EVENTS_STREAM_SCHEMA.fields
+        ]
+    )
+    return normalize_event_ts(file_stream(spark, path, schema, **kw))
+
+
+def test_multibatch_windowed_agg_converges_to_batch(spark, split_events_dir, tmp_path):
+    calls = events_to_calls(_stream(spark, split_events_dir, max_files_per_trigger=1))
+    agg = streaming_windowed_call_agg(calls)
+    state = run_update_query_to_state(
+        agg, lambda r: (r.id_telef_origen, r.window_start), str(tmp_path / "ckpt")
+    )
+    got = state_to_df(spark, state, agg.schema)
+
+    batch_calls = events_to_calls(spark.read.parquet(split_events_dir))
+    expected = unwrap_window(windowed_call_agg(batch_calls))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_multibatch_latest_per_key_converges_to_batch(spark, split_events_dir, tmp_path):
+    cols = ["ts", "event_id", "event_type", "value"]
+    stream = _stream(spark, split_events_dir, max_files_per_trigger=1)
+    latest = streaming_latest_per_key(stream, "user_id", "ts", "event_id", cols)
+    state = run_update_query_to_state(latest, lambda r: r.user_id, str(tmp_path / "ck"))
+    got = state_to_df(spark, state, latest.schema)
+
+    expected = latest_per_key(
+        spark.read.parquet(split_events_dir), "user_id", "ts", "event_id", cols
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def _write_flat(df, stage_dir, out_dir, name):
+    """Write a single parquet file into a flat directory (the streaming file
+    source does not recurse into subdirectories)."""
+    import shutil
+
+    part_dir = stage_dir / f"stage_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(part_dir))
+    (part_file,) = part_dir.glob("part-*.parquet")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    shutil.copy(part_file, out_dir / f"{name}.parquet")
+
+
+def test_watermark_drops_rows_later_than_grace(spark, tmp_path):
+    """T3: a row arriving (after a checkpointed restart) with event time
+    older than the committed watermark is dropped — the silent-drop-after-
+    grace contract of Kafka Streams.
+
+    The restart matters: within a single availableNow backlog run Spark only
+    *guarantees* state eviction, not input drop ("too-late data may or may
+    not be aggregated"); the committed watermark enforced on restart is the
+    hard contract, so that is what this pins.
+    """
+
+    def rows(hours_and_durs):
+        return spark.createDataFrame(
+            [
+                (key, dur, f"2024-01-01 {h:02d}:30:00")
+                for key, h, dur in hours_and_durs
+            ],
+            "id_telef_origen string, duracion_origen long, event_ts string",
+        ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("id_telef_origen", T.StringType(), True),
+            T.StructField("duracion_origen", T.LongType(), True),
+            T.StructField("event_ts", T.TimestampType(), True),
+        ]
+    )
+
+    def run(state):
+        agg = streaming_windowed_call_agg(
+            file_stream(spark, str(src), schema), watermark="1 hour"
+        )
+        return run_update_query_to_state(
+            agg, lambda r: (r.id_telef_origen, r.window_start), ckpt, state=state
+        )
+
+    # run 1: key A fills hours 0..10 → committed watermark 09:30
+    _write_flat(rows([("A", h, 1) for h in range(11)]), tmp_path, src, "0")
+    state = run({})
+    assert len(state) == 11
+
+    # run 2: a row back at hour 2 — older than the committed watermark minus
+    # the 1h grace → dropped; no update is emitted for its window
+    _write_flat(rows([("A", 2, 99)]), tmp_path, src, "1")
+    updates: dict = run({})
+    assert updates == {}
+
+
+def test_checkpoint_restart_replays_nothing(spark, split_events_dir, tmp_path):
+    """T4/T6: the checkpoint commits source offsets; restarting the same
+    query over the same source emits zero new updates."""
+    ckpt = str(tmp_path / "ckpt")
+    calls = events_to_calls(_stream(spark, split_events_dir))
+    agg = streaming_windowed_call_agg(calls)
+
+    first = run_update_query_to_state(
+        agg, lambda r: (r.id_telef_origen, r.window_start), ckpt
+    )
+    assert first
+
+    second: dict = {}
+    run_update_query_to_state(
+        agg, lambda r: (r.id_telef_origen, r.window_start), ckpt, state=second
+    )
+    assert second == {}
+
+
+# ---------------------------------------------------------------------------
+# Kafka serde (S1/S3/S5) — brokerless: serialize/parse are pure projections
+# ---------------------------------------------------------------------------
+
+
+def _raw_kafka_frame(spark, spec, typed_rows):
+    typed = spark.createDataFrame(typed_rows, CALL_AGGREGATE)
+    return spec.serialize(typed, key_col="ID_TELEF_ORIGEN").withColumn(
+        "timestamp", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+
+
+def test_kafka_spec_serde_roundtrip(spark):
+    spec = KafkaTopicSpec(topic="CALLS_AGG", value_schema=CALL_AGGREGATE)
+    rows = [
+        (1704067200000, "34600111222", 5, 3, 12, 2),
+        (1704070800000, "34600333444", 1, 7, 7, 7),
+    ]
+    raw = _raw_kafka_frame(spark, spec, rows)
+    parsed = spec.parse(raw)
+    out = {
+        r.ID_TELEF_ORIGEN: (
+            r.WINDOW_START_TS,
+            r.CALLS_COUNT,
+            r.MAX_DURACION_ORIGEN,
+            r.TOTAL_DURACION_ORIGEN,
+            r.AVG_DURACION_ORIGEN,
+        )
+        for r in parsed.collect()
+    }
+    assert out == {
+        "34600111222": (1704067200000, 5, 3, 12, 2),
+        "34600333444": (1704070800000, 1, 7, 7, 7),
+    }
+    assert parsed.columns == ["key"] + [f.name for f in CALL_AGGREGATE.fields] + ["kafka_ts"]
+
+
+def test_kafka_spec_drops_corrupt_values(spark):
+    """S5 log-and-continue: undecodable values drop instead of failing."""
+    spec = KafkaTopicSpec(topic="CALLS_AGG", value_schema=CALL_AGGREGATE)
+    raw = _raw_kafka_frame(spark, spec, [(1704067200000, "34600111222", 5, 3, 12, 2)])
+    corrupt = raw.union(
+        raw.select(
+            F.lit("badkey").alias("key"),
+            F.lit(b"\x00not-a-record").alias("value"),
+            F.col("timestamp"),
+        )
+    )
+    assert spec.parse(corrupt).count() == 1
+    assert spec.parse(corrupt, drop_corrupt=False).count() == 2
+
+
+def test_serde_selection_is_environment_aware():
+    spec = KafkaTopicSpec(topic="t", value_schema=CALL_AGGREGATE)
+    assert spec.resolved_serde() == ("avro" if avro_available() else "json")
+    assert KafkaTopicSpec(topic="t", value_schema=CALL_AGGREGATE, serde="json").resolved_serde() == "json"
+
+
+def test_reader_writer_options():
+    spec = KafkaTopicSpec(
+        topic="CALLS", bootstrap_servers="broker:9092", value_schema=CALL_AGGREGATE
+    )
+    assert spec.reader_options() == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "CALLS",
+        "startingOffsets": "earliest",
+    }
+    assert spec.writer_options()["topic"] == "CALLS"
