@@ -39,6 +39,14 @@ OPTIONAL = [
     "knn_brute_force",
     "text_quality_scores",
     "dedup_exact",
+    "dedup_embedding_cosine",
+    "knn_ann_ivf",
+    "window_session",
+    "window_sliding",
+    "rosetta_ktable_latest",
+    # a full streaming topology (file source → watermark → update-mode agg →
+    # checkpointed foreachBatch merge), timed end to end
+    "streaming_calls_window_agg",
 ]
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import rebalance
 from ..operators.textsim import (
     band_candidate_pairs,
     jaccard_verify,
@@ -149,7 +150,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     work the oracle does brute-force is replaced by banding whose collision
     probability at J=0.8 is > 0.999 (and the planted dups sit at J >= 0.9).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = with_shingles(docs, k=3)
     sig = minhash_signature(sh, n_hashes=64)
     bands = lsh_band_keys(sig, bands=16, rows=4)
@@ -162,24 +163,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("dedup_ngram_jaccard", oracle=_jaccard_pairs_oracle(k=2, threshold=0.7))
+@register("dedup_ngram_jaccard", oracle=_jaccard_pairs_oracle(k=3, threshold=0.75))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs at word-2-gram Jaccard >= 0.7 via prefix-filtered
-    inverted-index join (AllPairs/PPJoin).
+    """Exact near-dup pairs at word-3-gram Jaccard >= 0.75 via
+    frequency-ordered prefix filtering (AllPairs/PPJoin).
 
     Unlike MinHash banding this path has *guaranteed* recall: only the first
-    ``|S| - ceil(0.7|S|) + 1`` shingles (in global hash order) of each doc
-    enter the index, and any pair with J >= 0.7 provably shares one. The
-    candidate set is a small superset of the answer, then exact Jaccard
-    filters. Scale: the inverted index explodes ~30% of each doc's shingles;
-    the join key is the shingle hash — high-frequency shingles are the skew
-    risk, handled by AQE skew splitting (and at 100 TB by dropping the
-    globally-commonest shingles from the index, a standard stopword cut).
+    ``|S| - ceil(0.75|S|) + 1`` shingles — rarest first in global
+    document-frequency order — enter the inverted index, and any pair with
+    J >= 0.75 provably shares one. The candidate set is a small superset of
+    the answer, then exact Jaccard filters. Scale: rarest-first prefixes
+    keep posting lists short even on a skewed vocabulary (a random prefix
+    order degenerates toward all-pairs on common shingles); residual hot
+    shingles are AQE skew-join territory.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = with_shingles(docs, k=2)
-    cand = prefix_filter_pairs(sh, threshold=0.7)
-    return jaccard_verify(cand, sh, threshold=0.7)
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = with_shingles(docs, k=3)
+    cand = prefix_filter_pairs(sh, threshold=0.75)
+    return jaccard_verify(cand, sh, threshold=0.75)
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +225,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is exact. Scale: signatures are 8 bytes/doc; the chunk join is the
     only shuffle beyond the signature aggregate.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = with_shingles(docs, k=3)
     sig = simhash_signature(sh)
     return simhash_near_pairs(sig, max_hamming=3, chunks=4)
@@ -273,7 +274,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set. Scale: 64 sign bits per vector map-side, equi join on band
     keys, exact cosine only on candidates — no crossJoin.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = rebalance(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     inj = emb.where(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import rebalance
 from ..operators.multimodal import documents_as_binary, extract_features
 from ..operators.textsim import md5_long, with_shingles
 from ..operators.vectors import (
@@ -70,7 +71,9 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     element-order sum exactly. This is the exactness baseline the IVF path
     is measured against (tests/test_knn.py pins IVF recall vs. this).
     """
-    normed = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    normed = with_norm(
+        rebalance(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    )
     q = normed.where(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -112,7 +115,9 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroid collect is bounded model state (32 x 64 floats), not data
     movement.
     """
-    normed = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    normed = with_norm(
+        rebalance(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    )
     centroid_rows = (
         normed.where(F.col("vec_id") % 31 == 0)
         .orderBy("vec_id")
@@ -319,13 +324,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum rolling (3-word
     shingle) hash per document — the 8-byte sketch dedup/citation systems
     store per doc. Uses the md5-prefix hash both engines compute identically,
-    so the oracle is exact. One explode + one partial-agg shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    so the oracle is exact. Pure per-row expression (``array_min`` over the
+    doc's own shingle hashes) — no explode, no shuffle."""
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = with_shingles(docs, k=3)
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    return ex.groupBy("doc_id").agg(
-        F.min(md5_long(F.col("shingle"))).alias("fingerprint"),
-        F.count(F.lit(1)).alias("n_shingles"),
+    return sh.select(
+        "doc_id",
+        F.array_min(F.transform("shingles", lambda s: md5_long(s))).alias("fingerprint"),
+        F.size("shingles").cast("long").alias("n_shingles"),
     )
 
 

@@ -59,12 +59,12 @@ def test_minhash_lsh_candidate_recall(spark, sf_correctness):
 
 def test_prefix_filter_exact_recall(spark, sf_correctness):
     """Prefix filtering guarantees recall for J >= t — verify the guarantee
-    holds as implemented (ordering, ceil, slice off-by-ones)."""
-    truth = brute_force_pairs(sf_correctness, k=2, threshold=0.7)
+    holds as implemented (df ordering, ceil, slice off-by-ones)."""
+    truth = brute_force_pairs(sf_correctness, k=3, threshold=0.75)
     assert truth
     docs = load_table(spark, sf_correctness, "documents").select("doc_id", "text")
-    sh = with_shingles(docs, k=2)
-    cand = prefix_filter_pairs(sh, threshold=0.7)
+    sh = with_shingles(docs, k=3)
+    cand = prefix_filter_pairs(sh, threshold=0.75)
     got = {(r.id_a, r.id_b) for r in cand.collect()}
     missed = truth - got
     assert not missed, f"prefix filter broke its recall guarantee: {sorted(missed)}"
