@@ -19,6 +19,9 @@ Layout:
   and the per-micro-batch broadcast-lookup enrichment join (J1).
 - :mod:`.runner` — query start/stop with checkpointing (T4/T6) and the
   brokerless file-source pipelines the correctness gate runs end to end.
+- :mod:`.stateful` — ``applyInPandasWithState`` custom per-key state
+  machines (the Processor-API analogue).
+- :mod:`.admin` — topic DDL from properties-style config (S4), client-gated.
 
 Everything stateful reuses the *same* DataFrame functions as the batch path —
 the streaming layer adds watermarks, output mode, and sinks, nothing else.

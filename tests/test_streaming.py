@@ -251,3 +251,69 @@ def test_reader_writer_options():
         "startingOffsets": "earliest",
     }
     assert spec.writer_options()["topic"] == "CALLS"
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState) + topic DDL (S4)
+# ---------------------------------------------------------------------------
+
+
+def test_stateful_running_totals_converges_to_batch(spark, split_events_dir, tmp_path):
+    """The applyInPandasWithState accumulator, fed 3 micro-batches, must end
+    at the same per-key totals a batch aggregation computes."""
+    import pytest
+
+    from kafka_streams_rosetta_demo_spark.streaming.stateful import running_totals
+
+    stream = _stream(spark, split_events_dir, max_files_per_trigger=1)
+    totals = running_totals(stream, key_col="user_id", value_col="value")
+    state = run_update_query_to_state(
+        totals, lambda r: r.user_id, str(tmp_path / "ckpt")
+    )
+
+    expected = {
+        r.user_id: (r.n, float(r.total))
+        for r in spark.read.parquet(split_events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert state.keys() == expected.keys()
+    for k, row in state.items():
+        n, total = expected[k]
+        assert row.n_events == n
+        assert row.total_value == pytest.approx(total, rel=1e-9)
+
+
+def test_topic_ddl_parses_reference_style_properties():
+    from kafka_streams_rosetta_demo_spark.streaming.admin import (
+        TopicDef,
+        parse_topic_defs,
+    )
+
+    props = {
+        "calls.topic.name": "CALLS",
+        "calls.topic.partitions": "3",
+        "calls.topic.replication.factor": "2",
+        "rekeyed.topic.name": "rekeyed-customers",
+        "unrelated.key": "x",
+    }
+    assert parse_topic_defs(props) == [
+        TopicDef("CALLS", 3, 2),
+        TopicDef("rekeyed-customers", 1, 1),
+    ]
+
+
+def test_topic_ddl_create_gated_without_client():
+    import pytest
+
+    from kafka_streams_rosetta_demo_spark.streaming.admin import create_topics
+
+    try:
+        import confluent_kafka  # noqa: F401
+
+        pytest.skip("kafka client present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="confluent-kafka"):
+        create_topics({"a.topic.name": "A"}, "localhost:9092")
