@@ -44,6 +44,7 @@ OPTIONAL = [
     "window_session",
     "window_sliding",
     "rosetta_ktable_latest",
+    "join_asof",
     # a full streaming topology (file source → watermark → update-mode agg →
     # checkpointed foreachBatch merge), timed end to end
     "streaming_calls_window_agg",

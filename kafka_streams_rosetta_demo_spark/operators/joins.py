@@ -125,3 +125,52 @@ def join(
     left_anti/cross. ``broadcast_right`` hints the small side."""
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, on=on, how=how)
+
+
+def asof_join(
+    probe: DataFrame,
+    ref: DataFrame,
+    key: str,
+    ts_col: str,
+    seq_col: str,
+    ref_value_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of (last-tick) join: for each probe row, the most recent ref row of
+    the same key with ``ref.ts <= probe.ts`` (ties on ts resolved by
+    ``seq_col``, a ref at exactly the probe's ts counts). Left semantics —
+    probes with no earlier ref keep nulls.
+
+    Scale shape: NOT the naive ``ref.ts <= probe.ts`` range join (which
+    expands each probe against its key's whole history before the argmax).
+    Instead both sides union into one frame and a single per-key
+    sort + ``last(ignorenulls)`` carry-forward window matches every probe in
+    O(n log n) per key — one shuffle, one sort, no row explosion. This is
+    the standard distributed as-of pattern (the same plan a
+    partitioned-merge as-of in kdb/pandas ``merge_asof`` implies).
+    """
+    from pyspark.sql import Window
+
+    ref_struct = F.struct(
+        *[F.col(c).alias(f"{prefix}{c}") for c in ref_value_cols]
+    ).alias("_ref")
+    refs_u = ref.select(
+        F.col(key),
+        F.col(ts_col).alias("_ts"),
+        F.col(seq_col).alias("_seq"),
+        F.lit(0).alias("_tag"),  # refs sort before probes at equal ts
+        ref_struct,
+    )
+    probes_u = probe.select(
+        "*", F.col(ts_col).alias("_ts"), F.col(seq_col).alias("_seq"), F.lit(1).alias("_tag")
+    )
+    u = probes_u.unionByName(refs_u, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_tag", "_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_ref", ignorenulls=True).over(w))
+    return matched.where(F.col("_tag") == 1).select(
+        *[F.col(c) for c in probe.columns], F.col("_m.*")
+    )

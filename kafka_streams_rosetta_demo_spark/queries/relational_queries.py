@@ -802,3 +802,104 @@ def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderstatus = 'F'
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (absent in the reference AND in vanilla SQL engines' basic
+# surface; first-class in this engine because event-time analytics needs them)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, event_type, value
+  FROM events
+),
+probe AS (SELECT * FROM e WHERE event_type = 'click'),
+ref   AS (SELECT * FROM e WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+       r.event_id AS asof_event_id,
+       r.ts       AS asof_ts,
+       r.value    AS asof_value
+FROM probe p LEFT JOIN ref r
+  ON p.user_id = r.user_id AND r.ts <= p.ts
+QUALIFY row_number() OVER (
+    PARTITION BY p.event_id ORDER BY r.ts DESC, r.event_id DESC
+) = 1
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent prior (or
+    simultaneous) purchase; clicks with no prior purchase keep nulls.
+
+    The engine runs the union + per-key carry-forward window form
+    (operators/joins.py:asof_join) — one shuffle and one sort, no
+    probe x history row explosion; the oracle states the same semantics as
+    the naive range join + argmax, which is only viable at oracle scale.
+    """
+    from ..operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    probe = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    ref = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        probe,
+        ref,
+        key="user_id",
+        ts_col="ts",
+        seq_col="event_id",
+        ref_value_cols=["event_id", "ts", "value"],
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events
+)
+SELECT a.user_id,
+       a.event_id AS event_a,
+       b.event_id AS event_b,
+       abs(epoch_us(a.ts) - epoch_us(b.ts)) AS diff_us
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) self-join: unordered pairs of a user's events within
+    5 minutes of each other — the batch shape of a stream-stream windowed
+    join.
+
+    Scale: the equality on user_id is the join key (hash/sort-merge
+    co-partitioning); the time-band predicate evaluates as a residual
+    filter inside the per-key match, so there is no cross product — the
+    expansion is bounded by events-per-key-per-window, exactly like the
+    streaming interval join's state bound.
+    """
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a = e.alias("a")
+    b = e.alias("b")
+    diff = F.abs(F.unix_micros(F.col("a.ts")) - F.unix_micros(F.col("b.ts")))
+    return (
+        a.join(
+            b,
+            on=(F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (diff <= 300_000_000),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            diff.alias("diff_us"),
+        )
+    )

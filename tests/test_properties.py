@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) for the stateful operator semantics.
+
+The reference ships no randomized testing at all (SURVEY §5); these
+properties pin the operators against tiny pure-Python models on adversarial
+inputs hypothesis finds (empty groups, equal timestamps, gap-boundary
+events, single-row windows) that the fixture data may never contain.
+Sessions are scoped small (``max_examples`` low, one Spark job per example)
+to keep the suite fast.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_rosetta_demo_spark.operators.joins import asof_join
+from kafka_streams_rosetta_demo_spark.operators.state import latest_per_key
+from kafka_streams_rosetta_demo_spark.operators.windowed_agg import (
+    unwrap_window,
+    windowed_call_agg,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (key, minutes-offset, duration) event tuples; offsets inside a few hours so
+# windows collide; duplicate offsets are likely (equal-timestamp ties).
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=300),
+        st.integers(min_value=0, max_value=50),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (k, dur, BASE + dt.timedelta(minutes=m))
+            for k, m, dur in rows
+        ],
+        "id_telef_origen string, duracion_origen long, event_ts timestamp",
+    )
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_windowed_agg_matches_python_model(spark, rows):
+    got = {
+        (r.id_telef_origen, r.window_start): (
+            r.calls_count,
+            r.max_duracion_origen,
+            r.total_duracion_origen,
+            r.avg_duracion_origen,
+        )
+        for r in unwrap_window(windowed_call_agg(_df(spark, rows))).collect()
+    }
+
+    model: dict = defaultdict(list)
+    for k, m, dur in rows:
+        ts = BASE + dt.timedelta(minutes=m)
+        win = ts.replace(minute=0, second=0, microsecond=0)
+        model[(k, win)].append(dur)
+    expected = {
+        key: (len(ds), max(ds), sum(ds), sum(ds) // len(ds))
+        for key, ds in model.items()
+    }
+    assert got == expected
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_latest_per_key_matches_python_model(spark, rows):
+    df = spark.createDataFrame(
+        [
+            (k, BASE + dt.timedelta(minutes=m), i, float(dur))
+            for i, (k, m, dur) in enumerate(rows)
+        ],
+        "k string, ts timestamp, seq long, v double",
+    )
+    got = {
+        r.k: (r.last_ts, r.last_seq, r.last_v)
+        for r in latest_per_key(df, "k", "ts", "seq", ["ts", "seq", "v"]).collect()
+    }
+    best: dict = {}
+    for i, (k, m, dur) in enumerate(rows):
+        ts = BASE + dt.timedelta(minutes=m)
+        cand = (ts, i, float(dur))
+        if k not in best or (cand[0], cand[1]) > (best[k][0], best[k][1]):
+            best[k] = cand
+    assert got == best
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_asof_join_matches_python_model(spark, rows):
+    """Probe = every event; ref = events with even seq. The carry-forward
+    implementation must agree with the obvious quadratic model, including
+    equal-timestamp ties (ref at probe ts counts; max (ts, seq) wins)."""
+    tagged = [
+        (k, BASE + dt.timedelta(minutes=m), i, float(dur))
+        for i, (k, m, dur) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(tagged, "k string, ts timestamp, seq long, v double")
+    probe = df.select("k", "ts", "seq")
+    ref = df.where("seq % 2 = 0").select("k", "ts", "seq", "v")
+    out = {
+        r.seq: (r.asof_seq, r.asof_v)
+        for r in asof_join(
+            probe, ref, key="k", ts_col="ts", seq_col="seq", ref_value_cols=["seq", "v"]
+        ).collect()
+    }
+    refs = [t for t in tagged if t[2] % 2 == 0]
+    for k, ts, seq, _v in tagged:
+        matches = [r for r in refs if r[0] == k and r[1] <= ts]
+        want = max(matches, key=lambda r: (r[1], r[2]), default=None)
+        got = out[seq]
+        if want is None:
+            assert got == (None, None), seq
+        else:
+            assert got == (want[2], want[3]), seq
