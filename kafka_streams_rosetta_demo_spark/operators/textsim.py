@@ -77,8 +77,21 @@ def minhash_signature(
         return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
     return shingled.select(
-        id_col, F.aggregate("shingles", init, merge).alias("minhash")
+        id_col, _nonnull_guard(F.aggregate("shingles", init, merge), F.array()).alias("minhash")
     )
+
+
+def _nonnull_guard(col: Column, zero: Column) -> Column:
+    """Wrap a provably-non-null heavy expression in ``coalesce`` so Catalyst
+    stops inferring ``isnotnull(<expr>)`` from downstream null-intolerant
+    join keys / filters. That inferred filter gets pushed below the
+    rebalance exchange into the *scan* stage, re-running the whole
+    signature computation single-threaded on raw scan partitioning
+    (measured: the dominant cost of dedup_simhash at sf0.1 before this
+    guard). ``coalesce`` is null-intolerant-breaking but a no-op at runtime
+    — the guarded folds always produce a value.
+    """
+    return F.coalesce(col, zero)
 
 
 def lsh_band_keys(
@@ -241,7 +254,9 @@ def simhash_signature(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, b: a + b,
     )
-    return shingled.select(id_col, sig.alias("simhash"))
+    return shingled.select(
+        id_col, _nonnull_guard(sig, F.lit(0).cast("long")).alias("simhash")
+    )
 
 
 def simhash_near_pairs(
@@ -256,6 +271,16 @@ def simhash_near_pairs(
     any pair within ``chunks - 1`` bit flips shares an identical chunk, so an
     equi join on (chunk_id, chunk_value) has guaranteed recall for
     ``max_hamming <= chunks - 1`` — no crossJoin.
+
+    The 8-byte signature *rides through* the band join instead of being
+    joined back per side afterward. That removes two joins, and — the part
+    that matters — removes the ``isnotnull(simhash)`` join-key filter those
+    verify joins induce: Catalyst pushes join-key null filters below the
+    rebalance exchange into the scan stage, which re-ran the entire
+    signature fold single-threaded on the raw scan partitioning (measured
+    ~2x the whole query's cost at sf0.1; the plan showed the fold inside
+    the pre-exchange Filter). Carrying 8 bytes/row through the explode is
+    free by comparison at any scale.
     """
     assert max_hamming <= chunks - 1, "pigeonhole guarantee requires hamming < chunks"
     width = SIMHASH_BITS // chunks
@@ -269,28 +294,29 @@ def simhash_near_pairs(
             for c in range(chunks)
         ]
     )
-    keys = signatures.select(id_col, F.explode(chunk_arr).alias("ck")).select(
-        id_col, F.col("ck.chunk_id").alias("chunk_id"), F.col("ck.chunk_val").alias("chunk_val")
+    keys = signatures.select(id_col, "simhash", F.explode(chunk_arr).alias("ck")).select(
+        id_col,
+        "simhash",
+        F.col("ck.chunk_id").alias("chunk_id"),
+        F.col("ck.chunk_val").alias("chunk_val"),
     )
-    a, b = keys.alias("a"), keys.alias("b")
-    cand = (
-        a.join(b, on=["chunk_id", "chunk_val"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    a = keys.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk_id", "chunk_val"
     )
-    siga = signatures.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
-    sigb = signatures.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
+    b = keys.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk_id", "chunk_val"
+    )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        cand.join(siga, "id_a")
-        .join(sigb, "id_b")
-        .where(ham <= max_hamming)
+        a.join(b, on=["chunk_id", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
             ham.cast("long").alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -43,7 +43,54 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def const_vec(values: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in values])
+    """Literal double array built in ONE py4j call.
+
+    ``F.lit(list)`` desugars to ``array(*[lit(x) ...])`` — one py4j
+    round-trip per element (a 64x64 matrix costs ~3 s of driver time,
+    measured). Rendering the literal as SQL text and parsing it JVM-side
+    with ``F.expr`` is ~4 ms and exact: ``repr(float)`` is the shortest
+    round-trip decimal and Spark's double parser is IEEE-correct.
+    """
+    return F.expr(_sql_double_array(values))
+
+
+def _sql_double_array(values: list[float]) -> str:
+    return "array(" + ",".join(repr(float(v)) + "D" for v in values) + ")"
+
+
+def const_matrix(rows: list[list[float]]) -> Column:
+    """Literal array<array<double>> in one py4j call (see const_vec)."""
+    return F.expr("array(" + ",".join(_sql_double_array(r) for r in rows) + ")")
+
+
+def multi_dot(vec: Column, matrix: list[list[float]]) -> Column:
+    """Dot products of ``vec`` against every row of a literal ``matrix``, in
+    a single pass over the vector.
+
+    One ``aggregate`` whose accumulator is the array of running dots,
+    updated per element via ``zip_with`` against the literal matrix — the
+    vector is walked once, not once per matrix row, and the whole matrix is
+    a single Literal node (measured: collapsing the per-element ``F.lit``
+    tree cut driver-side plan build from seconds to milliseconds).
+    Accumulation is sequential in element order, so results are
+    bit-identical to ``dot(vec, row)`` per row — oracles can mirror it.
+    """
+    n, dim = len(matrix), len(matrix[0])
+    m = const_matrix(matrix)
+    elems = F.zip_with(
+        vec,
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
+    )
+    return F.aggregate(
+        elems,
+        F.array_repeat(F.lit(0.0), n),
+        lambda acc, p: F.zip_with(
+            acc,
+            m,
+            lambda a, mj: a + p.getField("x") * F.element_at(mj, p.getField("i")),
+        ),
+    )
 
 
 def norm(a: Column) -> Column:
@@ -93,26 +140,7 @@ def hyperplane_band_keys(
     recall 1 by construction, not by probability.
     """
     rows = len(planes) // bands
-    dim = len(planes[0])
-    h_matrix = F.array(*[F.array(*[F.lit(float(h)) for h in p]) for p in planes])
-    zero_dots = F.array_repeat(F.lit(0.0), len(planes))
-    # pair each vector element with its 1-based index so the fold can index
-    # the hyperplane rows
-    elems = F.zip_with(
-        F.col(vec_col),
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
-    )
-    dots = F.aggregate(
-        elems,
-        zero_dots,
-        lambda acc, p: F.zip_with(
-            acc,
-            h_matrix,
-            lambda a, hj: a + p.getField("x") * F.element_at(hj, p.getField("i")),
-        ),
-    )
-    sig = df.withColumn("_dots", dots)
+    sig = df.withColumn("_dots", multi_dot(F.col(vec_col), planes))
     band_structs = F.array(
         *[
             F.struct(
@@ -181,19 +209,13 @@ def ivf_assign(
     literal model parameters — a closed-form expression per row, no join).
 
     Built as an ``array_max`` over (score, cell_id) structs: struct ordering
-    compares score first, so the max struct carries the argmax cell.
+    compares score first, so the max struct carries the argmax cell. All
+    ``k`` centroid dots compute in one pass over the vector
+    (:func:`multi_dot`), and the centroid ids/norms ride along as literal
+    arrays zipped against the dot array — the whole assignment is three
+    Literal nodes, not k expression subtrees.
     """
-    v = F.col(vec_col)
-    nv = norm(v)
-    scored = F.array(
-        *[
-            F.struct(
-                (dot(v, const_vec(c)) / (nv * F.lit(_l2(c)))).alias("score"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in centroids
-        ]
-    )
+    scored = _centroid_scores(F.col(vec_col), centroids)
     return df.withColumn(out, F.array_max(scored).getField("cid"))
 
 
@@ -205,19 +227,23 @@ def ivf_probe_cells(
     out: str = "cell_id",
 ) -> DataFrame:
     """Explode each query to its ``nprobe`` nearest cells (by cosine)."""
-    v = F.col(vec_col)
-    nv = norm(v)
-    scored = F.array(
-        *[
-            F.struct(
-                (dot(v, const_vec(c)) / (nv * F.lit(_l2(c)))).alias("score"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in centroids
-        ]
-    )
+    scored = _centroid_scores(F.col(vec_col), centroids)
     top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
     return queries.withColumn(out, F.explode(top.getField("cid")))
+
+
+def _centroid_scores(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Array of (cosine score, cell_id) structs for ``v`` vs every centroid —
+    single-pass dots, literal id/norm arrays."""
+    nv = norm(v)
+    dots = multi_dot(v, [c for _, c in centroids])
+    cids = F.expr("array(" + ",".join(str(int(cid)) + "L" for cid, _ in centroids) + ")")
+    cnorms = const_vec([_l2(c) for _, c in centroids])
+    return F.zip_with(
+        F.zip_with(dots, cnorms, lambda d, cn: d / (nv * cn)),
+        cids,
+        lambda score, cid: F.struct(score.alias("score"), cid.alias("cid")),
+    )
 
 
 def _l2(vec: list[float]) -> float:
