@@ -98,7 +98,12 @@ def norm(a: Column) -> Column:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "nrm") -> DataFrame:
-    return df.withColumn(out, norm(F.col(vec_col)))
+    """Attach the L2 norm, wrapped in ``coalesce`` (a runtime no-op — the
+    fold never yields null) so downstream null-intolerant predicates like
+    ``cos >= t`` don't make Catalyst infer ``isnotnull(<norm fold>)`` and
+    push the entire fold below the rebalance exchange into the single-task
+    scan stage (same pathology, same fix as textsim._nonnull_guard)."""
+    return df.withColumn(out, F.coalesce(norm(F.col(vec_col)), F.lit(0.0)))
 
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:

@@ -23,9 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..sources.parquet import events_to_calls, normalize_event_ts, rosetta_customers
-from ..streaming.runner import file_stream, run_update_query_to_state, state_to_df
+from ..streaming.runner import (
+    file_stream,
+    pandas_state_to_df,
+    run_update_query_to_pandas_state,
+)
 from ..streaming.transforms import (
-    enrich_batch_fn,
+    enrich_calls_with_customers,
     streaming_latest_per_key,
     streaming_windowed_call_agg,
 )
@@ -49,6 +53,14 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T7: streaming state partitioning follows shuffle.partitions at
+    # checkpoint creation and AQE never coalesces it, so a plain session's
+    # default 200 means 200 state-store instances per micro-batch. Pin the
+    # engine default (constant across calls — same idempotent contract as
+    # the registry's UTC pin; batch plans are AQE-coalesced either way).
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
     return normalize_event_ts(
         file_stream(
             spark, sf_dir, EVENTS_STREAM_SCHEMA, path_glob_filter="events.parquet"
@@ -71,10 +83,10 @@ def streaming_calls_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one plan, two execution modes, one answer."""
     agg = streaming_windowed_call_agg(events_to_calls(_events_stream(spark, sf_dir)))
     with tempfile.TemporaryDirectory(prefix="ckpt_swa_") as ckpt:
-        state = run_update_query_to_state(
-            agg, lambda r: (r.id_telef_origen, r.window_start), ckpt
+        state = run_update_query_to_pandas_state(
+            agg, ["id_telef_origen", "window_start"], ckpt
         )
-    return state_to_df(spark, state, agg.schema)
+    return pandas_state_to_df(spark, state, agg.schema)
 
 
 @register(
@@ -105,8 +117,8 @@ def streaming_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["ts", "event_id", "event_type", "value"],
     )
     with tempfile.TemporaryDirectory(prefix="ckpt_skt_") as ckpt:
-        state = run_update_query_to_state(latest, lambda r: r.user_id, ckpt)
-    return state_to_df(spark, state, latest.schema)
+        state = run_update_query_to_pandas_state(latest, ["user_id"], ckpt)
+    return pandas_state_to_df(spark, state, latest.schema)
 
 
 @register(
@@ -139,23 +151,16 @@ def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = streaming_windowed_call_agg(events_to_calls(_events_stream(spark, sf_dir)))
     customers = rosetta_customers(spark, sf_dir)
 
-    state: dict = {}
     schema_cell: list[T.StructType] = []
 
-    def sink(enriched_batch: DataFrame, batch_id: int) -> None:
+    def enrich(batch_df: DataFrame) -> DataFrame:
+        enriched = enrich_calls_with_customers(batch_df, customers)
         if not schema_cell:
-            schema_cell.append(enriched_batch.schema)
-        for row in enriched_batch.collect():
-            state[(row.id_telef_origen, row.window_start_ts)] = row
+            schema_cell.append(enriched.schema)
+        return enriched
 
-    fn = enrich_batch_fn(customers, sink)
     with tempfile.TemporaryDirectory(prefix="ckpt_enr_") as ckpt:
-        (
-            agg.writeStream.outputMode("update")
-            .foreachBatch(fn)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
+        state = run_update_query_to_pandas_state(
+            agg, ["id_telef_origen", "window_start_ts"], ckpt, batch_fn=enrich
         )
-    return state_to_df(spark, state, schema_cell[0])
+    return pandas_state_to_df(spark, state, schema_cell[0])
