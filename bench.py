@@ -45,6 +45,9 @@ OPTIONAL = [
     "window_sliding",
     "rosetta_ktable_latest",
     "join_asof",
+    "dedup_cluster_cc",
+    "pack_sequences",
+    "sample_stratified_hash",
     # a full streaming topology (file source → watermark → update-mode agg →
     # checkpointed foreachBatch merge), timed end to end
     "streaming_calls_window_agg",

@@ -52,9 +52,20 @@ def word_shingles(text_col: str | Column, k: int = 3) -> Column:
 
 
 def with_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """Attach a distinct ``shingles`` array; drop docs too short to shingle."""
+    """Attach a distinct ``shingles`` array; drop docs too short to shingle.
+
+    The array is wrapped in :func:`_nonnull_guard` — downstream Jaccard
+    threshold filters are null-intolerant, and without the guard Catalyst
+    infers ``isnotnull(<shingle expr>)`` and pushes the whole shingling
+    computation below the rebalance exchange into the single-task scan
+    stage (see _nonnull_guard)."""
     w = F.split(F.col(text_col), " ")
-    return docs.where(F.size(w) >= k).withColumn("shingles", word_shingles(F.col(text_col), k))
+    return docs.where(F.size(w) >= k).withColumn(
+        "shingles",
+        _nonnull_guard(
+            word_shingles(F.col(text_col), k), F.expr("CAST(array() AS array<string>)")
+        ),
+    )
 
 
 def minhash_signature(

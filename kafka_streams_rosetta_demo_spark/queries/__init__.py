@@ -60,6 +60,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side effect: registration) and return the
     registry."""
     from . import (  # noqa: F401
+        corpus_queries,
         dedup_queries,
         pipeline_queries,
         relational_queries,

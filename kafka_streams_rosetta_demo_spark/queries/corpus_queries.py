@@ -1,0 +1,307 @@
+"""Corpus-curation queries: the operations between "raw crawl" and
+"training mix" that a 100 TB data pipeline runs after dedup — cluster-level
+dedup collapse, deterministic stratified sampling, sequence packing, PII
+scrubbing, and repetition-based quality filtering.
+
+North-star scope (BASELINE.json); the reference has no document operators
+(it is a telco-calls streaming demo — SURVEY §1), so these are extension
+operators, each oracle-backed:
+
+- ``dedup_cluster_cc`` — connected components over near-dup pairs: the
+  collapse step that turns pairwise similarity into one canonical doc per
+  transitive group.
+- ``sample_stratified_hash`` — per-language rebalancing with a
+  *deterministic* content-independent hash sample: reproducible across
+  runs, engines, and partitionings, unlike ``df.sample`` (seeded RNG is
+  partitioning-dependent, so it cannot be oracle-checked).
+- ``pack_sequences`` — token-budget bin assignment for training-sequence
+  packing, per-shard so it parallelizes.
+- ``text_pii_scrub`` — regex redaction with an observable replacement
+  count.
+- ``text_repeated_ngrams`` — Gopher-style repetition quality gate
+  (duplicate-3-gram fraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import rebalance
+from ..operators.graph import connected_components
+from ..operators.textsim import (
+    jaccard_verify,
+    md5_long,
+    prefix_filter_pairs,
+    with_shingles,
+)
+from ..sources.parquet import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_cc
+# ---------------------------------------------------------------------------
+
+# Shared with dedup_queries._shingle_cte / _jaccard_pairs_oracle (k=3,
+# t=0.75), then a recursive transitive closure: label = min doc_id reachable.
+_CC_ORACLE = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.75
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+@register("dedup_cluster_cc", oracle=_CC_ORACLE)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: connected components over the exact
+    word-3-gram Jaccard >= 0.75 pair graph; cluster id = min doc_id in the
+    component (the canonical survivor a keep-one pass would retain).
+
+    The pair generation is the PPJoin prefix filter (guaranteed recall, no
+    crossJoin — same path as dedup_ngram_jaccard); the collapse is
+    distributed min-label propagation (operators/graph.py), one
+    join+groupBy shuffle per round, rounds bounded by component diameter.
+    The oracle computes the same closure with a recursive CTE — viable only
+    at oracle scale, which is exactly the point of the distributed form.
+    """
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # materialized once: feeds the df-order index (2x) and verify (2x)
+    sh = with_shingles(docs, k=3).localCheckpoint(eager=True)
+    pairs = jaccard_verify(prefix_filter_pairs(sh, threshold=0.75), sh, threshold=0.75)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified_hash
+# ---------------------------------------------------------------------------
+
+# per-language keep-rate in percent: downsample the dominant language,
+# keep the rest — the standard training-mix rebalance.
+_STRATA_RATES = {"en": 20, "de": 60, "es": 60, "fr": 60, "zh": 60}
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source,
+       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+         AS hash_bucket
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+      < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
+             ELSE 50 END
+"""
+
+
+@register("sample_stratified_hash", oracle=_SAMPLE_ORACLE)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff
+    ``md5_long(doc_id) % 100 < rate(lang)`` — 20% of the dominant language,
+    60% of the rest.
+
+    Hash-bucket sampling (not ``df.sample``) is the production form: the
+    keep decision is a pure per-row function of the id, so it is
+    reproducible across runs/engines/partitionings, stable under re-runs of
+    an incremental pipeline (a doc's fate never changes), and
+    oracle-checkable. Map-side only — no shuffle, no RNG state.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _STRATA_RATES.items()],
+        F.lit(50),
+    )
+    return docs.withColumn("hash_bucket", bucket).where(F.col("hash_bucket") < rate)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048  # tokens per training sequence bin
+_PACK_SHARDS = 32
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         doc_id % {_PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(
+         CAST(coalesce(sum(n_tokens) OVER (
+            PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+         / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+FROM t
+"""
+
+
+@register("pack_sequences", oracle=_PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document to a fixed-token-budget bin
+    (``bin_id``) by running-sum chunking within a shard — the deterministic,
+    shuffle-light form of training-sequence packing (first-fit over a global
+    order is inherently sequential; per-shard running sums parallelize).
+
+    One shuffle on the shard key; the window's running sum is a single sort
+    within each shard partition. Shard count is the packing parallelism —
+    at 100 TB you raise it, and bins stay within a shard so downstream
+    concatenation reads one partition per bin.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.withColumn(
+        "bin_id", F.floor(cum_before.cast("double") / _PACK_BUDGET).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_pii_scrub
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (no backrefs/lookarounds) so Spark's Java regex and
+# DuckDB's RE2 match identically.
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@example.com ' || text ||
+         ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+          + len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_pii
+FROM injected
+"""
+
+
+@register("text_pii_scrub", oracle=_PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with an observable drop metric: replace emails and
+    phone-shaped strings with placeholder tokens and count the replacements
+    per document (the audit number a compliance pipeline must emit).
+
+    The corpus is synthetic and contains no PII, so a deterministic email +
+    phone is injected per doc — identically in the oracle — to make the
+    scrub observable. Pure per-row regex (map-side, no shuffle); patterns
+    are RE2-compatible so both engines agree.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com "),
+        F.col("text"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = docs.select("doc_id", injected.alias("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    n_pii = (
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE))
+        + F.regexp_count(F.col("text"), F.lit(_PHONE_RE))
+    ).cast("long")
+    return t.select("doc_id", clean.alias("clean_text"), n_pii.alias("n_pii"))
+
+
+# ---------------------------------------------------------------------------
+# text_repeated_ngrams
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+g AS (
+  SELECT doc_id,
+         [array_to_string(words[i:i+2], ' ')
+          FOR i IN range(1, len(words) - 1)] AS grams
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         AS dup_gram_frac,
+       (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) > 0.2
+         AS flagged_repetitive
+FROM g
+"""
+
+
+@register("text_repeated_ngrams", oracle=_REP_ORACLE)
+def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gate (Gopher-style): the fraction of word-3-grams
+    that are duplicates of an earlier 3-gram in the same document; docs over
+    0.2 get flagged. Single per-row pass over the token array — map-side,
+    no shuffle, the cheapest of the quality filters and usually the first
+    gate a crawl shard hits.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    t = docs.where(F.size(w) >= 3).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 3)),
+        ).alias("grams"),
+    )
+    n = F.size("grams")
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("grams")).cast("double") / n
+    return t.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        F.round(dup_frac, 6).alias("dup_gram_frac"),
+        (dup_frac > 0.2).alias("flagged_repetitive"),
+    )

@@ -151,7 +151,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability at J=0.8 is > 0.999 (and the planted dups sit at J >= 0.9).
     """
     docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    sh = with_shingles(docs, k=3)
+    # The shingled frame feeds the signature AND both verify sides;
+    # materialize it once (compute-once-reuse-3x, and it stops
+    # InferFiltersFromGenerate pushing `size(<shingle expr>)>0` below the
+    # rebalance into the single-task scan stage). At cluster scale this is
+    # the standard "signature table" materialization.
+    sh = with_shingles(docs, k=3).localCheckpoint(eager=True)
     sig = minhash_signature(sh, n_hashes=64)
     bands = lsh_band_keys(sig, bands=16, rows=4)
     cand = band_candidate_pairs(bands)
@@ -178,7 +183,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are AQE skew-join territory.
     """
     docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    sh = with_shingles(docs, k=3)
+    # materialized once: feeds the df-order index (2x) and verify (2x)
+    sh = with_shingles(docs, k=3).localCheckpoint(eager=True)
     cand = prefix_filter_pairs(sh, threshold=0.75)
     return jaccard_verify(cand, sh, threshold=0.75)
 
@@ -281,7 +287,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: (x.cast("double") * F.lit(1.5)).cast("float")
         ).alias("embedding"),
     )
-    allv = emb.unionByName(inj)
+    # materialized once: feeds the band-key path and both verify sides
+    allv = emb.unionByName(inj).localCheckpoint(eager=True)
     planes = hyperplanes(dim=64, n=64, seed=7)
     bands = hyperplane_band_keys(allv, planes, bands=8, id_col="vec_id")
     cand = band_candidate_pairs(bands, id_col="vec_id")

@@ -1,0 +1,87 @@
+"""Corpus-curation family: connected-components clustering, packing,
+sampling invariants. Oracle parity for every registered query lives in
+test_oracle_parity.py; these tests pin the *semantic* properties an oracle
+hash cannot express (graph-theoretic correctness of CC against a union-find
+twin, packing bin invariants, sampling determinism)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_rosetta_demo_spark.operators.graph import connected_components
+from kafka_streams_rosetta_demo_spark.queries import load_all
+
+QUERIES = load_all()
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    # chain, triangle, pair, and a star — covers diameter > 1 propagation
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21),
+             (30, 31), (30, 32), (30, 33), (5, 4)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r.id: r.component
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+def test_cluster_cc_labels_are_component_minima(spark, sf_correctness):
+    out = QUERIES["dedup_cluster_cc"].fn(spark, sf_correctness)
+    rows = out.collect()
+    # every cluster id is a member of its own cluster (canonical survivor)
+    members = {}
+    for r in rows:
+        members.setdefault(r.cluster_id, set()).add(r.doc_id)
+    for cid, docs in members.items():
+        assert cid in docs
+        assert cid == min(docs)
+        assert len(docs) >= 2  # only docs with >= 1 near-dup edge appear
+
+
+def test_pack_sequences_bins_are_contiguous_and_ordered(spark, sf_correctness):
+    out = QUERIES["pack_sequences"].fn(spark, sf_correctness).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    budget = 2048
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.bin_id == cum // budget  # running-sum chunk rule
+            cum += r.n_tokens
+        bins = [r.bin_id for r in rows]
+        assert bins == sorted(bins)  # bins never decrease along doc order
+
+
+def test_stratified_hash_sample_is_deterministic_and_stratified(spark, sf_correctness):
+    q = QUERIES["sample_stratified_hash"].fn
+    a = sorted(r.doc_id for r in q(spark, sf_correctness).collect())
+    b = sorted(r.doc_id for r in q(spark, sf_correctness).collect())
+    assert a == b  # same sample on every run — no RNG state
+
+    out = q(spark, sf_correctness).groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in out}
+    # en is downsampled 3x harder than the rest; with ~200 en docs the
+    # binomial spread cannot invert a 20%-vs-60% rate gap
+    assert got["en"] < min(v for k, v in got.items() if k != "en") * 3
+    assert set(got) == {"en", "de", "es", "fr", "zh"}
