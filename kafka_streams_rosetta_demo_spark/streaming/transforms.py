@@ -72,3 +72,56 @@ def enrich_batch_fn(customers: DataFrame, sink):
         sink(enrich_calls_with_customers(batch_df, customers), batch_id)
 
     return fn
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = KS_DEFAULT_GRACE,
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen while the
+    earlier arrival is still inside the watermark — the streaming form of
+    the batch ``dedup_exact`` pass, for at-least-once upstreams that can
+    redeliver (T5: the reference runs at-least-once, so duplicates ARE the
+    expected failure mode a real pipeline scrubs).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the first sighting — bounded state, unlike an
+    unbounded ``dropDuplicates`` whose state grows with distinct keys
+    forever. Batch twin: ``dropDuplicates(keys)``.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: int,
+    watermark: str = KS_DEFAULT_GRACE,
+):
+    """Stream–stream interval join: pairs of events with the same key whose
+    timestamps lie within ``tolerance_seconds`` — the streaming execution of
+    the batch ``join_range`` query (same equi-key + time-band predicate).
+
+    Both sides carry watermarks, and the time-band condition bounds how long
+    each side's rows are retained in the join state: a row can be evicted
+    once the other side's watermark passes ``ts + tolerance``. This is the
+    operator Kafka Streams calls a windowed stream-stream join
+    (``JoinWindows``) — absent from the reference topology (SURVEY §2.8)
+    but first-class in this engine.
+    """
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rt >= lt - F.expr(f"INTERVAL {tolerance_seconds} SECONDS"))
+        & (rt <= lt + F.expr(f"INTERVAL {tolerance_seconds} SECONDS"))
+    )
+    return lw.join(rw, on=cond)

@@ -317,3 +317,111 @@ def test_topic_ddl_create_gated_without_client():
         pass
     with pytest.raises(RuntimeError, match="confluent-kafka"):
         create_topics({"a.topic.name": "A"}, "localhost:9092")
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup (dropDuplicatesWithinWatermark) + stream-stream interval join
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_within_watermark_drops_redeliveries(
+    spark, split_events_dir, tmp_path
+):
+    """At-least-once redelivery scrub: stream the 3 event files with the
+    SECOND file a byte-identical redelivery of the first; the watermarked
+    dedup must converge to exactly the batch distinct."""
+    import shutil
+    from pathlib import Path
+
+    from kafka_streams_rosetta_demo_spark.streaming.transforms import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    files = sorted(Path(split_events_dir).glob("*.parquet"))
+    shutil.copy(files[0], src / "0.parquet")
+    shutil.copy(files[0], src / "1.parquet")  # redelivery of batch 0
+    shutil.copy(files[1], src / "2.parquet")
+
+    stream = _stream(spark, str(src), max_files_per_trigger=1)
+    dedup = streaming_dedup_within_watermark(stream, ["event_id"], "ts")
+
+    got: list = []
+
+    def sink(batch_df, batch_id):
+        got.extend(batch_df.collect())
+
+    (
+        dedup.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    expected = (
+        normalize_event_ts(spark.read.parquet(str(src)))
+        .dropDuplicates(["event_id"])
+        .collect()
+    )
+    assert sorted(r.event_id for r in got) == sorted(r.event_id for r in expected)
+    assert len(got) == len(set(r.event_id for r in got))
+
+
+def test_streaming_interval_join_matches_batch(spark, split_events_dir, tmp_path):
+    """Stream-stream windowed join (append mode): same-user click/purchase
+    pairs within 5 minutes must equal the batch interval join over the same
+    rows."""
+    from kafka_streams_rosetta_demo_spark.streaming.transforms import (
+        streaming_interval_join,
+    )
+
+    clicks = _stream(spark, split_events_dir).where(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "ts")
+    purchases = _stream(spark, split_events_dir).where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = streaming_interval_join(
+        clicks.withColumnRenamed("user_id", "k"),
+        purchases.withColumnRenamed("p_user_id", "k"),
+        key="k",
+        left_ts="ts",
+        right_ts="p_ts",
+        tolerance_seconds=300,
+    ).select(F.col("l.event_id").alias("a"), F.col("r.p_event_id").alias("b"))
+
+    got: list = []
+
+    def sink(batch_df, batch_id):
+        got.extend(batch_df.collect())
+
+    (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    ev = normalize_event_ts(spark.read.parquet(split_events_dir))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a"), F.col("user_id").alias("k"), F.col("ts").alias("cts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b"), F.col("user_id").alias("k2"), F.col("ts").alias("pts")
+    )
+    expected = (
+        c.join(p, (F.col("k") == F.col("k2"))
+               & (F.abs(F.unix_micros("pts") - F.unix_micros("cts")) <= 300_000_000))
+        .select("a", "b")
+        .collect()
+    )
+    assert sorted((r.a, r.b) for r in got) == sorted((r.a, r.b) for r in expected)
