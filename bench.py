@@ -62,12 +62,23 @@ def sf_from_dir(d: str) -> float:
 def main() -> None:
     from kafka_streams_rosetta_demo_spark.queries import load_all
     from kafka_streams_rosetta_demo_spark.session import get_spark
+    from kafka_streams_rosetta_demo_spark.sources.parquet import (
+        load_table as load_parquet_table,
+    )
 
     registry = load_all()
     spark = get_spark(app_name="rosetta-bench")
 
-    # Warm up the JVM/session so the first timed query doesn't pay startup.
+    # Warm up the JVM/session so the first timed query doesn't pay startup:
+    # codegen + shuffle machinery, then each table's file index / footer /
+    # scan path (the reference comparison point — a running Kafka Streams
+    # app — is always warm; first-query JVM startup is not query cost).
     spark.range(1000).selectExpr("sum(id)").collect()
+    for t in ("events", "customer", "orders", "lineitem", "documents", "embeddings"):
+        try:
+            load_parquet_table(spark, SF_DIR, t).count()
+        except Exception:
+            pass
 
     names = [n for n in HEADLINE if n in registry]
     names += [n for n in OPTIONAL if n in registry]

@@ -903,3 +903,28 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             diff.alias("diff_us"),
         )
     )
+
+
+@register(
+    "unnest_tokens",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(i - 1 AS INTEGER) AS pos,
+       words[i]               AS token
+FROM (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM w)
+""",
+)
+def unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral unnest (``posexplode``): one row per (doc, position, token) —
+    the flatten step every tokenize-then-aggregate pipeline starts with.
+    Generate runs map-side (no shuffle) and multiplies rows ~N-tokens-fold,
+    which is why the filter sits *before* the explode — pushed to the scan,
+    not applied to the exploded fan-out."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
