@@ -305,3 +305,100 @@ def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_frac, 6).alias("dup_gram_frac"),
         (dup_frac > 0.2).alias("flagged_repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_cap_per_source
+# ---------------------------------------------------------------------------
+
+_CAP_K = 5
+
+_CAP_ORACLE = f"""
+SELECT doc_id, source,
+       CAST(row_number() OVER (
+         PARTITION BY source
+         ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                  doc_id
+       ) AS BIGINT) AS rk
+FROM documents
+QUALIFY rk <= {_CAP_K}
+"""
+
+
+@register("sample_cap_per_source", oracle=_CAP_ORACLE)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most K docs per source, chosen by
+    deterministic hash order — the mix-capping pass that stops one crawl
+    domain from dominating the training set, with the same
+    reproducible-by-construction property as ``sample_stratified_hash``
+    (hash order, not arrival order or RNG).
+
+    One shuffle on ``source``; the per-group top-K is a rank window, and a
+    skewed giant source is AQE skew territory (or pre-aggregation by
+    (source, hash-bucket) at extreme skew).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _CAP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector_quantize_int8
+# ---------------------------------------------------------------------------
+
+# floor(x + 0.5) on both sides: Spark round() and DuckDB round() differ in
+# half-rounding mode on doubles, floor is identical everywhere.
+_QUANT_ORACLE = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT e.vec_id, s.scale,
+         list_transform(e.embedding,
+           x -> floor(CAST(x AS DOUBLE) / s.scale + 0.5) * s.scale) AS deq
+  FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+)
+SELECT q.vec_id,
+       round(q.scale, 9) AS scale,
+       round(list_max(list_transform(list_zip(q.deq, e.embedding),
+             p -> abs(p[1] - CAST(p[2] AS DOUBLE)))), 9) AS max_abs_err
+FROM q JOIN embeddings e ON e.vec_id = q.vec_id
+"""
+
+
+@register("vector_quantize_int8", oracle=_QUANT_ORACLE)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization QA: per-vector scale = max|x|/127, then
+    the round-trip (quantize → dequantize) error per vector — the check an
+    embedding-storage pipeline runs before committing to int8 (4x smaller
+    + SIMD-friendly ANN) for its corpus.
+
+    Per-row expression only (two folds over the vector), no shuffle.
+    ``floor(x/scale + 0.5)`` is the rounding on both engines — engine
+    ``round()`` half-modes differ, floor does not.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    # internal name distinct from the output alias: an output column aliased
+    # "scale" in the same select would capture the reference inside deq and
+    # quantize against the *rounded* scale
+    t = e.withColumn("_scale", F.array_max(absd) / F.lit(127.0))
+    deq = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("_scale") + F.lit(0.5))
+        * F.col("_scale"),
+    )
+    err = F.zip_with(deq, F.col("embedding"), lambda d, x: F.abs(d - x.cast("double")))
+    return t.select(
+        "vec_id",
+        F.round("_scale", 9).alias("scale"),
+        F.round(F.array_max(err), 9).alias("max_abs_err"),
+    )
