@@ -103,8 +103,9 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate kNN — the 100 TB scale path.
 
-    32 fixed centroids (a deterministic id-sampled subset; a production build
-    would train them with KMeans — sampling keeps the demo seed-free and
+    32 fixed centroids (a deterministic id-sampled subset; the Lloyd
+    trainer in operators/kmeans.py refines such an init when index quality
+    matters — sampling keeps this query seed-free and
     engine-reproducible) partition the corpus into cells via a closed-form
     argmax expression (no join, no crossJoin). Each query probes its 8
     nearest cells and ranks only those cells' members, cutting scored pairs
