@@ -273,7 +273,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every 20th vector is re-injected scaled by 1.5 (float32 rounding applied
     identically in the oracle), planting duplicate pairs at cosine ~ 1.0.
     Positive scaling preserves every hyperplane sign bit, so the injected
-    pairs land in identical buckets in *all* 8 bands — recall on them is
+    pairs land in identical buckets in *all* 4 bands — recall on them is
     exactly 1, independent of the (deterministic, seeded) hyperplane draw.
     The corpus's natural pairs top out at cosine ~ 0.51 (measured), far below
     the 0.95 threshold, so engine and brute-force oracle agree on the exact
@@ -290,6 +290,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once: feeds the band-key path and both verify sides
     allv = emb.unionByName(inj).localCheckpoint(eager=True)
     planes = hyperplanes(dim=64, n=64, seed=7)
-    bands = hyperplane_band_keys(allv, planes, bands=8, id_col="vec_id")
+    bands = hyperplane_band_keys(allv, planes, bands=4, id_col="vec_id")
     cand = band_candidate_pairs(bands, id_col="vec_id")
     return cosine_verify_pairs(cand, allv, threshold=0.95, round_to=3)
