@@ -928,3 +928,53 @@ def unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+@register(
+    "window_distribution_ranks",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER w AS INTEGER)      AS quartile,
+       round(percent_rank() OVER w, 6)       AS pct_rank,
+       round(cume_dist() OVER w, 6)          AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist) per
+    nation — completes the analytic-window surface beyond rank/lag/frames.
+    One shuffle on the partition key; ties broken by c_custkey so both
+    engines order identically."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+SELECT n_name,
+       string_agg(s_name, '|' ORDER BY s_name) AS suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL ``string_agg``/``listagg WITHIN
+    GROUP``): supplier names per nation, '|'-joined in name order — built
+    as ``array_join(array_sort(collect_list))`` so the order is explicit
+    and engine-independent (bare ``listagg`` leaves it partition-dependent).
+    The dimension join broadcasts."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    return joined.groupBy("n_name").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias("suppliers")
+    )
