@@ -377,3 +377,232 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a pure-Python twin."""
     assets = documents_as_binary(load_table(spark, sf_dir, "documents"))
     return extract_features(assets)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / ranking baselines and benchmark-contamination detection
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {_TFIDF_TOPK}
+"""
+
+
+@register("text_tfidf_topk", oracle=_TFIDF_ORACLE)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-k most-characteristic terms per document — the classic
+    keyword-relevance signal a corpus pipeline computes for topic tagging
+    and near-duplicate triage.
+
+    Plan: one scan → explode → (doc_id, term) count [1 shuffle]; the
+    document-frequency table derives from the *same* aggregation subtree,
+    so Catalyst's ReuseExchange serves it from the first shuffle's output
+    rather than re-scanning the corpus; the vocab-sized df table (with the
+    corpus count attached via a 1-row broadcast) broadcasts back onto the
+    tf table, and the per-doc top-k window shuffles on doc_id once. At
+    100 TB the only O(corpus) movement is the single tf shuffle — vocab
+    and df are bounded by distinct-term cardinality.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        rebalance(docs.select("doc_id", F.split("text", " ").alias("words")))
+        .select("doc_id", F.explode("words").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs")).withColumn("_one", F.lit(1))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(n_docs), "_one")
+        .drop("_one")
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TFIDF_TOPK)
+    )
+
+
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_BM25_ORACLE = f"""
+WITH stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+),
+tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok WHERE term IN {repr(tuple(_BM25_TERMS))}
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {_BM25_K1 + 1!r})
+           / (tf.tf + {_BM25_K1!r} * (1 - {_BM25_B!r} + {_BM25_B!r} * tf.dl / stats.avgdl))
+           * 1000000 + 0.5) AS BIGINT) AS c
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / 1000000.0, 6) AS bm25
+FROM contrib GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+@register("text_bm25_search", oracle=_BM25_ORACLE)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (k1=1.2, b=0.75): score every document against a
+    fixed query-term set, return the top 20 — the lexical-retrieval baseline
+    every RAG/curation stack keeps next to its embedding index.
+
+    Cross-engine determinism: per-term contributions are scaled to integer
+    micro-units (``floor(x*1e6+0.5)``) *before* the per-doc sum, so the
+    result is independent of float summation order in either engine.
+
+    Plan: one scan → explode filtered to the query terms (the IN filter
+    prunes before the shuffle) → (doc, dl, term) count [1 shuffle]; df and
+    the 1-row corpus stats broadcast back; final per-doc sum + global top-k
+    plans as TakeOrderedAndProject. The corpus-sized movement is only the
+    matched postings — at 100 TB that's |query terms| posting lists, the
+    inverted-index access pattern, never the full corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size(words)).cast("double") / F.count("*")).alias("avgdl"),
+    ).withColumn("_one", F.lit(1))
+    tf = (
+        rebalance(docs.select("doc_id", words.alias("words")))
+        .select("doc_id", F.size("words").alias("dl"), F.explode("words").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(stats), "_one")
+        .drop("_one")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = F.floor(
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double") / 1000000.0, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+_CONTAM_K = 5
+_CONTAM_MOD = 97
+_CONTAM_THRESH = 0.5
+
+
+def _contam_oracle() -> str:
+    from .dedup_queries import _shingle_cte
+
+    return f"""
+WITH {_shingle_cte(_CONTAM_K)},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_CONTAM_MOD} = 0),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n_grams, count(b.shingle) AS n_hits
+  FROM sh LEFT JOIN bench b ON sh.shingle = b.shingle
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       round(n_hits / n_grams, 6) AS overlap_frac,
+       CAST(n_hits / n_grams >= {_CONTAM_THRESH} AS INTEGER) AS contaminated
+FROM hits
+"""
+
+
+@register("text_contamination_check", oracle=_contam_oracle())
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: fraction of each document's
+    distinct word 5-grams that appear anywhere in a designated "benchmark"
+    subset (doc_id % 97 == 0 stands in for the eval-set text) — the overlap
+    screen run before training data ships.
+
+    Plan: the shingle table materializes once (``localCheckpoint`` — the
+    same signature-table pass the dedup family uses, which also stops
+    ``InferFiltersFromGenerate`` from re-deriving the shingle expression
+    below the exchange); the benchmark n-gram set is distinct-small by
+    construction and **broadcasts**, so the corpus side is a map-side
+    left join + one groupBy(doc_id) shuffle. At 100 TB the benchmark set
+    is the eval suite (tiny); the corpus never self-joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(rebalance(docs), k=_CONTAM_K).localCheckpoint(eager=True)
+    dg = sh.select("doc_id", F.explode("shingles").alias("g"))
+    bench = (
+        dg.where(F.col("doc_id") % _CONTAM_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ratio = F.col("n_hits") / F.col("n_grams")
+    return (
+        dg.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.count("_hit").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(ratio, 6).alias("overlap_frac"),
+            (ratio >= _CONTAM_THRESH).cast("int").alias("contaminated"),
+        )
+    )
