@@ -127,3 +127,31 @@ def pandas_state_to_df(spark: SparkSession, pdf, schema: T.StructType) -> DataFr
     if len(pdf) == 0:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(pdf, schema)
+
+
+def run_append_query_to_rows(
+    result: DataFrame,
+    checkpoint_dir: str,
+    rows: list | None = None,
+) -> list:
+    """Run an append-mode streaming aggregate to completion (availableNow),
+    accumulating each micro-batch's *finalized* rows. Under append mode a
+    (key, window) row is emitted at most once across the checkpoint's
+    lifetime — the suppress/final-emission contract — so unlike the
+    update-mode helpers there is no changelog compaction to do: the sink
+    is a plain append, exactly what a Kafka/Delta writer would receive.
+    """
+    out: list = rows if rows is not None else []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out.extend(batch_df.collect())
+
+    (
+        result.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return out

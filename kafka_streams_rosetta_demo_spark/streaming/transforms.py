@@ -125,3 +125,25 @@ def streaming_interval_join(
         & (rt <= lt + F.expr(f"INTERVAL {tolerance_seconds} SECONDS"))
     )
     return lw.join(rw, on=cond)
+
+
+def streaming_final_windowed_agg(
+    calls: DataFrame,
+    watermark: str = KS_DEFAULT_GRACE,
+    ts: str = "event_ts",
+) -> DataFrame:
+    """KS ``suppress(Suppressed.untilWindowCloses())`` equivalence: emit
+    each window **exactly once, with its final aggregate**, when the
+    watermark passes the window end.
+
+    The plan is identical to :func:`streaming_windowed_call_agg` — the
+    suppression is entirely the sink's **append** output mode, under which
+    Spark withholds a windowed aggregate row until the watermark closes its
+    window (state for closed windows is evicted at the same moment, so
+    suppression costs no extra state — unlike KS suppress, which buffers a
+    second store). The reference topology runs unsuppressed (update mode,
+    ``CallsAggregationApp.java:80-85``); this is the other emission
+    contract KS offers, first-class here. Pinned by
+    tests/test_streaming.py::test_append_mode_emits_each_window_once_final.
+    """
+    return unwrap_window(windowed_call_agg(calls.withWatermark(ts, watermark), ts=ts))

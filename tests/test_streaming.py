@@ -425,3 +425,88 @@ def test_streaming_interval_join_matches_batch(spark, split_events_dir, tmp_path
         .collect()
     )
     assert sorted((r.a, r.b) for r in got) == sorted((r.a, r.b) for r in expected)
+
+
+def test_append_mode_emits_each_window_once_final(spark, split_events_dir, tmp_path):
+    """KS suppress(untilWindowCloses) ≡ append output mode: each window is
+    emitted exactly once, already final, when the watermark passes its end;
+    still-open windows are withheld until later input closes them — even
+    across a checkpointed restart."""
+    import shutil
+    from datetime import timedelta
+    from pathlib import Path
+
+    from kafka_streams_rosetta_demo_spark.streaming.runner import (
+        run_append_query_to_rows,
+    )
+    from kafka_streams_rosetta_demo_spark.streaming.transforms import (
+        streaming_final_windowed_agg,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # The file source orders new files by modification time; instantaneous
+    # copies tie on mtime and can be batched out of order, which under a
+    # 1-second watermark turns reordering into late-data drops. Space the
+    # mtimes so batch order == time order, like the original writes had.
+    import os
+    import time
+
+    now = time.time()
+    for i, f in enumerate(sorted(Path(split_events_dir).glob("*.parquet"))):
+        shutil.copy(f, src / f.name)
+        os.utime(src / f.name, (now - 300 + 10 * i, now - 300 + 10 * i))
+
+    def run(ck):
+        calls = events_to_calls(_stream(spark, str(src), max_files_per_trigger=1))
+        agg = streaming_final_windowed_agg(calls, watermark="1 second")
+        return run_append_query_to_rows(agg, ck)
+
+    ck = str(tmp_path / "ck")
+    emitted = run(ck)
+
+    raw = spark.read.parquet(str(src))
+    expected = {
+        (r.id_telef_origen, r.window_start): tuple(r)
+        for r in unwrap_window(windowed_call_agg(events_to_calls(raw))).collect()
+    }
+
+    keys = [(r.id_telef_origen, r.window_start) for r in emitted]
+    assert len(keys) == len(set(keys)), "a window was emitted twice"
+    # the window containing max(ts) cannot be closed by the watermark yet
+    assert 0 < len(keys) < len(expected)
+    for r in emitted:
+        assert tuple(r) == expected[(r.id_telef_origen, r.window_start)]
+
+    # Feed ever-later flush events (each its own restart on the same
+    # checkpoint) until the committed watermark has closed every original
+    # window; flush events' own windows stay open/partial, so they are the
+    # only keys allowed beyond the original expectation.
+    last = raw.orderBy(F.desc("ts")).limit(1).collect()[0].asDict()
+    flush_keys = set()
+    all_rows = list(emitted)
+    for i in range(1, 4):
+        flush = dict(last)
+        flush["ts"] = flush["ts"] + timedelta(hours=6 * i)
+        flush_keys.add(str(flush["user_id"]))  # id_telef_origen = cast(user_id as string)
+        _write_flat(
+            spark.createDataFrame([flush], raw.schema), tmp_path, src, f"flush{i}"
+        )
+        all_rows += run(ck)
+        keys = [(r.id_telef_origen, r.window_start) for r in all_rows]
+        assert len(keys) == len(set(keys)), "a restart re-emitted a closed window"
+        got = {
+            (r.id_telef_origen, r.window_start): tuple(r)
+            for r in all_rows
+            if (r.id_telef_origen, r.window_start) in expected
+        }
+        extras = [
+            k
+            for r in all_rows
+            if (k := (r.id_telef_origen, r.window_start)) not in expected
+        ]
+        assert all(k[0] in flush_keys for k in extras), "unexpected non-flush window"
+        if len(got) == len(expected):
+            break
+
+    assert got == expected, "append mode never finalized every closed window"
