@@ -409,14 +409,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword-relevance signal a corpus pipeline computes for topic tagging
     and near-duplicate triage.
 
-    Plan: one scan → explode → (doc_id, term) count [1 shuffle]; the
-    document-frequency table derives from the *same* aggregation subtree,
-    so Catalyst's ReuseExchange serves it from the first shuffle's output
-    rather than re-scanning the corpus; the vocab-sized df table (with the
-    corpus count attached via a 1-row broadcast) broadcasts back onto the
-    tf table, and the per-doc top-k window shuffles on doc_id once. At
-    100 TB the only O(corpus) movement is the single tf shuffle — vocab
-    and df are bounded by distinct-term cardinality.
+    Plan: one scan → explode → (doc_id, term) count [1 shuffle],
+    materialized once (``localCheckpoint``, the signature-table pass —
+    AQE's stage planning does not reuse the exchange across the broadcast
+    boundary, so without it the corpus would be scanned and re-aggregated
+    twice); the vocab-sized df table broadcasts back onto the tf table,
+    and the per-doc top-k window shuffles on doc_id once. The corpus count
+    is one driver-side scalar — the same bounded-model-state contract as
+    the CC convergence flag and the KMeans centroids. At 100 TB the only
+    O(corpus) movement is the single tf shuffle — vocab and df are bounded
+    by distinct-term cardinality.
     """
     docs = load_table(spark, sf_dir, "documents")
     tf = (
@@ -424,22 +426,17 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("words").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    n_docs = docs.agg(F.count("*").alias("n_docs")).withColumn("_one", F.lit(1))
-    dfreq = (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .withColumn("_one", F.lit(1))
-        .join(F.broadcast(n_docs), "_one")
-        .drop("_one")
-    )
+    n_docs = docs.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").select(
         "doc_id",
         "term",
         "tf",
         "df",
         F.round(
-            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
@@ -495,35 +492,34 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is independent of float summation order in either engine.
 
     Plan: one scan → explode filtered to the query terms (the IN filter
-    prunes before the shuffle) → (doc, dl, term) count [1 shuffle]; df and
-    the 1-row corpus stats broadcast back; final per-doc sum + global top-k
-    plans as TakeOrderedAndProject. The corpus-sized movement is only the
-    matched postings — at 100 TB that's |query terms| posting lists, the
-    inverted-index access pattern, never the full corpus.
+    prunes before the shuffle) → (doc, dl, term) count [1 shuffle],
+    materialized once (``localCheckpoint`` — it feeds both the df count
+    and the scoring probe); the 3-row df table broadcasts back; final
+    per-doc sum + global top-k plans as TakeOrderedAndProject. The corpus
+    stats (count, avg doc length — exact integer sums, so both engines
+    derive the identical double) come back as one driver-side scalar row,
+    the bounded-model-state contract. The corpus-sized movement is only
+    the matched postings — at 100 TB that's |query terms| posting lists,
+    the inverted-index access pattern, never the full corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    stats = docs.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum(F.size(words)).cast("double") / F.count("*")).alias("avgdl"),
-    ).withColumn("_one", F.lit(1))
+    n_docs, sum_dl = docs.agg(
+        F.count("*"), F.sum(F.size(words)).cast("long")
+    ).first()
+    avgdl = float(sum_dl) / n_docs
     tf = (
         rebalance(docs.select("doc_id", words.alias("words")))
         .select("doc_id", F.size("words").alias("dl"), F.explode("words").alias("term"))
         .where(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    dfreq = (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .withColumn("_one", F.lit(1))
-        .join(F.broadcast(stats), "_one")
-        .drop("_one")
-    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     contrib = F.floor(
         idf
@@ -531,7 +527,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (
             F.col("tf")
             + F.lit(_BM25_K1)
-            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl))
         )
         * F.lit(1000000.0)
         + F.lit(0.5)
