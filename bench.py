@@ -48,6 +48,9 @@ OPTIONAL = [
     "dedup_cluster_cc",
     "pack_sequences",
     "sample_stratified_hash",
+    "text_tfidf_topk",
+    "text_bm25_search",
+    "text_contamination_check",
     # a full streaming topology (file source → watermark → update-mode agg →
     # checkpointed foreachBatch merge), timed end to end
     "streaming_calls_window_agg",

@@ -38,35 +38,45 @@ def connected_components(
     ``edges`` may be directed pairs; they are symmetrized here, so the
     result is components of the undirected graph.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    # Materialize the edge input ONCE before anything references it: the
+    # symmetrize union, the node extraction, and the initial labels each
+    # re-evaluate `edges` otherwise — ruinous when the edges are themselves
+    # an expensive similarity join (the dedup_cluster_cc caller).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = sym.select(F.col("src").alias("id")).distinct()
 
-    labels = (
-        sym.select(F.col("src").alias("id"))
+    # Self-loops collapse the round to ONE join + ONE min-agg: min over
+    # neighbors-including-self ≡ least(own label, neighbor minimum). The
+    # adjacency is pre-partitioned on the join key and materialized once —
+    # the checkpointed frame keeps its HashPartitioning, so every round
+    # shuffles only the (much smaller) label table, not the edges.
+    adj = (
+        sym.unionByName(
+            nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        )
         .distinct()
-        .withColumn("component", F.col("id"))
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
+    labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
 
+    prev_sum = None
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["src"] == labels["id"])
-            .groupBy(F.col("dst").alias("id2"))
-            .agg(F.min("component").alias("nbr_component"))
+        labels = (
+            adj.join(labels, adj["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
-        merged = labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left").select(
-            "id",
-            F.col("component").alias("old_component"),
-            F.least(
-                F.col("component"), F.coalesce("nbr_component", "component")
-            ).alias("component"),
-        )
-        merged = merged.localCheckpoint(eager=True)
-        changed = merged.where(F.col("component") != F.col("old_component")).count()
-        labels = merged.select("id", "component")
-        if changed == 0:
+        # Labels are monotonically non-increasing (the self-loop keeps each
+        # node's own label in the min), so the label sum strictly decreases
+        # until the fixpoint — a scalar convergence flag with no join
+        # against the previous round's labels.
+        cur = labels.agg(F.sum("component")).first()[0]
+        if cur == prev_sum:
             return labels
+        prev_sum = cur
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
