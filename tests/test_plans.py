@@ -1,0 +1,84 @@
+"""Physical-plan invariants enforced as regression tests.
+
+SCALING.md states the 100 TB contract (no cartesian products, Python off
+the hot path, filters reaching the scans, broadcast nested loop only where
+a tiny broadcast side makes it the *right* plan). `tools/plan_audit.py`
+reports these properties; this module pins them so a refactor that silently
+regresses a plan shape fails CI, not a cluster run.
+
+Plans are taken at sf0.001 — plan *shape* does not depend on scale factor
+(no stats-driven strategy change can introduce a cartesian product or a
+row-Python UDF).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# knn_brute_force deliberately broadcasts the 8-vector query set against the
+# corpus scan — a BroadcastNestedLoopJoin over |Q| x N with a constant-size
+# broadcast side IS the exact-kNN plan (see its docstring).
+BNLJ_ALLOWED = {"knn_brute_force"}
+
+# Queries whose parquet scan must carry pushed filters: each has a selective
+# predicate on a stored column that Catalyst should deliver to the reader.
+PUSHDOWN_REQUIRED = (
+    "agg_pricing_summary",  # shipdate range
+    "rosetta_filter_not_null",  # user_id IS NOT NULL
+    "rosetta_enriched",  # flagship: events filter before windowed agg
+    "join_three_way_topk",  # segment filter before the join
+    "unnest_tokens",  # doc_id cap below the Generate
+    "sample_stratified_hash",  # hash-bucket predicate
+)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_smoke):
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = {}
+    for name, q in sorted(load_all().items()):
+        if name.startswith("streaming_"):
+            continue  # per-micro-batch plans; pinned by test_streaming instead
+        out[name] = q.fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_product(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert bad == [], f"cartesian product in: {bad}"
+
+
+def test_broadcast_nested_loop_only_where_declared(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+    ]
+    assert bad == [], f"undeclared BroadcastNestedLoopJoin in: {bad}"
+
+
+def test_no_row_python_udf_anywhere(plans):
+    # Arrow-batched Python (ArrowEvalPython / MapInPandas — the multimodal
+    # featurizer) is the declared escape hatch; row-at-a-time BatchEvalPython
+    # must never appear in a registered plan.
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert bad == [], f"row-at-a-time Python UDF in: {bad}"
+
+
+def test_arrow_python_only_in_multimodal(plans):
+    arrow = [
+        n
+        for n, p in plans.items()
+        if ("ArrowEvalPython" in p or "MapInPandas" in p)
+    ]
+    assert set(arrow) <= {"multimodal_features"}, f"unexpected Python stage in: {arrow}"
+
+
+def test_selective_scans_push_filters(plans):
+    missing = [
+        n
+        for n in PUSHDOWN_REQUIRED
+        if "PushedFilters: [" not in plans[n] or "PushedFilters: []" in plans[n]
+    ]
+    assert missing == [], f"filter not pushed to scan in: {missing}"
