@@ -174,3 +174,33 @@ def asof_join(
     return matched.where(F.col("_tag") == 1).select(
         *[F.col(c) for c in probe.columns], F.col("_m.*")
     )
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key mitigation for a large × large equi-join where neither side
+    can broadcast: salt the probe (left) side's shuffle key with a
+    deterministic per-row value in ``[0, salt)`` and replicate the build
+    (right) side ``salt`` times, so one pathological key's rows spread over
+    ``salt`` partitions instead of hot-spotting one reducer.
+
+    Semantically identical to ``left.join(right, key, how)``: each probe
+    row meets exactly the one build replica whose salt matches, and an
+    unmatched probe key still left-joins to null (its salted key misses
+    every replica). Cost: the build side shuffles ``salt``× its size —
+    worth it only when a few keys dwarf the rest *and* the join shape is
+    one AQE's sort-merge skew splitting doesn't cover (shuffle-hash joins,
+    or exchanges feeding an aggregation). Prefer AQE first; reach for this
+    for the pathological residue.
+    """
+    probe_salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    salted_left = left.withColumn("_salt", probe_salt)
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+    )
+    return salted_left.join(salted_right, [key, "_salt"], how).drop("_salt")

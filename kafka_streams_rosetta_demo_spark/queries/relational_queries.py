@@ -978,3 +978,41 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").agg(
         F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias("suppliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# join_skew_salted
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT p.p_brand, count(*) AS n_items, round(sum(l.l_quantity), 6) AS total_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+@register("join_skew_salted", oracle=_SALTED_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large × large equi-join through the salted-key path
+    (:func:`..operators.joins.salted_equi_join`): the probe side's shuffle
+    key carries a deterministic salt in [0, 8) and the build side is
+    replicated 8×, so a pathological hot part key spreads over 8 reducers
+    instead of one. Result is provably identical to the plain join (the
+    oracle IS the plain join), which is the whole point — salting changes
+    the shuffle layout, never the answer.
+
+    At 100 TB this is the manual tool for skew AQE can't reach (shuffle-
+    hash joins, agg-feeding exchanges); the docstring on the operator
+    states the build-side replication cost and when to prefer AQE.
+    """
+    from ..operators.joins import salted_equi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_equi_join(li, pt, "p_partkey", salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+    )

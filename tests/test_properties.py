@@ -130,3 +130,25 @@ def test_asof_join_matches_python_model(spark, rows):
             assert got == (None, None), seq
         else:
             assert got == (want[2], want[3]), seq
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_equi_join must be answer-identical to the plain equi-join for
+    inner AND left shapes — including unmatched probe keys (which must
+    still null-extend, not vanish) and varying salt widths."""
+    from kafka_streams_rosetta_demo_spark.operators.joins import salted_equi_join
+
+    left = spark.createDataFrame(
+        [(k, v) for k in ("hot", "hot", "hot", "cold", "orphan") for v in range(3)],
+        "k string, v long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.5), ("cold", 2.5), ("unprobed", 9.9)], "k string, w double"
+    )
+    for salt in (1, 4, 7):
+        for how in ("inner", "left"):
+            plain = sorted(map(tuple, left.join(right, "k", how).collect()))
+            salted = sorted(
+                map(tuple, salted_equi_join(left, right, "k", salt=salt, how=how).collect())
+            )
+            assert salted == plain, (salt, how)
