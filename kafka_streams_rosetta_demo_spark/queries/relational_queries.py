@@ -1016,3 +1016,70 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.round(F.sum("l_quantity"), 6).alias("total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_stats_moments
+# ---------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+       round(stddev_samp(l_quantity), 6) AS qty_stddev,
+       round(var_samp(l_extendedprice), 6) AS price_var
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_stats_moments", oracle=_MOMENTS_ORACLE)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates (Pearson correlation, sample
+    covariance/variance/stddev) per return flag — single-pass co-moment
+    accumulators with map-side partial merge, the same one-shuffle shape
+    as any other aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_extendedprice"), 6).alias("price_var"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_range_frame
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+       ), 6) AS rolling_90d_spend
+FROM orders
+"""
+
+
+@register("window_range_frame", oracle=_RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame: per-customer trailing-90-day spend. Spark
+    expresses the interval frame as ``rangeBetween`` over epoch seconds
+    (dates are midnight-aligned, so the -90-day bound is exactly
+    90*86400 s); peers on the same date are included by both engines
+    (RANGE-frame semantics). One shuffle on the partition key, sorted
+    within partitions — identical shape to the other window queries.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("rolling_90d_spend"),
+    )
