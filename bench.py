@@ -83,8 +83,8 @@ def main() -> None:
         except Exception:
             pass
 
-    names = [n for n in HEADLINE if n in registry]
-    names += [n for n in OPTIONAL if n in registry]
+    headline = [n for n in HEADLINE if n in registry]
+    names = headline + [n for n in OPTIONAL if n in registry]
 
     timings: dict[str, float] = {}
     for name in names:
@@ -96,9 +96,14 @@ def main() -> None:
 
     out = {
         "metric": "headline_query_wall_time_total",
-        "value": round(sum(timings.values()), 3),
+        # `value` sums the FIXED headline basket only, so it is comparable
+        # round over round (round 1 measured exactly this set); the
+        # extension ops added each round are reported per-query plus as
+        # `extended_total` — growing coverage must not read as regression.
+        "value": round(sum(timings[n] for n in headline), 3),
         "unit": "sec",
         "queries": timings,
+        "extended_total": round(sum(timings.values()), 3),
         "sf": sf_from_dir(SF_DIR),
     }
     print(json.dumps(out))

@@ -402,3 +402,37 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_scale", 9).alias("scale"),
         F.round(F.array_max(err), 9).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_shard_assign — deterministic output sharding for balanced 100 TB writes
+# ---------------------------------------------------------------------------
+
+_SHARD_ORACLE = """
+SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("doc_shard_assign", oracle=_SHARD_ORACLE)
+def doc_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic consistent-hash shard assignment (md5(doc_id) % 64) with
+    per-shard balance stats — the step that decides output file layout for a
+    100 TB write. Content-independent hashing keeps shards balanced
+    regardless of key skew, and the same md5-prefix trick used by
+    ``sample_stratified_hash`` makes the assignment engine-portable (the
+    oracle reproduces it bit-for-bit). Map-side bucket compute + partial
+    agg to 64 groups; at scale the same expression feeds
+    ``df.repartition(64, shard)`` for the actual write.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(64))
+    return docs.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

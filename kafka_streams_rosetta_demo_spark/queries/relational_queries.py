@@ -1083,3 +1083,273 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.sum("o_totalprice").over(w), 6).alias("rolling_90d_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram_bins
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(least(floor(o_totalprice * 8 / 400000.0), 7) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 6) AS lo,
+       round(max(o_totalprice), 6) AS hi
+FROM orders GROUP BY 1
+"""
+
+
+@register("agg_histogram_bins", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over order totals: 8 buckets on [0, 400k) with the
+    overflow clamped into the top bucket. The bucket id is a pure scalar
+    expression (no UDF), so at 100 TB this is a map-side bucket-id compute +
+    partial count/min/max collapsing to <=8 groups before one tiny shuffle.
+    (Both engines spell the bucket arithmetic identically — DuckDB 1.0 has no
+    ``width_bucket`` — so edge rows land in the same bin bit-for-bit.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") * 8 / 400000.0), F.lit(7)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar_regex_extract
+# ---------------------------------------------------------------------------
+
+_REGEX_EXTRACT_ORACLE = """
+SELECT doc_id,
+       regexp_extract(text, '(key|table) ([a-z]+)', 2) AS after_kw,
+       CAST(len(regexp_extract_all(text, 'key [a-z]+')) AS BIGINT) AS key_pairs
+FROM documents
+"""
+
+
+@register("scalar_regex_extract", oracle=_REGEX_EXTRACT_ORACLE)
+def scalar_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction + all-matches count over document text. Both
+    engines use RE2-compatible syntax and return '' when the pattern misses
+    (verified on both), so parity is exact. Per-row JVM-side regex — no
+    shuffle at all; the scan prunes to (doc_id, text).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"(key|table) ([a-z]+)", 2).alias("after_kw"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"key [a-z]+"), F.lit(0)))
+        .cast("long")
+        .alias("key_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subquery breadth: correlated EXISTS + scalar subquery (both through the SQL
+# surface, both planned by Catalyst as joins — no per-row re-execution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_exists_correlated",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery. Catalyst decorrelates it into a left-semi
+    hash join on ``custkey`` with the price filter pushed below the join —
+    the exact plan a hand-written semi join would produce, so at 100 TB it
+    is one pruned scan per side plus one shuffle (or a broadcast if the
+    filtered orders side is small).
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_x")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_x")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_x c
+        WHERE EXISTS (SELECT 1 FROM orders_x o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
+
+
+@register(
+    "sql_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.9
+""",
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery as a filter bound. ``max`` is
+    order-insensitive (unlike ``avg`` over doubles), so the threshold is
+    bit-identical across engines. Catalyst executes the subquery once and
+    injects the result as a literal — the main scan stays a single pruned
+    pass with the comparison in whole-stage codegen.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_x")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders_x
+        WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders_x) * 0.9
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_first_last — first/last/nth value navigation over explicit frames
+# ---------------------------------------------------------------------------
+
+_FIRST_LAST_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_orderkey) OVER w AS first_ok,
+       last_value(o_orderkey)  OVER w AS last_ok,
+       nth_value(o_orderkey, 2) OVER w AS second_ok
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_first_last", oracle=_FIRST_LAST_ORACLE)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value navigation functions. The frame is explicit
+    (UNBOUNDED..UNBOUNDED) because the engines' *default* frames differ for
+    last_value; the ORDER BY includes the key so ties are impossible. One
+    shuffle on the partition key — same shape as every window query.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_filtered_bool — FILTER-clause aggregates + boolean aggregates
+# ---------------------------------------------------------------------------
+
+_FILTERED_BOOL_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       bool_or(o_totalprice > 500000)  AS any_huge,
+       bool_and(o_totalprice > 1000)   AS all_over_1k
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_filtered_bool", oracle=_FILTERED_BOOL_ORACLE)
+def agg_filtered_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) and boolean aggregates. All map-side
+    partial-aggregable, so the shuffle carries one row per priority — the
+    cheapest possible aggregate shape at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_finished"),
+        F.bool_or(F.col("o_totalprice") > 500000).alias("any_huge"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset (ALL) set operations — the bag-semantics variants of §2.8's set ops
+# ---------------------------------------------------------------------------
+
+_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000
+"""
+
+
+@register("set_except_all", oracle=_EXCEPT_ALL_ORACLE)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: bag difference (each key survives max(0, n_left−n_right)
+    times). Spark plans a single hash aggregation on the key computing both
+    multiplicities, then a generate — one shuffle, no join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("key"))
+    right = orders.where(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("key"))
+    return left.exceptAll(right)
+
+
+_INTERSECT_ALL_ORACLE = """
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000
+"""
+
+
+@register("set_intersect_all", oracle=_INTERSECT_ALL_ORACLE)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: bag intersection (min of the two multiplicities per
+    key). Same single-shuffle dual-count plan as EXCEPT ALL.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("key"))
+    right = orders.where(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("key"))
+    return left.intersectAll(right)
+
+
+# ---------------------------------------------------------------------------
+# unpivot_metrics — wide→long reshape (the inverse of pivot_status_by_flag)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT 'l_quantity' AS metric, count(*) AS n, round(sum(l_quantity), 2) AS total FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), round(sum(l_extendedprice), 2) FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), round(sum(l_discount), 2) FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*), round(sum(l_tax), 2) FROM lineitem
+"""
+
+
+@register("unpivot_metrics", oracle=_UNPIVOT_ORACLE)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of four lineitem measures, then a per-metric
+    rollup. The unpivot is a zero-shuffle Generate (each input row emits 4
+    narrow rows *after* column pruning), and the aggregate collapses to 4
+    groups map-side — so even though the logical row count quadruples, the
+    shuffled bytes are 4 rows per task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long_df = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long_df.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+    )
