@@ -82,3 +82,20 @@ def test_selective_scans_push_filters(plans):
         if "PushedFilters: [" not in plans[n] or "PushedFilters: []" in plans[n]
     ]
     assert missing == [], f"filter not pushed to scan in: {missing}"
+
+
+def test_exists_decorrelates_to_semi_join(plans):
+    # The correlated EXISTS must plan as a (broadcast or shuffled) left-semi
+    # hash join — never a per-row subquery re-execution or nested loop.
+    p = plans["sql_exists_correlated"]
+    assert "LeftSemi" in p, p
+    assert "NestedLoop" not in p
+
+
+def test_multiset_ops_plan_without_joins(plans):
+    # EXCEPT ALL / INTERSECT ALL lower to a single hash aggregation over the
+    # union (dual multiplicity counts + generate) — a join here would mean
+    # Spark fell back to a strictly worse two-shuffle plan.
+    for name in ("set_except_all", "set_intersect_all"):
+        p = plans[name]
+        assert "Join" not in p, f"{name} planned a join:\n{p}"
