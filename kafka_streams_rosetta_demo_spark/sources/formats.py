@@ -1,0 +1,95 @@
+"""Batch source/sink format surface: JSON, CSV, and sharded parquet.
+
+The reference's only I/O is Kafka topics with Avro values (SURVEY §2.1
+S1/S3; ``CallsAggregationApp.java:51,85``) — the streaming layer mirrors
+that in ``streaming/kafka_io.py``. This module is the *batch* half of the
+source/sink story a data-pipeline engine needs at 100 TB:
+
+- **Schema-on-read, never infer.** ``read_table`` requires an explicit
+  ``StructType``. Schema inference reads the data twice and silently drifts
+  with content; at 100 TB both are unacceptable. This is the batch analog
+  of the fixed Avro writer schema the reference registers in Schema
+  Registry.
+- **Sharded writes.** ``write_sharded_parquet`` lays files out by a
+  deterministic content-independent hash shard (same md5 expression as the
+  ``doc_shard_assign`` query), so output file count — the thing that
+  decides downstream scan parallelism — is an explicit knob, balanced
+  regardless of key skew, and reproducible across engines and reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_FORMATS = ("json", "csv", "parquet")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "json") -> None:
+    """Write ``df`` to ``path`` in the given format (overwrite).
+
+    CSV keeps a header only for human inspection — reads never rely on it
+    (see ``read_table``). Timestamps round-trip as ISO-8601 strings in both
+    text formats.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r} (want one of {_FORMATS})")
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
+
+
+def read_table(spark: SparkSession, path: str, schema: StructType, fmt: str = "json") -> DataFrame:
+    """Read ``path`` with an **explicit** schema (mandatory — no inference).
+
+    Both text readers run PERMISSIVE: a corrupt line becomes a null row
+    instead of failing the 1000-executor job — the batch analog of the
+    reference's ``LogAndContinueExceptionHandler`` deser policy (S5,
+    ``CallsAggregationApp.java:34,100``); callers that need the drop count
+    observe it the same way ``rosetta_deser_policy`` does.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r} (want one of {_FORMATS})")
+    reader = spark.read.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if fmt in ("json", "csv"):
+        reader = reader.option("mode", "PERMISSIVE")
+    return reader.format(fmt).load(path)
+
+
+def shard_column(key: F.Column, n_shards: int) -> F.Column:
+    """Deterministic shard id: md5-prefix hash of the (stringified) key,
+    mod ``n_shards``. Content-independent → balanced under key skew;
+    engine-portable (DuckDB reproduces it bit-for-bit — see
+    ``doc_shard_assign``)."""
+    from ..operators.textsim import md5_long
+
+    return F.pmod(md5_long(key.cast("string")), F.lit(n_shards))
+
+
+def write_sharded_parquet(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    sort_within: list[str] | None = None,
+) -> None:
+    """Write parquet laid out as ``n_shards`` hash-shard directories
+    (``_shard=K/``), one file per shard.
+
+    ``repartition(n, shard)`` colocates each shard wholly in one task, and
+    ``partitionBy`` splits tasks into one file per shard directory — so the
+    output file count (the knob that decides downstream scan parallelism)
+    is exact, and a reader filtering on ``_shard`` gets partition pruning.
+    ``sort_within`` clusters rows inside each file so min/max page
+    statistics make later range predicates prunable. All rows with the
+    same key land in the same shard — a reader that joins or aggregates
+    on the key can exploit the layout.
+    """
+    shard = shard_column(F.col(key_col), n_shards)
+    out = df.withColumn("_shard", shard).repartition(n_shards, "_shard")
+    out = out.sortWithinPartitions("_shard", *(sort_within or []))
+    out.write.mode("overwrite").partitionBy("_shard").parquet(path)

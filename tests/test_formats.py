@@ -1,0 +1,95 @@
+"""Batch source/sink format surface: JSON/CSV round-trips with explicit
+schemas, permissive corrupt-line policy, and the sharded parquet writer's
+layout guarantees (file count, colocation, determinism)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from kafka_streams_rosetta_demo_spark.sources.formats import (
+    read_table,
+    shard_column,
+    write_sharded_parquet,
+    write_table,
+)
+from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_json_round_trip_preserves_rows(spark, sf_smoke, tmp_path):
+    nation = load_table(spark, sf_smoke, "nation")
+    path = str(tmp_path / "nation_json")
+    write_table(nation, path, "json")
+    back = read_table(spark, path, nation.schema, "json")
+    cols = nation.columns
+    assert _sorted_rows(back, cols) == _sorted_rows(nation, cols)
+
+
+def test_csv_round_trip_preserves_rows(spark, sf_smoke, tmp_path):
+    # customer has strings with punctuation + doubles — the columns CSV
+    # quoting/parsing actually gets wrong when it goes wrong.
+    cust = load_table(spark, sf_smoke, "customer")
+    path = str(tmp_path / "cust_csv")
+    write_table(cust, path, "csv")
+    back = read_table(spark, path, cust.schema, "csv")
+    cols = cust.columns
+    assert _sorted_rows(back, cols) == _sorted_rows(cust, cols)
+
+
+def test_json_corrupt_line_yields_null_row_not_failure(spark, tmp_path):
+    # Permissive read: a malformed line must become a null row (the batch
+    # analog of LogAndContinueExceptionHandler), never a job failure.
+    src = tmp_path / "events.json"
+    src.write_text('{"k": "a", "v": 1}\n{not json at all\n{"k": "b", "v": 2}\n')
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", StringType()), StructField("v", LongType())])
+    df = read_table(spark, str(src), schema, "json")
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [(r.k, r.v) for r in rows if r.k is not None]
+    dropped = [r for r in rows if r.k is None and r.v is None]
+    assert sorted(good) == [("a", 1), ("b", 2)]
+    assert len(dropped) == 1  # observable drop count, S5-style
+
+
+def test_sharded_write_layout_and_round_trip(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    n_shards = 8
+    path = str(tmp_path / "docs_sharded")
+    write_sharded_parquet(docs, path, key_col="doc_id", n_shards=n_shards,
+                          sort_within=["doc_id"])
+
+    # one directory per shard, exactly one parquet file in each
+    shard_dirs = sorted(glob.glob(f"{path}/_shard=*"))
+    assert len(shard_dirs) == n_shards
+    for d in shard_dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+
+    back = spark.read.parquet(path)
+    # rows survive intact and every row sits in the shard its key hashes to
+    cols = docs.columns
+    assert _sorted_rows(back, cols) == _sorted_rows(docs, cols)
+    misplaced = back.where(
+        F.col("_shard") != shard_column(F.col("doc_id"), n_shards)
+    ).count()
+    assert misplaced == 0
+
+
+def test_shard_assignment_is_deterministic_and_balanced(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    n_shards = 8
+    counts = (
+        docs.groupBy(shard_column(F.col("doc_id"), n_shards).alias("s"))
+        .count()
+        .collect()
+    )
+    assert len(counts) == n_shards
+    total = sum(r["count"] for r in counts)
+    # md5 is uniform: no shard should exceed 2x the fair share even at sf0.001
+    assert max(r["count"] for r in counts) <= 2 * total / n_shards
