@@ -934,10 +934,17 @@ def unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_distribution_ranks",
     oracle="""
 SELECT c_custkey, c_nationkey,
-       CAST(ntile(4) OVER w AS INTEGER)      AS quartile,
-       round(percent_rank() OVER w, 6)       AS pct_rank,
-       round(cume_dist() OVER w, 6)          AS cume
-FROM customer
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       CAST(CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1) ELSE 0 END
+            AS BIGINT) AS pct_rank_ppm,
+       CAST(rn * 1000000 // n AS BIGINT) AS cume_ppm
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+)
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """,
 )
@@ -945,15 +952,33 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank / cume_dist) per
     nation — completes the analytic-window surface beyond rank/lag/frames.
     One shuffle on the partition key; ties broken by c_custkey so both
-    engines order identically."""
+    engines order identically.  percent_rank/cume_dist are emitted in exact
+    parts-per-million via *integer* division — rounding the double ratio is
+    engine-dependent at half-ULP ties (Spark rounds the shortest decimal
+    rendering half-up, DuckDB rounds the binary double), which flipped the
+    6th digit at sf0.1.  The order key includes the unique c_custkey, so
+    rank == row_number and cume numerator == row_number exactly."""
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey",
-        "c_nationkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    wp = Window.partitionBy("c_nationkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wp).alias("_n"),
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "quartile",
+            F.expr(
+                "CAST(CASE WHEN _n > 1 THEN (_rn - 1) * 1000000L div (_n - 1) "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("pct_rank_ppm"),
+            F.expr("CAST(_rn * 1000000L div _n AS BIGINT)").alias("cume_ppm"),
+        )
     )
 
 
