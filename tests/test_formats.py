@@ -93,3 +93,72 @@ def test_shard_assignment_is_deterministic_and_balanced(spark, sf_smoke):
     total = sum(r["count"] for r in counts)
     # md5 is uniform: no shard should exceed 2x the fair share even at sf0.001
     assert max(r["count"] for r in counts) <= 2 * total / n_shards
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_static_partition_pruning(spark, sf_smoke, tmp_path):
+    # A literal predicate on the partition column must become a partition
+    # filter (directory-level skip), not a row filter after a full scan.
+    from kafka_streams_rosetta_demo_spark.sources.formats import (
+        write_partitioned_parquet,
+    )
+
+    orders = load_table(spark, sf_smoke, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_by_month")
+    write_partitioned_parquet(orders, path, ["o_month"], sort_within=["o_orderkey"])
+
+    # layout: one directory per month, exactly one file in each (the
+    # repartition-by-partition-col contract — no small-file explosion)
+    month_dirs = sorted(glob.glob(f"{path}/o_month=*"))
+    assert month_dirs
+    assert all(len(glob.glob(f"{d}/*.parquet")) == 1 for d in month_dirs)
+
+    fact = spark.read.parquet(path)
+    target = sorted(d.rsplit("=", 1)[1] for d in month_dirs)[0]
+    q = fact.where(F.col("o_month") == target)
+    plan = _executed_plan(q)
+    assert "PartitionFilters" in plan and f"o_month#" in plan.split("PartitionFilters")[1][:120]
+    expected = orders.where(F.col("o_month") == target).count()
+    assert q.count() == expected
+
+
+def test_partitioned_join_dynamic_partition_pruning(spark, sf_smoke, tmp_path):
+    # Joining the partitioned fact to a *filtered* dimension must prune the
+    # fact scan at runtime (dynamicpruningexpression reusing the dim's
+    # broadcast) — the scan-avoidance path that makes a 100 TB star join
+    # read only the qualifying partitions.
+    from kafka_streams_rosetta_demo_spark.sources.formats import (
+        write_partitioned_parquet,
+    )
+
+    orders = load_table(spark, sf_smoke, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_by_month_dpp")
+    write_partitioned_parquet(orders, path, ["o_month"])
+    fact = spark.read.parquet(path)
+
+    dim = (
+        fact.select("o_month").distinct()
+        .withColumn("mm", F.substring("o_month", 6, 2))
+    )
+    j = (
+        fact.join(F.broadcast(dim.where(F.col("mm") == "03")), "o_month")
+        .groupBy("o_month")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "dynamicpruningexpression" in _executed_plan(j)
+    got = {r["o_month"]: r["n"] for r in j.collect()}
+    exp = {
+        r["o_month"]: r["n"]
+        for r in orders.where(F.substring("o_month", 6, 2) == "03")
+        .groupBy("o_month")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
