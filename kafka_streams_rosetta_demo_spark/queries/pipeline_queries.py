@@ -99,7 +99,69 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_ann_ivf")  # approximate: no SQL oracle; recall pinned in pytest
+# The IVF search is *approximate* relative to exact kNN but fully
+# deterministic given the data: centroids are the 32 lowest vec_ids
+# divisible by 31, cell assignment is an argmax with a fixed tie-break
+# (larger cid wins — Spark's struct array_max), probes are the 8 nearest
+# cells per query ((score, cid) descending — reverse(array_sort)). The
+# oracle replays that exact procedure in SQL, so hash parity checks the
+# whole index path, not just the final ranking. The dot/norm subquery
+# idiom is the one _KNN_ORACLE already proved rank-parity for.
+_IVF_DOT = (
+    "(SELECT sum(CAST({a}[s.i] AS DOUBLE) * CAST({b}[s.i] AS DOUBLE)) "
+    "FROM (SELECT unnest(range(1, 65)) AS i) s)"
+)
+
+_IVF_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, embedding,
+         sqrt({_IVF_DOT.format(a="embedding", b="embedding")}) AS nrm
+  FROM embeddings
+),
+centroids AS (
+  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+  FROM norms WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 32
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT n.vec_id, c.cid AS cell_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {_IVF_DOT.format(a="n.embedding", b="c.cemb")} / (n.nrm * c.cnrm)
+                      DESC, c.cid DESC) AS rn
+    FROM norms n CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT n.vec_id AS query_id, c.cid AS cell_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {_IVF_DOT.format(a="n.embedding", b="c.cemb")} / (n.nrm * c.cnrm)
+                      DESC, c.cid DESC) AS rn
+    FROM norms n CROSS JOIN centroids c
+    WHERE n.vec_id < {_KNN_QUERIES}
+  ) WHERE rn <= 8
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_IVF_DOT.format(a="q.embedding", b="d.embedding")} / (q.nrm * d.nrm) AS cos
+  FROM probes p
+  JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+  JOIN norms q ON q.vec_id = p.query_id
+  JOIN norms d ON d.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
+@register("knn_ann_ivf", oracle=_IVF_ORACLE)
 def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate kNN — the 100 TB scale path.
 
@@ -109,9 +171,10 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-reproducible) partition the corpus into cells via a closed-form
     argmax expression (no join, no crossJoin). Each query probes its 8
     nearest cells and ranks only those cells' members, cutting scored pairs
-    ~4x here and ~(k/nprobe)-fold generally. Approximation means no SQL oracle; the
-    driver records rows-only and tests/test_knn.py pins recall@5 against
-    ``knn_brute_force``.
+    ~4x here and ~(k/nprobe)-fold generally. The approximation procedure
+    itself is deterministic, so the oracle replays the full index path
+    (centroid pick → cell assign → probe → rank) in SQL; tests/test_knn.py
+    additionally pins recall@5 against ``knn_brute_force``.
 
     Centroid collect is bounded model state (32 x 64 floats), not data
     movement.
