@@ -63,12 +63,25 @@ def decode_media(codec: str):
     )
 
 
+def _round6(x: float) -> float:
+    """floor(x*1e6 + 0.5)/1e6 — half-up quantize, identical in every engine.
+
+    ``round(x, 6)`` is half-EVEN in Python but half-AWAY in DuckDB, and the
+    two really do diverge on real data: byte means over power-of-two payload
+    lengths are dyadic rationals (e.g. 11985/128 = 93.6328125) that hit the
+    6-decimal half exactly. The floor form makes the tie-break explicit and
+    engine-independent (values here are always >= 0).
+    """
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def byte_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batch featurizer: per-payload byte mean and byte-entropy.
 
     This is the deterministic stand-in for an image/audio feature extractor —
     same signature, same batch shape, real math (numpy over the byte
-    histogram), rounded to 6 so results are engine-stable.
+    histogram), quantized to 6 decimals (:func:`_round6`) so results are
+    engine-stable.
     """
     import numpy as np
 
@@ -82,10 +95,10 @@ def byte_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 means.append(0.0)
                 ents.append(0.0)
                 continue
-            means.append(round(float(buf.mean()), 6))
+            means.append(_round6(float(buf.mean())))
             counts = np.bincount(buf, minlength=256)
             p = counts[counts > 0] / len(buf)
-            ents.append(round(float(-(p * np.log2(p)).sum()), 6))
+            ents.append(_round6(float(-(p * np.log2(p)).sum())))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -108,9 +121,9 @@ def expected_features(payload: bytes) -> tuple[int, float, float]:
     n = len(payload)
     if n == 0:
         return 0, 0.0, 0.0
-    mean = round(sum(payload) / n, 6)
+    mean = _round6(sum(payload) / n)
     counts: dict[int, int] = {}
     for b in payload:
         counts[b] = counts.get(b, 0) + 1
-    ent = round(-sum((c / n) * math.log2(c / n) for c in counts.values()), 6)
+    ent = _round6(-sum((c / n) * math.log2(c / n) for c in counts.values()))
     return n, mean, ent

@@ -430,14 +430,47 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # Arrow/Python path: no SQL twin; pytest-pinned
+# The featurizer is deterministic byte math, so even this Python-side path
+# gets a full SQL twin: per-payload byte list via hex-pair extraction, mean
+# as an exact integer-sum fold, entropy from distinct-value counts. List
+# functions (not unnest + re-aggregation) keep DuckDB's binder from
+# inlining aggregates into a lateral. Float notes: the engines sum the
+# entropy terms in different orders (numpy pairwise vs sequential) but
+# quantize-to-6 absorbs the ~1e-15 reorder tail; the quantize itself is
+# floor(x*1e6+0.5)/1e6 on BOTH sides because byte means over power-of-two
+# payload lengths are dyadic rationals that hit the 6-decimal half exactly,
+# where Python's round (half-even) and DuckDB's (half-away) disagree.
+_MM_FEATURES_ORACLE = """
+WITH payload AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(hex(encode(text)), '..'),
+                        x -> CAST('0x' || x AS INTEGER)) AS bs,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, n AS n_bytes,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE floor(CAST(list_sum(bs) AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+       END AS byte_mean,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE floor(-list_sum(list_transform(
+                   list_transform(list_distinct(bs),
+                                  v -> len(list_filter(bs, x -> x = v))),
+                   c -> (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)))
+                 * 1e6 + 0.5) / 1e6
+       END AS byte_entropy
+FROM payload
+"""
+
+
+@register("multimodal_features", oracle=_MM_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over the binary payloads via
     ``mapInPandas`` — the decode/featurize slot of a media pipeline, with a
     deterministic byte-statistics featurizer standing in for the codec
     (which is stubbed; see operators/multimodal.py). No shuffle; Python sees
     Arrow batches, never rows. tests/test_multimodal.py pins the output
-    against a pure-Python twin."""
+    against a pure-Python twin, and the SQL oracle replays the byte math."""
     assets = documents_as_binary(load_table(spark, sf_dir, "documents"))
     return extract_features(assets)
 
