@@ -74,7 +74,17 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = with_norm(
         rebalance(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     )
-    q = normed.where(F.col("vec_id") < _KNN_QUERIES).select(
+    # The query side loads separately, WITHOUT the rebalance: deriving it
+    # from `normed` would put the `vec_id < 8` filter above the round-robin
+    # exchange, forcing a full re-scan + shuffle to produce 8 rows. A direct
+    # load lets the predicate push into the parquet scan (PushedFilters) —
+    # at 100 TB that's row-group pruning vs. a second full pass. The norm
+    # fold computes on just the query rows; values are identical.
+    q = with_norm(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < _KNN_QUERIES)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -182,23 +192,23 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = with_norm(
         rebalance(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     )
+    # Centroid fetch and the query side read the table directly (no
+    # rebalance): both are tiny selections, and keeping them off the
+    # round-robin exchange means no extra full-corpus shuffle — the
+    # centroid job is a plain pruned scan, and `vec_id < 8` pushes into
+    # the parquet scan on the probe side (same reasoning as
+    # knn_brute_force's query side; values are identical either way).
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroid_rows = (
-        normed.where(F.col("vec_id") % 31 == 0)
-        .orderBy("vec_id")
-        .limit(32)
-        .select("vec_id", "embedding")
-        .collect()
+        base.where(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(32).collect()
     )
     centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in centroid_rows]
 
     cells = ivf_assign(normed, centroids)
-    q = (
-        normed.where(F.col("vec_id") < _KNN_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
-        )
+    q = with_norm(base.where(F.col("vec_id") < _KNN_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     probes = ivf_probe_cells(q, centroids, nprobe=8, vec_col="q_emb")
     scored = cells.join(F.broadcast(probes), on="cell_id").where(
