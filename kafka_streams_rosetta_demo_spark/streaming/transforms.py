@@ -102,6 +102,7 @@ def streaming_interval_join(
     right_ts: str,
     tolerance_seconds: int,
     watermark: str = KS_DEFAULT_GRACE,
+    how: str = "inner",
 ):
     """Stream–stream interval join: pairs of events with the same key whose
     timestamps lie within ``tolerance_seconds`` — the streaming execution of
@@ -113,6 +114,13 @@ def streaming_interval_join(
     operator Kafka Streams calls a windowed stream-stream join
     (``JoinWindows``) — absent from the reference topology (SURVEY §2.8)
     but first-class in this engine.
+
+    ``how="left_outer"`` is the KS ``leftJoin(JoinWindows)`` shape: a left
+    row that finds no partner emits exactly once, null-padded, when the
+    watermark passes ``left_ts + tolerance`` — i.e. when the engine can
+    *prove* no partner can still arrive. Until that point the row sits in
+    state; nothing is emitted early and retracted later. The same state
+    bound applies, so outer-ness costs no extra retention.
     """
     from pyspark.sql import functions as F
 
@@ -124,7 +132,7 @@ def streaming_interval_join(
         & (rt >= lt - F.expr(f"INTERVAL {tolerance_seconds} SECONDS"))
         & (rt <= lt + F.expr(f"INTERVAL {tolerance_seconds} SECONDS"))
     )
-    return lw.join(rw, on=cond)
+    return lw.join(rw, on=cond, how=how)
 
 
 def streaming_final_windowed_agg(

@@ -427,6 +427,139 @@ def test_streaming_interval_join_matches_batch(spark, split_events_dir, tmp_path
     assert sorted((r.a, r.b) for r in got) == sorted((r.a, r.b) for r in expected)
 
 
+def test_streaming_interval_left_join_emits_nulls_on_close(
+    spark, split_events_dir, tmp_path
+):
+    """KS ``leftJoin(JoinWindows)`` shape: an unmatched click emits exactly
+    once, null-padded, after the watermark proves no partner can arrive.
+
+    Three pins against the batch twin: (1) matched output == the batch inner
+    join exactly; (2) every null-padded row is genuinely unmatched in batch;
+    (3) every unmatched click the final watermark has *provably closed*
+    (ts + tolerance + watermark-delay <= max event time) did emit — rows
+    nearer the stream tail than that may legitimately still sit in state,
+    and rows already behind the watermark when their micro-batch arrived
+    are dropped at input (standard too-late semantics), not null-emitted."""
+    from kafka_streams_rosetta_demo_spark.streaming.transforms import (
+        streaming_interval_join,
+    )
+
+    clicks = _stream(spark, split_events_dir).where(
+        F.col("event_type") == "click"
+    ).select("event_id", F.col("user_id").alias("k"), "ts")
+    purchases = _stream(spark, split_events_dir).where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = streaming_interval_join(
+        clicks,
+        purchases,
+        key="k",
+        left_ts="ts",
+        right_ts="p_ts",
+        tolerance_seconds=300,
+        watermark="10 minutes",
+        how="left_outer",
+    ).select(
+        F.col("l.event_id").alias("a"),
+        F.col("r.p_event_id").alias("b"),
+        F.col("l.ts").alias("cts"),
+    )
+
+    got: list = []
+
+    def sink(batch_df, batch_id):
+        got.extend(batch_df.collect())
+
+    (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_loj"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    ev = normalize_event_ts(spark.read.parquet(split_events_dir))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a"), F.col("user_id").alias("k"), F.col("ts").alias("cts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b"), F.col("user_id").alias("k2"), F.col("ts").alias("pts")
+    )
+    band = (F.col("k") == F.col("k2")) & (
+        F.abs(F.unix_micros("pts") - F.unix_micros("cts")) <= 300_000_000
+    )
+    inner_expected = sorted(
+        (r.a, r.b) for r in c.join(p, band).select("a", "b").collect()
+    )
+    unmatched = {
+        r.a: r.cts for r in c.join(p, band, "left_anti").select("a", "cts").collect()
+    }
+    from datetime import timedelta
+
+    # The global watermark is the MIN over the two watermark nodes
+    # (multipleWatermarkPolicy=min), each tracking its own input's max event
+    # time — so the close boundary is governed by whichever side lags. In
+    # particular the last click in the stream can never be closed by this
+    # run: the click-side watermark is derived from its own timestamp.
+    # 1s slack on top: the watermark is millisecond-truncated and the close
+    # condition is strict.
+    wm_final = min(
+        ev.where(F.col("event_type") == "click").agg(F.max("ts")).first()[0],
+        ev.where(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0],
+    ) - timedelta(minutes=10)
+    closed_cutoff = wm_final - timedelta(seconds=300) - timedelta(seconds=1)
+
+    # A click already behind the watermark when its micro-batch ran was
+    # dropped at input and never enters join state. The watermark during
+    # batch i is min(per-side max event time over batches < i) minus the
+    # delay (the fixture files are one micro-batch each, in name order).
+    from pathlib import Path
+
+    batches = [
+        normalize_event_ts(spark.read.parquet(str(f)))
+        for f in sorted(Path(split_events_dir).glob("*.parquet"))
+    ]
+    late_on_arrival: set = set()
+    max_c = max_p = None
+    for b in batches:
+        if max_c is not None and max_p is not None:
+            wm = min(max_c, max_p) - timedelta(minutes=10)
+            late_on_arrival |= {
+                r.event_id
+                for r in b.where(
+                    (F.col("event_type") == "click") & (F.col("ts") < F.lit(wm))
+                )
+                .select("event_id")
+                .collect()
+            }
+        mc = b.where(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+        mp = b.where(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0]
+        if mc is not None:
+            max_c = mc if max_c is None else max(max_c, mc)
+        if mp is not None:
+            max_p = mp if max_p is None else max(max_p, mp)
+
+    got_matched = sorted((r.a, r.b) for r in got if r.b is not None)
+    got_nulls = [r for r in got if r.b is None]
+
+    assert got_matched == inner_expected
+    # null-padded rows: correct (all genuinely unmatched), at most once each
+    assert all(r.a in unmatched for r in got_nulls)
+    assert len({r.a for r in got_nulls}) == len(got_nulls)
+    # completeness for provably-closed rows that actually entered state
+    must_emit = {
+        a
+        for a, cts in unmatched.items()
+        if cts <= closed_cutoff and a not in late_on_arrival
+    }
+    assert must_emit <= {r.a for r in got_nulls}
+
+
 def test_append_mode_emits_each_window_once_final(spark, split_events_dir, tmp_path):
     """KS suppress(untilWindowCloses) ≡ append output mode: each window is
     emitted exactly once, already final, when the watermark passes its end;
