@@ -32,7 +32,17 @@ def main() -> None:
         if name.startswith("streaming_"):
             continue
         df = q.fn(spark, sf_dir)
+        # Execute first so AQE finalizes: join strategies, coalesced
+        # exchanges, and whole-stage-codegen spans are only real in the
+        # final plan (the pre-execution string is an AQE placeholder).
+        # Must run through the df's OWN queryExecution (collect), not a
+        # write — a write wraps the plan in a new execution and leaves
+        # this one untouched.
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # the adaptive plan string appends the pre-execution tree under
+        # "== Initial Plan ==" — drop it or every exchange counts twice
+        plan = plan.split("== Initial Plan ==")[0]
         shuffles = plan.count("Exchange hashpartitioning") + plan.count(
             "Exchange rangepartitioning"
         )
