@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import rebalance
-from ..operators.multimodal import documents_as_binary, extract_features
+from ..operators.multimodal import (
+    documents_as_binary,
+    extract_features,
+    resample_audio,
+    sample_frames,
+)
 from ..operators.textsim import md5_long, with_shingles
 from ..operators.vectors import (
     cosine,
@@ -483,6 +488,72 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a pure-Python twin, and the SQL oracle replays the byte math."""
     assets = documents_as_binary(load_table(spark, sf_dir, "documents"))
     return extract_features(assets)
+
+
+# Frame digests compare as md5-of-hex-string: DuckDB's md5 only takes
+# VARCHAR (no blob overload), and both engines' hex() is uppercase, so the
+# hex text is the shared canonical form.
+_MM_FRAMES_ORACLE = """
+WITH payload AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, unnest(range(0, n // 64)) AS frame_idx, hx FROM payload
+)
+SELECT doc_id, frame_idx,
+       md5(substring(hx, CAST(frame_idx * 128 + 1 AS BIGINT), 128)) AS frame_md5
+FROM frames WHERE frame_idx % 3 = 0
+"""
+
+
+@register("multimodal_frame_sample", oracle=_MM_FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-pipeline frame sampling: fixed 64-byte frames per payload
+    (partial tail dropped), every 3rd frame kept. The extraction is a
+    1->N-row ``mapInPandas`` — the Arrow-batch fan-out shape a real
+    frame decoder uses — and the emitted frames are digest-checked
+    against the oracle's hex-slice twin. No shuffle: sampling is
+    embarrassingly parallel."""
+    assets = documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return sample_frames(assets).select(
+        "doc_id", "frame_idx", F.md5(F.hex("frame")).alias("frame_md5")
+    )
+
+
+# Bucket k of an n-byte stream is the slice [ceil(k*n/16), ceil((k+1)*n/16))
+# — the closed form of "byte j lands in bucket j*16 // n" — so the oracle
+# pools each bucket with list slicing + integer division: no unnest-then-
+# aggregate (DuckDB binder trap), and floor-of-mean is exact in both engines.
+_MM_RESAMPLE_ORACLE = """
+WITH payload AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(hex(encode(text)), '..'),
+                        x -> CAST('0x' || x AS INTEGER)) AS bs,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) >= 16
+),
+buckets AS (
+  SELECT doc_id, unnest(range(0, 16)) AS bucket, bs, n FROM payload
+)
+SELECT doc_id, bucket,
+       CAST(list_sum(bs[CAST((bucket * n + 15) // 16 + 1 AS BIGINT)
+                        :CAST(((bucket + 1) * n + 15) // 16 AS BIGINT)])
+            // (((bucket + 1) * n + 15) // 16 - (bucket * n + 15) // 16)
+            AS BIGINT) AS value
+FROM buckets
+"""
+
+
+@register("multimodal_resample", oracle=_MM_RESAMPLE_ORACLE)
+def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-pipeline downsampling: each payload's byte stream pooled to 16
+    buckets, floor-of-bucket-mean (exact integer math). Arrow-batched
+    ``mapInPandas`` with numpy ``bincount`` pooling — the vectorized shape a
+    real resampler (polyphase filter, mel bins) plugs into."""
+    assets = documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return resample_audio(assets)
 
 
 # ---------------------------------------------------------------------------
