@@ -72,7 +72,11 @@ def test_arrow_python_only_in_multimodal(plans):
         for n, p in plans.items()
         if ("ArrowEvalPython" in p or "MapInPandas" in p)
     ]
-    assert set(arrow) <= {"multimodal_features"}, f"unexpected Python stage in: {arrow}"
+    assert set(arrow) <= {
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "multimodal_resample",
+    }, f"unexpected Python stage in: {arrow}"
 
 
 def test_selective_scans_push_filters(plans):
