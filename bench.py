@@ -51,6 +51,8 @@ OPTIONAL = [
     "text_tfidf_topk",
     "text_bm25_search",
     "text_contamination_check",
+    "multimodal_frame_sample",
+    "multimodal_resample",
     # a full streaming topology (file source → watermark → update-mode agg →
     # checkpointed foreachBatch merge), timed end to end
     "streaming_calls_window_agg",
