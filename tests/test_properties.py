@@ -152,3 +152,91 @@ def test_salted_join_equals_plain_join(spark):
                 map(tuple, salted_equi_join(left, right, "k", salt=salt, how=how).collect())
             )
             assert salted == plain, (salt, how)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal batch functions: Arrow-level property tests (no Spark round
+# trip per example — the mapInPandas bodies take plain pandas frames, so
+# hypothesis can sweep payload shapes the parquet fixtures never produce:
+# empty, sub-frame, sub-bucket, non-square).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=8)
+)
+@settings(max_examples=60, deadline=None)
+def test_frame_sample_batches_match_twin(payloads):
+    import pandas as pd
+
+    from kafka_streams_rosetta_demo_spark.operators.multimodal import (
+        expected_frames,
+        frame_sample_batches,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(payloads)), "content": payloads}
+    )
+    (out,) = list(frame_sample_batches(iter([pdf])))
+    got = [
+        (int(r.doc_id), int(r.frame_idx), bytes(r.frame))
+        for r in out.itertuples()
+    ]
+    expected = [
+        f for i, p in enumerate(payloads) for f in expected_frames(i, p)
+    ]
+    assert got == expected
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=8)
+)
+@settings(max_examples=60, deadline=None)
+def test_resample_batches_match_twin(payloads):
+    import pandas as pd
+
+    from kafka_streams_rosetta_demo_spark.operators.multimodal import (
+        expected_resample,
+        resample_batches,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(payloads)), "content": payloads}
+    )
+    (out,) = list(resample_batches(iter([pdf])))
+    got = [
+        (int(r.doc_id), int(r.bucket), int(r.value)) for r in out.itertuples()
+    ]
+    expected = [
+        (i, k, v)
+        for i, p in enumerate(payloads)
+        for k, v in expected_resample(p)
+    ]
+    assert got == expected
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=8)
+)
+@settings(max_examples=60, deadline=None)
+def test_resize_batches_match_twin(payloads):
+    import pandas as pd
+
+    from kafka_streams_rosetta_demo_spark.operators.multimodal import (
+        expected_resize,
+        resize_batches,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(payloads)), "content": payloads}
+    )
+    (out,) = list(resize_batches(iter([pdf])))
+    got = {
+        int(r.doc_id): (int(r.side), bytes(r.pixels)) for r in out.itertuples()
+    }
+    expected = {
+        i: exp
+        for i, p in enumerate(payloads)
+        if (exp := expected_resize(p)) is not None
+    }
+    assert got == expected
