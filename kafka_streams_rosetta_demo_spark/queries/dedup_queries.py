@@ -293,3 +293,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = hyperplane_band_keys(allv, planes, bands=4, id_col="vec_id")
     cand = band_candidate_pairs(bands, id_col="vec_id")
     return cosine_verify_pairs(cand, allv, threshold=0.95, round_to=3)
+
+
+# ---------------------------------------------------------------------------
+# dedup_fuzzy_name
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 8
+"""
+
+
+@register("dedup_fuzzy_name", oracle=_FUZZY_ORACLE)
+def dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching: name pairs within edit distance 8,
+    under attribute blocking — the record-linkage shape (dedupe a product or
+    customer master) next to the document-level near-dup family.
+
+    Plan: equi self-join on the blocking key (brand, size) — one shuffle,
+    candidates bounded by block sizes instead of |R|² — then the O(L²)
+    Levenshtein DP runs JVM-side on candidates only. Both engines implement
+    classic unit-cost edit distance, so the scores compare exactly. At
+    100 TB the blocking key gains a name-length band (|len_a − len_b| > d
+    can never match) and hot blocks are AQE skew-join territory; the
+    pair-generation never degenerates to a cross join.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    a = part.alias("a")
+    b = part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.p_brand") == F.col("b.p_brand"),
+                F.col("a.p_size") == F.col("b.p_size"),
+                F.col("a.p_partkey") < F.col("b.p_partkey"),
+            ],
+        )
+        .where(dist <= 8)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )
