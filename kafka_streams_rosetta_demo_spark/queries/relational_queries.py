@@ -1378,3 +1378,78 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("val"), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_gap_fill — densify to a daily grid + forward fill
+# ---------------------------------------------------------------------------
+
+# Day-level truncation makes the nanos-vs-micros timestamp question moot
+# (a day boundary never moves), so the oracle reads ts directly.
+_GAP_FILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         max(value) AS day_max
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+),
+joined AS (
+  SELECT g.user_id, g.day, d.day_max
+  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       last_value(day_max IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       day_max IS NOT NULL AS observed
+FROM joined
+"""
+
+
+@register("timeseries_gap_fill", oracle=_GAP_FILL_ORACLE)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: each user's daily max, expanded to an
+    unbroken daily grid over their active span, missing days forward-filled
+    from the last observation — the gap-fill/resample step a feature or
+    sensor pipeline runs before windowed training features.
+
+    Plan: daily pre-aggregation [1 shuffle, map-side combined], per-user
+    span [same partitioning], `sequence()` + `explode` to generate the grid
+    JVM-side (rows expand *after* aggregation — the 100 TB input never
+    multiplies), left join back on (user, day), and one carry-forward
+    window (`last(ignorenulls)`) — the same shape as the as-of join's
+    forward fill. Grid size is bounded by span x users, independent of
+    event volume.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.max("value").alias("day_max"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # day renders as an ISO string: engines (and pandas) disagree on
+    # whether a DATE cell is a date or a midnight timestamp.
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("day_max", ignorenulls=True).over(w).alias("filled"),
+        F.col("day_max").isNotNull().alias("observed"),
+    )
