@@ -164,3 +164,54 @@ def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg, ["id_telef_origen", "window_start_ts"], ckpt, batch_fn=enrich
         )
     return pandas_state_to_df(spark, state, schema_cell[0])
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once redelivery scrub as a registered streaming query
+    (X27 query-shaped): the events file staged TWICE into the landing zone —
+    a fully redelivered topic, the at-least-once failure mode T5 implies —
+    then ``dropDuplicatesWithinWatermark`` on the event id. The scrubbed
+    append stream must land exactly on the batch ``SELECT`` of the events
+    table (events are unique by id, so the oracle is the table itself —
+    every surviving duplicate or dropped original would hash-mismatch).
+
+    State story: within-watermark dedup keeps one sighting per key only
+    until the watermark passes it (bounded), vs. an unbounded
+    ``dropDuplicates`` whose state grows with distinct keys forever.
+    Redelivered rows behind the watermark drop at input — also correct:
+    their first sighting already emitted.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.transforms import streaming_dedup_within_watermark
+    from ..streaming.runner import run_append_query_to_rows
+
+    # same T7 state-partition pin as _events_stream — a plain (driver)
+    # session would otherwise create the checkpoint with 200 state stores
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    staged = tempfile.mkdtemp(prefix="redeliver_events_")
+    try:
+        for i in range(2):
+            dst = os.path.join(staged, f"{i}.parquet")
+            shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+            # spaced mtimes: the file source orders same-millisecond files
+            # arbitrarily, and delivery order matters under a watermark
+            os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        stream = normalize_event_ts(file_stream(spark, staged, EVENTS_STREAM_SCHEMA))
+        deduped = streaming_dedup_within_watermark(
+            stream, keys=["event_id"], ts_col="ts"
+        ).select("event_id", "user_id", "event_type", "value")
+        with tempfile.TemporaryDirectory(prefix="ckpt_sde_") as ckpt:
+            rows = run_append_query_to_rows(deduped, ckpt)
+        return spark.createDataFrame(rows, deduped.schema)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
