@@ -1453,3 +1453,63 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_max", ignorenulls=True).over(w).alias("filled"),
         F.col("day_max").isNotNull().alias("observed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window_rolling_distinct — exact rolling distinct via bounded day-expansion
+# ---------------------------------------------------------------------------
+
+_ROLLING_DISTINCT_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events WHERE event_type = 'purchase'
+),
+observed AS (SELECT DISTINCT day FROM user_days),
+contrib AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                     CAST(day + INTERVAL 6 DAY AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS window_day
+  FROM user_days
+)
+SELECT strftime(window_day, '%Y-%m-%d') AS window_day,
+       count(DISTINCT user_id) AS active_users_7d
+FROM contrib
+WHERE window_day IN (SELECT day FROM observed)
+GROUP BY 1
+"""
+
+
+@register("window_rolling_distinct", oracle=_ROLLING_DISTINCT_ORACLE)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct purchasers per day — the rolling-cardinality
+    metric (WAU-style) every analytics pipeline wants and no window frame
+    can compute: COUNT(DISTINCT) does not decompose over sliding frames.
+
+    The exact scale shape: dedupe to (user, day) grain first [1 shuffle on
+    a collapsed key], then each user-day *contributes itself forward* into
+    the ≤7 window-days it affects (`sequence`/`explode` — a bounded 7×
+    expansion of the already-collapsed grain, not of raw events), and one
+    distinct-aggregate per window-day [expand + 2-phase shuffle] finishes.
+    Day grid is clamped to observed days with a left-semi join. The
+    alternative — re-sorting raw events once per window offset — re-scans
+    the 100 TB input 7 times; this plan touches it once. (The approximate
+    cousin at extreme cardinality is an HLL sketch per day + 7-day sketch
+    merge; `agg_approx_count_distinct` shows that primitive.)
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    user_days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    observed = user_days.select("day").distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("window_day"),
+    )
+    return (
+        contrib.join(
+            observed.withColumnRenamed("day", "window_day"), "window_day", "left_semi"
+        )
+        .groupBy(F.date_format("window_day", "yyyy-MM-dd").alias("window_day"))
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
