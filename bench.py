@@ -53,6 +53,9 @@ OPTIONAL = [
     "text_contamination_check",
     "multimodal_frame_sample",
     "multimodal_resample",
+    "dedup_fuzzy_name",
+    "timeseries_gap_fill",
+    "window_rolling_distinct",
     # a full streaming topology (file source → watermark → update-mode agg →
     # checkpointed foreachBatch merge), timed end to end
     "streaming_calls_window_agg",
