@@ -1513,3 +1513,58 @@ def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("window_day", "yyyy-MM-dd").alias("window_day"))
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# join_null_safe — <=> equality: NULL keys match each other
+# ---------------------------------------------------------------------------
+
+_NULL_SAFE_ORACLE = """
+WITH k AS (
+  SELECT event_id,
+         CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0
+              THEN NULL
+              ELSE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k_int
+  FROM events
+),
+a AS (SELECT k_int, count(*) AS cnt_even FROM k WHERE event_id % 2 = 0 GROUP BY 1),
+b AS (SELECT k_int, count(*) AS cnt_odd  FROM k WHERE event_id % 2 = 1 GROUP BY 1)
+SELECT a.k_int, a.cnt_even, b.cnt_odd
+FROM a JOIN b ON a.k_int IS NOT DISTINCT FROM b.k_int
+"""
+
+
+@register("join_null_safe", oracle=_NULL_SAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` ≡ ``IS NOT DISTINCT FROM``): the NULL
+    key is a real group that must match itself — a plain ``=`` join would
+    silently drop it, the classic bug when joining on nullable/derived keys
+    (here a JSON-extracted attribute with injected gaps).
+
+    Aggregate-before-join shape: both sides collapse to per-key counts
+    first, so the null-safe join touches key-cardinality rows, never the
+    event volume — and ``<=>`` still plans as a hash join (null-safe
+    equality is a proper equi-key for Spark's hash partitioning; no
+    fallback to nested-loop).
+    """
+    k = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.get_json_object("props", "$.k").cast("int") % 7 == 0, F.lit(None)
+        )
+        .otherwise(F.get_json_object("props", "$.k").cast("int"))
+        .alias("k_int"),
+    )
+    a = (
+        k.where(F.col("event_id") % 2 == 0)
+        .groupBy("k_int")
+        .agg(F.count(F.lit(1)).alias("cnt_even"))
+    )
+    b = (
+        k.where(F.col("event_id") % 2 == 1)
+        .groupBy("k_int")
+        .agg(F.count(F.lit(1)).alias("cnt_odd"))
+    )
+    return a.join(b, a["k_int"].eqNullSafe(b["k_int"])).select(
+        a["k_int"].alias("k_int"), "cnt_even", "cnt_odd"
+    )
