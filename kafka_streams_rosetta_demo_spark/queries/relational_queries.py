@@ -1568,3 +1568,72 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k_int"].eqNullSafe(b["k_int"])).select(
         a["k_int"].alias("k_int"), "cnt_even", "cnt_odd"
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_upsert_apply — MERGE-shaped changes-onto-snapshot application
+# ---------------------------------------------------------------------------
+
+_CDC_UPSERT_ORACLE = """
+WITH snapshot AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+),
+changes AS (
+  SELECT c_custkey, c_name, round(c_acctbal + 1000.0, 2) AS c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW#' || CAST(c_custkey AS VARCHAR), 0.0
+  FROM customer WHERE c_custkey % 25 = 0
+)
+SELECT coalesce(c.c_custkey, s.c_custkey) AS c_custkey,
+       coalesce(c.c_name, s.c_name) AS c_name,
+       coalesce(c.c_acctbal, s.c_acctbal) AS c_acctbal,
+       CASE WHEN c.c_custkey IS NULL THEN 'unchanged'
+            WHEN s.c_custkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS change_type
+FROM changes c FULL OUTER JOIN snapshot s ON c.c_custkey = s.c_custkey
+"""
+
+
+@register("cdc_upsert_apply", oracle=_CDC_UPSERT_ORACLE)
+def cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / MERGE without a table format: a changes batch (updates +
+    inserts, derived deterministically from the dimension itself) lands on
+    the snapshot as one full-outer join with per-column ``coalesce`` —
+    change-wins, snapshot-fills, plus the audit ``change_type`` a CDC
+    pipeline logs. This is the upsert primitive under every
+    lakehouse MERGE.
+
+    Scale: full-outer joins can't broadcast, so this is one sort-merge
+    join co-partitioned on the key — bucketed snapshot + changes tables
+    make it shuffle-free on the snapshot side (tests/test_bucketing.py
+    shows that layout); the changes batch is typically tiny next to the
+    snapshot and shuffles cheaply.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 1000.0, 2).alias("c_acctbal"),
+    )
+    inserts = cust.where(F.col("c_custkey") % 25 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    changes = updates.unionByName(inserts).alias("c")
+    snapshot = cust.alias("s")
+    joined = changes.join(
+        snapshot, F.col("c.c_custkey") == F.col("s.c_custkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("c.c_custkey"), F.col("s.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("c.c_name"), F.col("s.c_name")).alias("c_name"),
+        F.coalesce(F.col("c.c_acctbal"), F.col("s.c_acctbal")).alias("c_acctbal"),
+        F.when(F.col("c.c_custkey").isNull(), F.lit("unchanged"))
+        .when(F.col("s.c_custkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("change_type"),
+    )
