@@ -418,3 +418,58 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "window_session_dynamic",
+    oracle="""
+WITH e AS (
+  SELECT user_id, date_trunc('microseconds', ts) AS ts,
+         CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+              ELSE INTERVAL 10 MINUTE END AS gap
+  FROM events
+),
+m AS (
+  SELECT *, max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM e
+),
+f AS (
+  SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END AS brk FROM m
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id, min(ts) AS session_start, max(ts + gap) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a *per-event* inactivity gap (purchases hold the
+    session open 30 minutes, everything else 10) — ``session_window`` with a
+    gap **expression**, a Spark capability few engines expose. Each event
+    extends the session to ``ts + its own gap``; overlapping extents merge.
+
+    The oracle is interval-union islands: a session breaks when an event
+    starts strictly after the running ``max(ts + gap)`` of everything
+    before it (plain gap-islands via ``lag`` is wrong here — a long-gap
+    event can bridge over a short-gap successor). Same strict-``>``
+    boundary as the fixed-gap twin: touching windows merge. Scale: one
+    shuffle on user_id, state-side window merge, no self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
