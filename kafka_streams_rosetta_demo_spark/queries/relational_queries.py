@@ -1637,3 +1637,94 @@ def cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("updated"))
         .alias("change_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel_stages — ordered conversion funnel in one shuffle
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM e
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                      AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                      AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+)
+SELECT user_id,
+       any_value(t1) AS view_ts,
+       any_value(t2) AS click_ts,
+       any_value(t3) AS purchase_ts,
+       CASE WHEN any_value(t3) IS NOT NULL THEN 3
+            WHEN any_value(t2) IS NOT NULL THEN 2
+            WHEN any_value(t1) IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage
+FROM s3 GROUP BY user_id
+"""
+
+
+@register("funnel_stages", oracle=_FUNNEL_ORACLE)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (first view → click within 24h → purchase
+    within 24h of that click) — the product-analytics sequence-matching op.
+
+    The chain is three *stacked* per-user window minima: each stage's
+    anchor is the previous stage's windowed result, so ordering and the
+    conversion deadline live in the CASE predicate, not in a self-join —
+    no events-x-events blowup, and all three windows share one partitioning
+    on user_id, so the whole funnel costs a single shuffle + one in-memory
+    pass per stage. Deeper funnels add projections, not shuffles.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = Window.partitionBy("user_id")
+    day = F.expr("INTERVAL 24 HOURS")
+    s1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(u),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + day),
+                F.col("ts"),
+            )
+        ).over(u),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + day),
+                F.col("ts"),
+            )
+        ).over(u),
+    )
+    return s3.groupBy("user_id").agg(
+        F.first("t1").alias("view_ts"),
+        F.first("t2").alias("click_ts"),
+        F.first("t3").alias("purchase_ts"),
+        F.when(F.first("t3").isNotNull(), 3)
+        .when(F.first("t2").isNotNull(), 2)
+        .when(F.first("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("funnel_stage"),
+    )
