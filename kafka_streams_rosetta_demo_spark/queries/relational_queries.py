@@ -1728,3 +1728,50 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("funnel_stage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts — first-purchase-day cohorts x days-since retention
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events WHERE event_type = 'purchase'
+),
+ud AS (SELECT DISTINCT user_id, day FROM e),
+firstd AS (
+  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day - cohort_day AS BIGINT) AS days_since,
+       count(DISTINCT user_id) AS active_users
+FROM firstd GROUP BY 1, 2
+"""
+
+
+@register("retention_cohorts", oracle=_RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users cohorted by first purchase day, counted
+    distinct on each later active day — the companion readout to
+    ``funnel_stages`` in the product-analytics family.
+
+    The shape that scales: collapse raw events to the (user, day) grain
+    FIRST [1 shuffle on a distinct over a collapsed key], derive each
+    user's cohort with a per-user window min on that small grain (shares
+    the same partitioning), and only then aggregate to cohort cells — the
+    raw event volume is touched exactly once, and the retention matrix is
+    cohort-days x horizon, tiny at any scale.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+    )
+    u = Window.partitionBy("user_id")
+    withc = ev.withColumn("cohort_day", F.min("day").over(u))
+    return withc.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff("day", "cohort_day").cast("long").alias("days_since"),
+    ).agg(F.countDistinct("user_id").alias("active_users"))
