@@ -22,7 +22,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..sources.parquet import events_to_calls, normalize_event_ts, rosetta_customers
+from ..sources.parquet import (
+    events_schema,
+    events_to_calls,
+    normalize_event_ts,
+    rosetta_customers,
+)
 from ..streaming.runner import (
     file_stream,
     pandas_state_to_df,
@@ -36,22 +41,6 @@ from ..streaming.transforms import (
 from . import register
 from .rosetta_queries import CALL_AGG_CTE, CUSTOMERS_CTE
 
-# Streaming sources need an explicit schema; ts is declared long because the
-# parquet stores TIMESTAMP(NANOS) and the reader (with nanosAsLong) surfaces
-# it as nanos — normalize_event_ts then truncates to microsecond timestamps,
-# identically to the batch loader.
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T7: streaming state partitioning follows shuffle.partitions at
     # checkpoint creation and AQE never coalesces it, so a plain session's
@@ -61,10 +50,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
 
     ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    # Streaming sources need an explicit schema; take it from the parquet
+    # footer so the stream matches whatever ts encoding the data ships with
+    # (nanos-as-long or TIMESTAMP/NTZ) — normalize_event_ts converges both.
+    schema = events_schema(spark, f"{sf_dir}/events.parquet")
     return normalize_event_ts(
-        file_stream(
-            spark, sf_dir, EVENTS_STREAM_SCHEMA, path_glob_filter="events.parquet"
-        )
+        file_stream(spark, sf_dir, schema, path_glob_filter="events.parquet")
     )
 
 
@@ -206,7 +197,9 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             # spaced mtimes: the file source orders same-millisecond files
             # arbitrarily, and delivery order matters under a watermark
             os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
-        stream = normalize_event_ts(file_stream(spark, staged, EVENTS_STREAM_SCHEMA))
+        stream = normalize_event_ts(
+            file_stream(spark, staged, events_schema(spark, staged))
+        )
         deduped = streaming_dedup_within_watermark(
             stream, keys=["event_id"], ts_col="ts"
         ).select("event_id", "user_id", "event_type", "value")

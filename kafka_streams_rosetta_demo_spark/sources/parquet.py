@@ -41,21 +41,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """Nanos-as-long ``ts`` → microsecond TimestampType — the same truncation
-    DuckDB applies reading TIMESTAMP_NS, so oracles agree. No-op when ``ts``
-    is already a timestamp (shared by the batch loader and the streaming
-    file source, which must state the long schema explicitly)."""
+    """Normalize ``ts`` to microsecond TimestampType whatever physical form
+    the parquet carries it in: nanos-as-long (TIMESTAMP(NANOS) data read
+    under the legacy conf) is truncated exactly like DuckDB reading
+    TIMESTAMP_NS, and TIMESTAMP_NTZ (micros with isAdjustedToUTC=false) is
+    cast in the pinned-UTC session — value-preserving, so oracles agree.
+    No-op when ``ts`` is already TimestampType. Shared by the batch loader
+    and the streaming file source."""
     from pyspark.sql import types as T
 
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
+def events_schema(spark: SparkSession, events_path: str):
+    """Footer-only schema read of an events parquet — the explicit schema a
+    streaming file source needs, robust to either physical ts encoding
+    (nanos→long under the legacy conf, or native TIMESTAMP/NTZ)."""
+    from ..session import ensure_conf
+
+    ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(events_path).schema
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    outright (PARQUET_TYPE_ILLEGAL). Read it as a long via the legacy conf
-    (runtime-settable) and truncate to microsecond timestamps."""
+    """``events.ts`` has shipped as both TIMESTAMP(NANOS) — which Spark 4
+    rejects outright (PARQUET_TYPE_ILLEGAL) without the nanos-as-long legacy
+    conf — and plain micros TIMESTAMP_NTZ. Read with the legacy conf set
+    (harmless for non-nanos data) and normalize to TimestampType."""
     from ..session import ensure_conf
 
     ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -18,11 +18,9 @@ from kafka_streams_rosetta_demo_spark.operators.windowed_agg import (
     unwrap_window,
     windowed_call_agg,
 )
-from kafka_streams_rosetta_demo_spark.queries.streaming_queries import (
-    EVENTS_STREAM_SCHEMA,
-)
 from kafka_streams_rosetta_demo_spark.schemas import CALL_AGGREGATE
 from kafka_streams_rosetta_demo_spark.sources.parquet import (
+    events_schema,
     events_to_calls,
     load_table,
     normalize_event_ts,
@@ -65,15 +63,9 @@ def split_events_dir(spark, sf_smoke, tmp_path_factory):
 
 
 def _stream(spark, path, **kw):
-    # ts is already TimestampType in the rewritten files; reuse the stream
-    # schema with a timestamp ts instead of the nanos-long contract.
-    schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.TimestampType(), True)
-            for f in EVENTS_STREAM_SCHEMA.fields
-        ]
-    )
-    return normalize_event_ts(file_stream(spark, path, schema, **kw))
+    # ts is TimestampType in the rewritten files (the fixture writes them from
+    # the normalized batch load); the footer read hands back exactly that.
+    return normalize_event_ts(file_stream(spark, path, events_schema(spark, path), **kw))
 
 
 def test_multibatch_windowed_agg_converges_to_batch(spark, split_events_dir, tmp_path):
