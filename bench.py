@@ -59,6 +59,10 @@ OPTIONAL = [
     # a full streaming topology (file source → watermark → update-mode agg →
     # checkpointed foreachBatch merge), timed end to end
     "streaming_calls_window_agg",
+    "sample_mixture_weighted",
+    "text_ngram_lm_counts",
+    "embedding_dim_stats",
+    "dedup_cluster_keep_best",
 ]
 
 

@@ -44,8 +44,9 @@ from . import register
 
 # Shared with dedup_queries._shingle_cte / _jaccard_pairs_oracle (k=3,
 # t=0.75), then a recursive transitive closure: label = min doc_id reachable.
-_CC_ORACLE = """
-WITH RECURSIVE w AS (
+# The CTE block is shared by the per-doc labelling (dedup_cluster_cc) and the
+# per-cluster canonical-survivor rollup (dedup_cluster_keep_best).
+_CC_CTES = """w AS (
   SELECT doc_id, string_split(text, ' ') AS words
   FROM documents
   WHERE len(string_split(text, ' ')) >= 3
@@ -76,9 +77,15 @@ reach(id, label) AS (
   SELECT src, src FROM (SELECT DISTINCT src FROM edges)
   UNION
   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
-)
-SELECT id AS doc_id, min(label) AS cluster_id
-FROM reach GROUP BY id
+),
+cc AS (
+  SELECT id AS doc_id, min(label) AS cluster_id
+  FROM reach GROUP BY id
+)"""
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_CC_CTES}
+SELECT doc_id, cluster_id FROM cc
 """
 
 
@@ -435,4 +442,127 @@ def doc_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_mixture_weighted — epoch-weighted dataset mixing
+# ---------------------------------------------------------------------------
+
+# Target epochs per source, in integer percent (250 = 2.5 epochs). The
+# training-mix step after per-stratum rebalancing: high-quality sources are
+# *up*sampled (repeated whole epochs + a deterministic fractional epoch),
+# low-quality ones kept at a fraction. Integer percent avoids float weight
+# arithmetic entirely — the keep/repeat decision is exact in both engines.
+_MIX_EPOCHS_PCT = {"src0": 250, "src1": 250, "src2": 150, "src3": 150,
+                   "src16": 25, "src17": 25, "src18": 25, "src19": 25}
+_MIX_DEFAULT_PCT = 100
+
+_MIX_CASE = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_EPOCHS_PCT.items())
+
+_MIX_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE source {_MIX_CASE} ELSE {_MIX_DEFAULT_PCT} END AS epochs_pct,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT) % 100
+           AS bucket
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         epochs_pct // 100 + CASE WHEN bucket < epochs_pct % 100 THEN 1 ELSE 0 END
+           AS n_copies
+  FROM t
+)
+SELECT doc_id, source, n_copies, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_id
+FROM c
+WHERE n_copies > 0
+"""
+
+
+@register("sample_mixture_weighted", oracle=_MIX_ORACLE)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted dataset mixture: each source gets a target epoch count
+    (2.5 → every doc appears twice, plus a deterministic 50% gets a third
+    copy; 0.25 → a deterministic 25% appears once). The fractional epoch is
+    decided by ``md5(doc_id || ':mix') % 100`` — salted so a doc's mixture
+    fate is independent of its stratified-sampling fate, reproducible
+    across runs/engines/partitionings, and stable under incremental reruns.
+
+    Scale: entirely map-side — a per-row case expression, one hash, and an
+    ``explode(sequence(...))`` fan-out; no shuffle, no RNG state, and the
+    output is the materialized training mix a sequence-packing pass
+    consumes next. Upsampling by repetition (not by weighted loss) is the
+    common pretraining-mix mechanic this implements verbatim.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    epochs_pct = F.coalesce(
+        *[F.when(F.col("source") == k, F.lit(v)) for k, v in _MIX_EPOCHS_PCT.items()],
+        F.lit(_MIX_DEFAULT_PCT),
+    )
+    bucket = F.pmod(
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), F.lit(100)
+    )
+    n_copies = (epochs_pct / F.lit(100)).cast("long") + (
+        bucket < epochs_pct % 100
+    ).cast("long")
+    return (
+        docs.withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1).cast("long"), "n_copies")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_keep_best — canonical-survivor selection per dedup cluster
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_CC_CTES},
+q AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM cc c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id,
+       count(*) AS n_members,
+       max(CASE WHEN rn = 1 THEN doc_id END)  AS keep_doc_id,
+       max(CASE WHEN rn = 1 THEN n_chars END) AS keep_n_chars
+FROM q GROUP BY cluster_id
+"""
+
+
+@register("dedup_cluster_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the dedup pipeline: per near-dup cluster, the one
+    document to KEEP — highest quality proxy (``n_chars``), ties to the
+    smallest doc_id — plus the member count the drop pass will remove.
+    Same pair graph + connected components as ``dedup_cluster_cc``; the
+    selection is one broadcast-joinable lookup of member quality and a
+    per-cluster argmax window.
+
+    Scale: the cluster table is tiny relative to the corpus (only docs with
+    a near-dup), so the quality join broadcasts the labels against the
+    documents scan, and the argmax window partitions by cluster_id — key
+    cardinality = number of clusters, no skew (near-dup components are
+    shallow and small by construction).
+    """
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = with_shingles(docs, k=3).localCheckpoint(eager=True)
+    pairs = jaccard_verify(prefix_filter_pairs(sh, threshold=0.75), sh, threshold=0.75)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+
+    quality = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = comp.select(F.col("id").alias("doc_id"), "component").join(
+        F.broadcast(quality).hint("broadcast"), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("keep_n_chars"),
     )

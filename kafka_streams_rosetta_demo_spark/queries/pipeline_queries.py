@@ -779,3 +779,116 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio >= _CONTAM_THRESH).cast("int").alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_lm_counts — corpus n-gram count table (LM-style statistics)
+# ---------------------------------------------------------------------------
+
+_LM_TOPK = 100
+
+
+@register(
+    "text_ngram_lm_counts",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+grams AS (
+  SELECT array_to_string(words[i:i+1], ' ') AS bigram
+  FROM (SELECT words, unnest(range(1, len(words))) AS i FROM w)
+),
+counts AS (
+  SELECT bigram, count(*) AS n FROM grams GROUP BY bigram
+)
+SELECT bigram, n
+FROM counts
+ORDER BY n DESC, bigram
+LIMIT {_LM_TOPK}
+""",
+)
+def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram language-model counts: lowercase word bigrams
+    counted across every document, top-100 table (count desc, bigram
+    asc — fully deterministic). The count table is the raw material for
+    KenLM-style quality filtering and for interpolated-backoff scoring.
+
+    Scale: explode fans each doc into ~|words| bigram rows map-side; the
+    count is one groupBy with map-side partial aggregation (the combiner
+    absorbs the Zipf head before the shuffle — the heaviest bigram arrives
+    pre-counted per partition, so key skew does not concentrate rows), and
+    the top-k plans as TakeOrderedAndProject, never a global sort of the
+    full vocabulary.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = F.split(F.lower("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(words) - 1),"
+        " i -> concat(words[i-1], ' ', words[i]))"
+    )
+    return (
+        docs.where(F.size(F.split("text", " ")) >= 2)
+        .select(words.alias("words"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(_LM_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats — per-dimension corpus statistics (whitening prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+SELECT i - 1 AS dim,
+       count(*) AS n,
+       CAST(min(CAST(x AS DOUBLE)) AS DOUBLE) AS min_val,
+       CAST(max(CAST(x AS DOUBLE)) AS DOUBLE) AS max_val,
+       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_micro,
+       CAST(floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+            / count(*)) AS BIGINT) AS mean_micro
+FROM (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY i
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    scan that feeds normalization/whitening (per-dim mean for centering,
+    min/max for range checks, count for nullity audits).
+
+    Float-sum order varies with partitioning, so the mean is computed in
+    integer micro-units: each component is floor(x*1e6 + 0.5) as a long
+    (identical double-precision arithmetic in both engines), and longs sum
+    order-independently — the cross-engine-exact form of a float mean.
+    min/max are order-independent as-is.
+
+    Scale: posexplode fans 64 rows per vector map-side, then one partial
+    aggregation to exactly 64 groups — the shuffle moves 64 rows per map
+    partition regardless of corpus size. (The columnar alternative — a
+    single ``aggregate`` over an array-of-structs accumulator — avoids the
+    fan-out but loses partial aggregation; the explode form is the one that
+    scales.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    x = F.col("x").cast("double")
+    micro = F.floor(x * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(x).alias("min_val"),
+            F.max(x).alias("max_val"),
+            F.sum(micro).alias("sum_micro"),
+            F.floor(F.sum(micro).cast("double") / F.count(F.lit(1))).cast("long").alias("mean_micro"),
+        )
+    )

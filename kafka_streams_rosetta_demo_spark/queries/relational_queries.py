@@ -1775,3 +1775,50 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         F.datediff("day", "cohort_day").cast("long").alias("days_since"),
     ).agg(F.countDistinct("user_id").alias("active_users"))
+
+
+# ---------------------------------------------------------------------------
+# sql_lateral_topk — LATERAL correlated subquery (top-N per row)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+WHERE c.c_custkey % 7 = 0
+""",
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each outer customer row drives a
+    dependent top-2-orders probe — the SQL-standard spelling of
+    top-N-per-group. Catalyst rewrites the lateral relation into a
+    DomainJoin and plans the same shuffle-on-custkey + per-key limit a
+    hand-written ``row_number() <= 2`` window produces: no per-row
+    re-execution of the inner query survives into the physical plan, which
+    is what makes the construct usable at 100 TB (a true nested-loop
+    lateral would rescan orders once per customer).
+
+    Deterministic by the (price DESC, orderkey) tie-break; the outer
+    filter prunes sevenths of customers *before* the join on both engines.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_x")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_x")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+        FROM customer_x c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_x
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey % 7 = 0
+        """
+    )

@@ -158,6 +158,52 @@ def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_suppress_final",
+    oracle=f"""
+WITH {CALL_AGG_CTE.strip()},
+wm AS (
+  SELECT max(date_trunc('microseconds', ts)) - INTERVAL 24 HOURS AS cutoff
+  FROM events
+)
+SELECT a.id_telef_origen, a.window_start, a.calls_count,
+       a.max_duracion_origen, a.total_duracion_origen, a.avg_duracion_origen
+FROM call_agg a, wm
+WHERE a.window_end <= wm.cutoff
+""",
+)
+def streaming_suppress_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS ``suppress(Suppressed.untilWindowCloses())`` as a registered query
+    (X38 query-shaped): the same windowed aggregate as
+    streaming_calls_window_agg but in **append** output mode, where Spark
+    withholds each (key, window) row until the watermark passes the window
+    end and then emits it exactly once, final. The emitted set is therefore
+    *deterministically smaller* than the update-mode state: only windows
+    whose end precedes ``max(event_ts) - 24h`` (the final watermark) have
+    closed — the oracle states exactly that cutoff, so the gate pins the
+    suppression contract itself, not just the aggregate math.
+
+    State story: append mode evicts a window's state at emission, so
+    suppression costs no second buffer (unlike KS, which stacks a
+    suppression store on the window store)."""
+    from ..streaming.runner import run_append_query_to_rows
+    from ..streaming.transforms import streaming_final_windowed_agg
+
+    final = streaming_final_windowed_agg(
+        events_to_calls(_events_stream(spark, sf_dir))
+    ).select(
+        "id_telef_origen",
+        "window_start",
+        "calls_count",
+        "max_duracion_origen",
+        "total_duracion_origen",
+        "avg_duracion_origen",
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_ssf_") as ckpt:
+        rows = run_append_query_to_rows(final, ckpt)
+    return spark.createDataFrame(rows, final.schema)
+
+
+@register(
     "streaming_dedup_events",
     oracle="SELECT event_id, user_id, event_type, value FROM events",
 )
