@@ -6,7 +6,10 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
 
 Each query executes to completion through the noop sink — full plan runs on
-the cluster, no driver-side row transfer distorting the timing.
+the cluster, no driver-side row transfer distorting the timing. Each query is
+timed ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) and the reported figure
+is the MEDIAN — single-shot timings made round-over-round deltas
+unattributable (noise vs real regression); the median of three pins them.
 """
 
 from __future__ import annotations
@@ -14,10 +17,12 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # Headline set: the flagship plan + the heaviest representatives of each
 # operator family. Names must exist in the query registry.
@@ -98,10 +103,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         q = registry[name]
-        t0 = time.perf_counter()
-        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        reps = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(reps), 3)
+        print(
+            f"  {name}: median {timings[name]:.3f}s "
+            f"(runs: {', '.join(f'{r:.3f}' for r in reps)})",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "headline_query_wall_time_total",
@@ -113,6 +125,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "extended_total": round(sum(timings.values()), 3),
+        "reps": REPS,
         "sf": sf_from_dir(SF_DIR),
     }
     print(json.dumps(out))

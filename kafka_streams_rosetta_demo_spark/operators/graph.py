@@ -22,7 +22,7 @@ never node or edge data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,3 +80,39 @@ def connected_components(
             return labels
         prev_sum = cur
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def keep_best_survivors(
+    labels: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Per connected component, pick the canonical survivor: highest
+    ``quality_col``, ties broken by smallest id. Returns one row per cluster:
+    (cluster_id, n_members, keep_doc_id, keep_quality).
+
+    ``labels`` is a (id, component) frame — typically the *materialized*
+    output of :func:`connected_components`, so a pipeline that needs both the
+    cluster table and the survivors runs the similarity join + label
+    propagation ONCE and feeds this twice. ``quality`` is a (id_col,
+    quality_col) projection of the corpus — the side that scales with data
+    size, billions of rows at the 100 TB target.
+
+    Scale: the labels frame holds only documents that HAVE a near-dup — tiny
+    relative to the corpus — so it is the broadcast side; the corpus quality
+    projection streams through a map-side hash join with no shuffle. The
+    argmax window then partitions by component: key cardinality = number of
+    clusters, per-key size = cluster size (shallow and small for near-dup
+    graphs), so no skew.
+    """
+    members = quality.select(id_col, quality_col).join(
+        F.broadcast(labels.select(F.col("id").alias(id_col), "component")), id_col
+    )
+    w = Window.partitionBy("component").orderBy(F.col(quality_col).desc(), F.col(id_col))
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col(id_col))).alias("keep_doc_id"),
+        F.max(F.when(F.col("rn") == 1, F.col(quality_col))).alias("keep_quality"),
+    )

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import rebalance
-from ..operators.graph import connected_components
+from ..operators.graph import connected_components, keep_best_survivors
 from ..operators.textsim import (
     jaccard_verify,
     md5_long,
@@ -539,14 +539,15 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     document to KEEP — highest quality proxy (``n_chars``), ties to the
     smallest doc_id — plus the member count the drop pass will remove.
     Same pair graph + connected components as ``dedup_cluster_cc``; the
-    selection is one broadcast-joinable lookup of member quality and a
-    per-cluster argmax window.
+    selection is ``operators.graph.keep_best_survivors`` over the label
+    frame — a pipeline materializing the CC table calls that operator
+    directly and runs the similarity join once for both outputs.
 
-    Scale: the cluster table is tiny relative to the corpus (only docs with
-    a near-dup), so the quality join broadcasts the labels against the
-    documents scan, and the argmax window partitions by cluster_id — key
-    cardinality = number of clusters, no skew (near-dup components are
-    shallow and small by construction).
+    Scale: the cluster-label frame is tiny relative to the corpus (only
+    docs with a near-dup), so it is the BROADCAST side; the full-corpus
+    quality projection streams through a map-side hash join, and the argmax
+    window partitions by cluster_id — key cardinality = number of clusters,
+    no skew (near-dup components are shallow and small by construction).
     """
     docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = with_shingles(docs, k=3).localCheckpoint(eager=True)
@@ -554,15 +555,6 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
 
     quality = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    members = comp.select(F.col("id").alias("doc_id"), "component").join(
-        F.broadcast(quality).hint("broadcast"), "doc_id"
-    )
-    w = Window.partitionBy("component").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id")
-    )
-    ranked = members.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy(F.col("component").alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
-        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("keep_n_chars"),
+    return keep_best_survivors(comp, quality).withColumnRenamed(
+        "keep_quality", "keep_n_chars"
     )

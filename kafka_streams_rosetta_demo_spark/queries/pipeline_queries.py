@@ -22,6 +22,7 @@ from ..operators.multimodal import (
     documents_as_binary,
     extract_features,
     resample_audio,
+    resize_images,
     sample_frames,
 )
 from ..operators.textsim import md5_long, with_shingles
@@ -232,6 +233,92 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.round("cos", 6).alias("cosine"),
             F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# Inertia of the deterministic IVF init — the objective kmeans_train
+# minimizes, query-shaped. The trained centroids themselves are NOT
+# hash-comparable across engines (cluster means sum floats in partition
+# order), so training stays pytest-pinned against a numpy twin
+# (tests/test_kmeans.py); the inertia probe quantizes each row's squared
+# distance to integer micro-units BEFORE the per-cell sum, making the
+# aggregate order-free. d2 = v.v - 2 v.c + c.c with every dot the same
+# sequential-accumulation idiom _IVF_ORACLE already proved bit-parity for.
+_INERTIA_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, embedding,
+         sqrt({_IVF_DOT.format(a="embedding", b="embedding")}) AS nrm
+  FROM embeddings
+),
+centroids AS (
+  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+  FROM norms WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 32
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT n.vec_id, c.cid AS cell_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {_IVF_DOT.format(a="n.embedding", b="c.cemb")} / (n.nrm * c.cnrm)
+                      DESC, c.cid DESC) AS rn
+    FROM norms n CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+dists AS (
+  SELECT a.cell_id,
+         CAST(floor((
+           {_IVF_DOT.format(a="n.embedding", b="n.embedding")}
+           - 2 * {_IVF_DOT.format(a="n.embedding", b="c.cemb")}
+           + {_IVF_DOT.format(a="c.cemb", b="c.cemb")}
+         ) * 1e6 + 0.5) AS BIGINT) AS d2_micro
+  FROM assigned a
+  JOIN norms n ON n.vec_id = a.vec_id
+  JOIN centroids c ON c.cid = a.cell_id
+)
+SELECT cell_id, count(*) AS n_vectors, CAST(sum(d2_micro) AS BIGINT) AS inertia_micro
+FROM dists GROUP BY cell_id
+"""
+
+
+@register("kmeans_inertia", oracle=_INERTIA_ORACLE)
+def kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell KMeans objective (sum of squared L2 distances to the
+    assigned centroid) for the deterministic id-sampled init the IVF index
+    uses — the probe that tells an index build whether running the Lloyd
+    trainer (operators/kmeans.py) is worth it, and the quality metric a
+    training round must improve.
+
+    Scale: assignment is the closed-form literal-matrix argmax (no join);
+    the distance needs the assigned centroid's vector, which arrives via a
+    broadcast join against the 32-row centroid table; the per-cell sum is
+    one partial-agg shuffle with k keys. No vector ever shuffles.
+    """
+    from ..operators.vectors import dot as vdot
+
+    normed = rebalance(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroid_rows = (
+        base.where(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(32).collect()
+    )
+    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in centroid_rows]
+
+    cells = ivf_assign(normed, centroids).withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "cell_id bigint, cemb array<double>"
+    )
+    v, c = F.col("embedding"), F.col("cemb")
+    d2 = vdot(v, v) - F.lit(2.0) * vdot(v, c) + vdot(c, c)
+    micro = F.floor(d2 * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        cells.join(F.broadcast(cdf), "cell_id")
+        .select("cell_id", micro.alias("d2_micro"))
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("d2_micro").alias("inertia_micro"),
         )
     )
 
@@ -554,6 +641,74 @@ def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     real resampler (polyphase filter, mel bins) plugs into."""
     assets = documents_as_binary(load_table(spark, sf_dir, "documents"))
     return resample_audio(assets)
+
+
+# The resize twin pools pixel (i, j) into block (i*8 // side, j*8 // side);
+# the oracle uses the closed-form inverse (block r covers rows
+# [ceil(r*side/8), ceil((r+1)*side/8))) — same derivation as the resample
+# oracle's bucket slices, lifted to 2-D: an outer list_transform over the
+# block's rows, each row a 1-based-inclusive list slice of its columns.
+# isqrt is floor(sqrt(n)) with a ±1 integer correction so fp sqrt error on
+# perfect squares can't shift the side. Both engines floor-divide
+# nonnegative integers, and hex()/printf('%02X') agree on uppercase, so the
+# 8x8 grid compares as one 128-char hex string per doc.
+_MM_RESIZE_ORACLE = """
+WITH payload AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(hex(encode(text)), '..'),
+                        x -> CAST('0x' || x AS INTEGER)) AS bs,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+sided AS (
+  SELECT doc_id, bs, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+  FROM payload
+),
+sq AS (
+  SELECT doc_id, bs,
+         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN 1 ELSE 0 END)
+            - (CASE WHEN s0 * s0 > n THEN 1 ELSE 0 END) AS side
+  FROM sided
+),
+blocks AS (
+  SELECT doc_id, side, bs, unnest(range(0, 64)) AS pixel_idx
+  FROM sq WHERE side >= 8
+),
+pooled AS (
+  SELECT doc_id, side, pixel_idx,
+         CAST(list_sum(list_transform(
+                range(((pixel_idx // 8) * side + 7) // 8,
+                      ((pixel_idx // 8 + 1) * side + 7) // 8),
+                i -> list_sum(
+                       bs[CAST(i * side + ((pixel_idx % 8) * side + 7) // 8 + 1 AS BIGINT)
+                          :CAST(i * side + ((pixel_idx % 8 + 1) * side + 7) // 8 AS BIGINT)])))
+              // ((((pixel_idx // 8 + 1) * side + 7) // 8
+                   - ((pixel_idx // 8) * side + 7) // 8)
+                  * (((pixel_idx % 8 + 1) * side + 7) // 8
+                     - ((pixel_idx % 8) * side + 7) // 8))
+              AS BIGINT) AS v
+  FROM blocks
+)
+SELECT doc_id, side,
+       string_agg(printf('%02X', CAST(v AS INTEGER)), '' ORDER BY pixel_idx) AS pixels_hex
+FROM pooled
+GROUP BY doc_id, side
+"""
+
+
+@register("multimodal_resize", oracle=_MM_RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-pipeline resize: each payload viewed as a square grayscale
+    plane (side = isqrt(bytes), tail truncated) block-mean-pooled to 8x8 —
+    exact integer floor-of-mean math, numpy-vectorized inside an
+    Arrow-batched ``mapInPandas`` (the slot a real decoder + interpolating
+    resizer plugs into; docs smaller than 8x8 drop). No shuffle:
+    embarrassingly parallel per row."""
+    assets = documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return resize_images(assets).select(
+        "doc_id", "side", F.hex("pixels").alias("pixels_hex")
+    )
 
 
 # ---------------------------------------------------------------------------

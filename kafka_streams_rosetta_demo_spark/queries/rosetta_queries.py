@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.rekey import filter_not_null, rekey, select_key
 from ..plans.rosetta import calls_aggregation_plan, enriched_calls_plan
@@ -304,6 +305,69 @@ def rosetta_deser_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("k").alias("n_parsed"),
             (F.count(F.lit(1)) - F.count("k")).alias("n_dropped"),
             F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3/S5: Confluent Schema-Registry wire framing, batch-checkable
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kafka_wire_framing",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_records,
+       count(CASE WHEN event_id % 41 <> 0 THEN 1 END)            AS n_decoded,
+       count(CASE WHEN event_id % 41 = 0 THEN 1 END)             AS n_dropped,
+       CAST(sum(CASE WHEN event_id % 41 <> 0 THEN event_id END) AS BIGINT)
+         AS sum_event_id
+FROM events
+GROUP BY event_type
+""",
+)
+def kafka_wire_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S5: the reference's Confluent serdes frame every value as
+    ``0x00 magic + int32 schema id + body`` (``CallsEnrichedApp.java:70-79``,
+    ``CallsAggregationApp.java:31,101``). Round-trip each event through the
+    framed serde; mangle the magic byte of every 41st record so the header
+    check — not the body parse — rejects it, and count drops per event_type
+    like the skipped-records metric.
+
+    Scale: encode/decode are per-row JVM expressions (concat/substring/
+    to_json/from_json — no Python), then one partial-agg shuffle on
+    event_type.
+    """
+    from ..streaming.kafka_io import KafkaTopicSpec
+
+    spec = KafkaTopicSpec(
+        topic="EVENTS_WIRE",
+        value_schema=T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        serde="json",  # deterministic: avro availability must not change results
+        wire_format="confluent",
+        schema_id=7,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    framed = spec.encode_value(F.struct("event_id", "value"))
+    on_wire = F.when(
+        F.col("event_id") % 41 == 0,
+        F.concat(F.lit(b"\xff"), F.substring(framed, 2, 2147483647)),
+    ).otherwise(framed)
+    decoded = spec.decode_value(on_wire)
+    return (
+        ev.select("event_type", decoded.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count("v.event_id").alias("n_decoded"),
+            (F.count(F.lit(1)) - F.count("v.event_id")).alias("n_dropped"),
+            F.sum("v.event_id").alias("sum_event_id"),
         )
     )
 

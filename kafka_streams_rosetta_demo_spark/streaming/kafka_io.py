@@ -20,6 +20,15 @@ jar, so the spec object separates three concerns so each is testable alone:
 
 Serde selection: ``avro`` when available (probed once, lazily), else
 ``json`` — same topology, different edge encoding.
+
+Wire framing: the reference's Confluent serdes do NOT write raw Avro — every
+value on the wire is ``0x00 magic + 4-byte big-endian schema id + body``
+(``CallsEnrichedApp.java:70-79`` and ``CallsAggregationApp.java:31,101``
+configure ``SpecificAvroSerde`` against a Schema Registry, whose wire format
+is that 5-byte header). ``wire_format="confluent"`` makes this spec a
+drop-in peer of the reference's topics: encode prepends the header, decode
+verifies magic + schema id and strips it; a bad header is a deser error the
+S5 counter sees, exactly like a corrupt body.
 """
 
 from __future__ import annotations
@@ -64,6 +73,13 @@ class KafkaTopicSpec:
     avro_record_name: str = "Value"
     starting_offsets: str = "earliest"  # CallsAggregationApp.java:29
     extra_options: dict = field(default_factory=dict)
+    # raw | confluent — confluent wraps every value in the Schema-Registry
+    # wire header (0x00 + int32 schema id) the reference's serdes emit.
+    wire_format: str = "raw"
+    schema_id: int = 1
+
+    def _wire_header(self) -> bytes:
+        return b"\x00" + self.schema_id.to_bytes(4, "big")
 
     def resolved_serde(self) -> str:
         if self.serde != "auto":
@@ -96,7 +112,7 @@ class KafkaTopicSpec:
 
     # -- value serde --------------------------------------------------------
 
-    def _decode(self, value: Column) -> Column:
+    def _decode_body(self, value: Column) -> Column:
         if self.resolved_serde() == "avro":
             from pyspark.sql.avro.functions import from_avro
 
@@ -107,7 +123,20 @@ class KafkaTopicSpec:
             return from_avro(value, schema_json, {"mode": "PERMISSIVE"})
         return F.from_json(value.cast("string"), self.value_schema)
 
-    def _encode(self, value: Column) -> Column:
+    def _decode(self, value: Column) -> Column:
+        if self.wire_format == "confluent":
+            # Header check is part of deserialization: a missing/mangled
+            # magic byte or a foreign schema id nulls the record so the S5
+            # counter in parse() sees it — the reference's serde throws and
+            # LogAndContinue skips, same observable outcome.
+            header_ok = (F.length(value) >= 6) & (
+                F.substring(value, 1, 5) == F.lit(self._wire_header())
+            )
+            body = F.substring(value, 6, 2147483647)
+            return F.when(header_ok, self._decode_body(body))
+        return self._decode_body(value)
+
+    def _encode_body(self, value: Column) -> Column:
         if self.resolved_serde() == "avro":
             from pyspark.sql.avro.functions import to_avro
 
@@ -115,6 +144,22 @@ class KafkaTopicSpec:
 
             return to_avro(value, avro_schema_json(self.value_schema, self.avro_record_name))
         return F.to_json(value).cast("binary")
+
+    def _encode(self, value: Column) -> Column:
+        body = self._encode_body(value)
+        if self.wire_format == "confluent":
+            return F.concat(F.lit(self._wire_header()), body)
+        return body
+
+    def encode_value(self, value: Column) -> Column:
+        """Public serde surface: struct column → on-wire binary value
+        (framed when ``wire_format="confluent"``)."""
+        return self._encode(value)
+
+    def decode_value(self, value: Column) -> Column:
+        """Public serde surface: on-wire binary value → struct column; null
+        on a bad wire header or undecodable body (the S5 drop condition)."""
+        return self._decode(value)
 
     def parse(self, raw: DataFrame, drop_corrupt: bool = True) -> DataFrame:
         """Binary Kafka records → typed columns.

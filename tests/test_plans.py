@@ -76,6 +76,7 @@ def test_arrow_python_only_in_multimodal(plans):
         "multimodal_features",
         "multimodal_frame_sample",
         "multimodal_resample",
+        "multimodal_resize",
     }, f"unexpected Python stage in: {arrow}"
 
 

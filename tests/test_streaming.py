@@ -227,6 +227,61 @@ def test_kafka_spec_drops_corrupt_values(spark):
     assert spec.parse(corrupt, drop_corrupt=False).count() == 2
 
 
+def test_confluent_wire_framing_roundtrip(spark):
+    """Schema-Registry wire format (CallsEnrichedApp.java:70-79): every value
+    is 0x00 + int32 schema id + body; a framed spec must round-trip and the
+    on-wire bytes must carry the exact 5-byte header."""
+    spec = KafkaTopicSpec(
+        topic="CALLS_AGG",
+        value_schema=CALL_AGGREGATE,
+        wire_format="confluent",
+        schema_id=7,
+    )
+    rows = [(1704067200000, "34600111222", 5, 3, 12, 2)]
+    raw = _raw_kafka_frame(spark, spec, rows)
+    (value_bytes,) = [r.value for r in raw.select("value").collect()]
+    assert value_bytes[:5] == b"\x00\x00\x00\x00\x07"
+
+    parsed = spec.parse(raw).collect()
+    assert len(parsed) == 1
+    assert parsed[0].ID_TELEF_ORIGEN == "34600111222"
+    assert parsed[0].CALLS_COUNT == 5
+
+
+def test_confluent_wire_framing_rejects_bad_header(spark):
+    """Unframed bodies, foreign schema ids, and short records are deser
+    errors: nulled, counted by the S5 observe metric, dropped."""
+    spec = KafkaTopicSpec(
+        topic="CALLS_AGG",
+        value_schema=CALL_AGGREGATE,
+        wire_format="confluent",
+        schema_id=7,
+    )
+    good = _raw_kafka_frame(spark, spec, [(1704067200000, "34600111222", 5, 3, 12, 2)])
+    unframed = _raw_kafka_frame(
+        spark,
+        KafkaTopicSpec(topic="CALLS_AGG", value_schema=CALL_AGGREGATE),
+        [(1704070800000, "34600333444", 1, 7, 7, 7)],
+    )
+    wrong_id = _raw_kafka_frame(
+        spark,
+        KafkaTopicSpec(
+            topic="CALLS_AGG",
+            value_schema=CALL_AGGREGATE,
+            wire_format="confluent",
+            schema_id=8,
+        ),
+        [(1704070800000, "34600555666", 2, 4, 8, 4)],
+    )
+    short = good.select(
+        F.col("key"), F.lit(b"\x00\x00").alias("value"), F.col("timestamp")
+    )
+    mixed = good.union(unframed).union(wrong_id).union(short)
+    kept = spec.parse(mixed).collect()
+    assert [r.ID_TELEF_ORIGEN for r in kept] == ["34600111222"]
+    assert spec.parse(mixed, drop_corrupt=False).count() == 4
+
+
 def test_serde_selection_is_environment_aware():
     spec = KafkaTopicSpec(topic="t", value_schema=CALL_AGGREGATE)
     assert spec.resolved_serde() == ("avro" if avro_available() else "json")
