@@ -101,7 +101,19 @@ def main() -> None:
     names = headline + [n for n in OPTIONAL if n in registry]
 
     timings: dict[str, float] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        # Long single-JVM sessions age: broadcast + localCheckpoint blocks
+        # are only dropped when the driver GCs (ContextCleaner is GC-driven,
+        # and a 16g heap almost never collects), so ~100 executions in, the
+        # block manager is carrying every broadcast the run ever made and
+        # late queries time 2-4x their fresh-session cost. An explicit GC
+        # between queries (never inside a timed region) keeps each
+        # measurement at steady state.
+        if qi % 8 == 0:
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         q = registry[name]
         reps = []
         for _ in range(REPS):

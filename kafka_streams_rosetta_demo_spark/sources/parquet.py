@@ -58,14 +58,24 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Schema of a given events parquet path never changes within a process, so
+# the footer read happens once per path — not once per streaming query start
+# (each start otherwise pays a batch-read job before the stream begins).
+_EVENTS_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def events_schema(spark: SparkSession, events_path: str):
     """Footer-only schema read of an events parquet — the explicit schema a
     streaming file source needs, robust to either physical ts encoding
-    (nanos→long under the legacy conf, or native TIMESTAMP/NTZ)."""
+    (nanos→long under the legacy conf, or native TIMESTAMP/NTZ). Cached per
+    path; the legacy conf is still pinned per call because the subsequent
+    streaming read needs it regardless of a cache hit."""
     from ..session import ensure_conf
 
     ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(events_path).schema
+    if events_path not in _EVENTS_SCHEMA_CACHE:
+        _EVENTS_SCHEMA_CACHE[events_path] = spark.read.parquet(events_path).schema
+    return _EVENTS_SCHEMA_CACHE[events_path]
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
