@@ -63,8 +63,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round-3 relational additions) never earned a driver-checked row. This list
 # puts exactly those first, then new round-4 queries, then the stalest
 # previously-checked rows (last seen round 1). Everything else follows in
-# registration order. Rotate again next round so all 10x+ queries re-earn
-# evidence over time.
+# registration order.
+#
+# From round 5 on the rotation is automatic: _staleness_order() reads the
+# committed CORRECTNESS_r*.json history and fronts never-checked queries,
+# then least-recently-checked — so every new query and every aging row cycles
+# back into the gate window with zero list maintenance. This static list is
+# the fallback when the history files are absent (fresh clone without round
+# artifacts).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # --- never driver-checked through round 3 (34) ---
     "streaming_calls_window_agg",
@@ -122,6 +128,37 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 
+def _staleness_order(root=None) -> list[str] | None:
+    """Order registry names by correctness-evidence staleness: never-checked
+    first, then ascending by the round a query last earned a gate row
+    (ties keep registration order, which is deterministic). Reads the
+    committed ``CORRECTNESS_r*.json`` round artifacts next to
+    ``__spark_entry__.py``; returns None when none exist."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(root) if root is not None else Path(__file__).resolve().parents[2]
+    last_round: dict[str, int] = {}
+    found = False
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        found = True
+        rnd = int(m.group(1))
+        for name in rows:
+            last_round[name] = max(last_round.get(name, 0), rnd)
+    if not found:
+        return None
+    names = list(REGISTRY)
+    return sorted(names, key=lambda n: (last_round.get(n, -1), names.index(n)))
+
+
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: registration) and return the
     registry, ordered so the driver's first-50 correctness sample covers the
@@ -135,10 +172,12 @@ def load_all() -> dict[str, Query]:
         streaming_queries,
     )
 
+    priority = _staleness_order() or [
+        n for n in _DRIVER_WINDOW_PRIORITY if n in REGISTRY
+    ]
     ordered: dict[str, Query] = {}
-    for name in _DRIVER_WINDOW_PRIORITY:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
+    for name in priority:
+        ordered[name] = REGISTRY[name]
     for name, q in REGISTRY.items():
         if name not in ordered:
             ordered[name] = q
