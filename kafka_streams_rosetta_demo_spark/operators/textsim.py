@@ -188,6 +188,50 @@ def prefix_filter_pairs(
     )
 
 
+def prefix_filter_pairs_cross(
+    probe: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-recall candidate pairs BETWEEN two shingled sets (probe x
+    corpus) — the incremental-dedup shape: a new crawl batch screens against
+    the existing training corpus, and the (vastly larger) corpus never
+    self-joins.
+
+    Same prefix guarantee as :func:`prefix_filter_pairs` — if ``J(A,B) >= t``
+    the prefixes intersect under any total order shared by both sides — with
+    the document-frequency order computed over the UNION of both sides so the
+    order IS shared and the rarest-first skew argument still holds. At
+    cluster scale the corpus prefix index is the artifact to materialize once
+    and reuse across batches (it only changes when the corpus does); here it
+    rebuilds per call because the gate queries are self-contained. Output:
+    (id_a from probe, id_b from corpus), distinct.
+    """
+    ex_p = probe.select(id_col, F.explode("shingles").alias("s"))
+    ex_c = corpus.select(id_col, F.explode("shingles").alias("s"))
+    freq = ex_p.unionByName(ex_c).groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+
+    def prefixes(ex: DataFrame, out: str) -> DataFrame:
+        ordered = (
+            ex.join(freq, "s")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+        )
+        n = F.size("ordered")
+        prefix_len = (n - F.ceil(n * F.lit(threshold)) + F.lit(1)).cast("int")
+        return ordered.select(
+            id_col, F.explode(F.slice("ordered", 1, prefix_len)).alias("tok")
+        ).select(F.col(id_col).alias(out), F.col("tok.s").alias("s"))
+
+    return (
+        prefixes(ex_p, "id_a")
+        .join(prefixes(ex_c, "id_b"), "s")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame,
     shingled: DataFrame,

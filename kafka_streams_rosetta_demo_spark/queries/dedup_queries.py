@@ -38,6 +38,7 @@ from ..operators.textsim import (
     lsh_band_keys,
     minhash_signature,
     prefix_filter_pairs,
+    prefix_filter_pairs_cross,
     simhash_near_pairs,
     simhash_signature,
     with_shingles,
@@ -293,6 +294,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = hyperplane_band_keys(allv, planes, bands=4, id_col="vec_id")
     cand = band_candidate_pairs(bands, id_col="vec_id")
     return cosine_verify_pairs(cand, allv, threshold=0.95, round_to=3)
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_screen
+# ---------------------------------------------------------------------------
+
+# Batch = every 5th doc, corpus = the rest (deterministic split, both
+# engines). A batch doc is dropped when ANY corpus doc sits at word-3-gram
+# Jaccard >= 0.75; the oracle goes brute-force batch x corpus on shared
+# shingles, the engine goes through the cross-set prefix filter.
+_INCR_ORACLE = f"""
+WITH {_shingle_cte(3)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT doc_a, count(*) AS n_corpus_dups
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.75
+  GROUP BY doc_a
+)
+SELECT w.doc_id,
+       COALESCE(d.n_corpus_dups, 0) AS n_corpus_dups,
+       COALESCE(d.n_corpus_dups, 0) = 0 AS keep
+FROM w LEFT JOIN dups d ON d.doc_a = w.doc_id
+WHERE w.doc_id % 5 = 0
+"""
+
+
+@register("dedup_incremental_screen", oracle=_INCR_ORACLE)
+def dedup_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen a new crawl batch (every 5th doc) against
+    the existing corpus (the rest), dropping batch docs with a corpus
+    near-dup at word-3-gram Jaccard >= 0.75 — the shape a continuously-fed
+    training pipeline runs per ingest, where re-deduplicating the whole
+    corpus per batch is unaffordable.
+
+    Plan: cross-set prefix filter (``prefix_filter_pairs_cross`` — exact
+    recall, the corpus never self-joins, and at scale its prefix index is a
+    materialized artifact reused across batches) → exact-Jaccard verify on
+    candidates → per-batch-doc match count as a left join, so kept docs
+    surface with ``n_corpus_dups = 0`` rather than vanishing silently.
+    """
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # materialized once: feeds the union df-order (2x), both prefix sides,
+    # and both verify sides
+    sh = with_shingles(docs, k=3).localCheckpoint(eager=True)
+    batch = sh.where(F.col("doc_id") % 5 == 0)
+    corpus = sh.where(F.col("doc_id") % 5 != 0)
+    cand = prefix_filter_pairs_cross(batch, corpus, threshold=0.75)
+    ver = jaccard_verify(cand, sh, threshold=0.75)
+    dups = ver.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_dups")
+    )
+    return batch.select("doc_id").join(dups, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_dups", F.lit(0)).alias("n_corpus_dups"),
+        (F.coalesce("n_dups", F.lit(0)) == 0).alias("keep"),
+    )
 
 
 # ---------------------------------------------------------------------------

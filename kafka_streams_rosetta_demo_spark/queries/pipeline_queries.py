@@ -1047,3 +1047,102 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum(micro).cast("double") / F.count(F.lit(1))).cast("long").alias("mean_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_label_confusion — nearest-centroid classification audit
+# ---------------------------------------------------------------------------
+
+# All math in integer micro-units end to end: components floor to longs,
+# per-(label, dim) centroid means are floor(int-sum / count), and squared
+# L2 distances are pure long arithmetic — so the argmin is deterministic in
+# both engines with NO float-order hazard anywhere (same trick as
+# embedding_dim_stats / kmeans_inertia, pushed through a whole classifier).
+_CONF_ORACLE = """
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS micro
+  FROM embeddings
+),
+cent AS (
+  SELECT label, s.i AS dim,
+         CAST(floor(CAST(sum(micro[s.i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM m, (SELECT unnest(range(1, 65)) AS i) s
+  GROUP BY label, s.i
+),
+cvec AS (SELECT label, list(c ORDER BY dim) AS cmicro FROM cent GROUP BY label),
+scored AS (
+  SELECT m.vec_id, m.label AS true_label, c.label AS cand,
+         (SELECT sum((m.micro[s.i] - c.cmicro[s.i]) * (m.micro[s.i] - c.cmicro[s.i]))
+          FROM (SELECT unnest(range(1, 65)) AS i) s) AS d2
+  FROM m CROSS JOIN cvec c
+),
+pred AS (
+  SELECT vec_id, true_label, cand,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+  FROM scored
+)
+SELECT true_label, cand AS pred_label, count(*) AS n
+FROM pred WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
+@register("embedding_label_confusion", oracle=_CONF_ORACLE)
+def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix over the labeled embeddings: each
+    label's centroid is the per-dimension mean, every vector classifies to
+    its nearest centroid by squared L2, output is (true_label, pred_label,
+    n) — the label-quality / cluster-separability audit an embedding
+    pipeline runs before trusting labels for supervised filtering.
+
+    Scale: centroid training is one posexplode + (label, dim) partial-agg
+    shuffle (k x dim groups); the trained matrix collects as bounded model
+    state (10 x 64 longs) and classification is a closed-form literal
+    expression per row — the corpus is scanned once and shuffles only into
+    the k^2-cell confusion aggregate. Ties break to the smaller label in
+    both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    micro = F.transform(
+        "embedding", lambda v: F.floor(v.cast("double") * 1_000_000).cast("long")
+    )
+    cent_rows = (
+        emb.select("label", F.posexplode(micro).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select("label", F.col("dc.c").alias("cmicro"))
+        .collect()
+    )
+    cents = sorted((int(r["label"]), [int(v) for v in r["cmicro"]]) for r in cent_rows)
+    m = rebalance(emb.withColumn("micro", micro))
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("micro"),
+                        F.expr("array(" + ",".join(f"{v}L" for v in c) + ")"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, d: acc + d,
+                ).alias("d2"),
+                F.lit(lab).alias("lab"),
+            )
+            for lab, c in cents
+        ]
+    )
+    pred = F.array_min(scored).getField("lab")
+    return (
+        m.select(F.col("label").alias("true_label"), pred.alias("pred_label"))
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

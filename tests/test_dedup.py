@@ -70,6 +70,33 @@ def test_prefix_filter_exact_recall(spark, sf_correctness):
     assert not missed, f"prefix filter broke its recall guarantee: {sorted(missed)}"
 
 
+def test_prefix_filter_cross_exact_recall(spark, sf_correctness):
+    """The cross-set prefix filter (batch x corpus, shared union df order)
+    must surface every true batch-corpus pair at J >= t."""
+    from kafka_streams_rosetta_demo_spark.operators.textsim import (
+        prefix_filter_pairs_cross,
+    )
+
+    truth = {
+        (a, b) if a % 5 == 0 else (b, a)
+        for a, b in brute_force_pairs(sf_correctness, k=3, threshold=0.75)
+        if (a % 5 == 0) != (b % 5 == 0)
+    }
+    assert truth, "split left no cross batch/corpus near-dup pairs"
+    docs = load_table(spark, sf_correctness, "documents").select("doc_id", "text")
+    sh = with_shingles(docs, k=3)
+    from pyspark.sql import functions as F
+
+    cand = prefix_filter_pairs_cross(
+        sh.where(F.col("doc_id") % 5 == 0),
+        sh.where(F.col("doc_id") % 5 != 0),
+        threshold=0.75,
+    )
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    missed = truth - got
+    assert not missed, f"cross prefix filter broke recall: {sorted(missed)}"
+
+
 def test_prefix_length_formula():
     # |S| - ceil(t|S|) + 1, never below 1
     assert prefix_length(10, 0.7) == 4
