@@ -68,6 +68,12 @@ OPTIONAL = [
     "text_ngram_lm_counts",
     "embedding_dim_stats",
     "dedup_cluster_keep_best",
+    # round 4 additions
+    "kafka_wire_framing",
+    "kmeans_inertia",
+    "multimodal_resize",
+    "dedup_incremental_screen",
+    "embedding_label_confusion",
 ]
 
 
