@@ -104,3 +104,15 @@ def test_multiset_ops_plan_without_joins(plans):
     for name in ("set_except_all", "set_intersect_all"):
         p = plans[name]
         assert "Join" not in p, f"{name} planned a join:\n{p}"
+
+
+def test_keep_best_broadcasts_labels_not_corpus(plans):
+    # keep_best_survivors must broadcast the cluster-label frame (docs WITH a
+    # near-dup — tiny) while the full-corpus quality projection streams. The
+    # returned plan's only join is quality(left) x labels(right), so exactly
+    # one BroadcastExchange building the RIGHT side proves the direction;
+    # broadcasting the left would be the round-3 scale bug (full corpus into
+    # every executor) resurfacing.
+    p = plans["dedup_cluster_keep_best"]
+    assert p.count("BroadcastExchange") == 1, p
+    assert "BuildRight" in p and "BuildLeft" not in p, p
