@@ -74,6 +74,7 @@ OPTIONAL = [
     "multimodal_resize",
     "dedup_incremental_screen",
     "embedding_label_confusion",
+    "search_hybrid_rerank",
 ]
 
 

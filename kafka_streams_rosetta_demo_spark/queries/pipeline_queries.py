@@ -783,8 +783,8 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TOPK = 20
 
-_BM25_ORACLE = f"""
-WITH stats AS (
+# CTE block shared by text_bm25_search and the hybrid reranker.
+_BM25_CTES = f"""stats AS (
   SELECT count(*) AS n_docs,
          CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
   FROM documents
@@ -806,7 +806,10 @@ contrib AS (
            / (tf.tf + {_BM25_K1!r} * (1 - {_BM25_B!r} + {_BM25_B!r} * tf.dl / stats.avgdl))
            * 1000000 + 0.5) AS BIGINT) AS c
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-)
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTES}
 SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / 1000000.0, 6) AS bm25
 FROM contrib GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
@@ -871,6 +874,73 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("c").cast("double") / 1000000.0, 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
+    )
+
+
+# The lexical→semantic two-stage retrieval every RAG/curation stack runs:
+# BM25 selects candidates, an embedding rerank orders them. Documents and
+# embeddings share ids (doc_id == vec_id); candidates without an embedding
+# (possible at sfs where the vector table covers a prefix of the corpus)
+# drop at the inner join, mirrored on both engines. The query vector is
+# vec 0's embedding — bounded model state, like the IVF centroids.
+_HYBRID_ORACLE = f"""
+WITH {_BM25_CTES},
+cands AS (
+  SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / 1000000.0, 6) AS bm25
+  FROM contrib GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT c.doc_id, c.bm25,
+         {_IVF_DOT.format(a="e.embedding", b="qv.q")}
+         / (sqrt({_IVF_DOT.format(a="e.embedding", b="e.embedding")})
+            * sqrt({_IVF_DOT.format(a="qv.q", b="qv.q")})) AS cos
+  FROM cands c
+  JOIN embeddings e ON e.vec_id = c.doc_id
+  CROSS JOIN qv
+)
+SELECT doc_id, bm25, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+"""
+
+
+@register("search_hybrid_rerank", oracle=_HYBRID_ORACLE)
+def search_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical candidates (same pipeline as
+    ``text_bm25_search``) reranked by embedding cosine against a fixed
+    query vector — the two-stage lexical→semantic shape every RAG and
+    curation stack runs, with both stages' scores surfaced.
+
+    Scale: stage 1 moves only the query terms' posting lists; the 20-row
+    candidate table then BROADCASTS against one embedding-table scan (at
+    100 TB this degenerates to point lookups on an id-partitioned vector
+    store — the broadcast-filtered scan is the Spark-idiomatic batch form),
+    and the rerank window sorts 20 rows. The query vector and its norm are
+    driver-side bounded model state.
+    """
+    import math
+
+    from ..operators.vectors import const_vec, dot as vdot, with_norm
+
+    cands = text_bm25_search(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    q_nrm = math.sqrt(sum(x * x for x in q))
+
+    en = with_norm(emb)
+    cos = vdot(F.col("embedding"), const_vec(q)) / (F.col("nrm") * F.lit(q_nrm))
+    scored = (
+        en.join(F.broadcast(cands), en["vec_id"] == cands["doc_id"])
+        .select("doc_id", "bm25", cos.alias("cos"))
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "bm25",
+        F.round("cos", 6).alias("cosine"),
+        F.row_number().over(w).cast("long").alias("rank"),
     )
 
 
