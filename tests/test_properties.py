@@ -154,6 +154,96 @@ def test_salted_join_equals_plain_join(spark):
             assert salted == plain, (salt, how)
 
 
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=25
+    )
+)
+@SETTINGS
+def test_keep_best_survivors_matches_python_model(spark, edges):
+    """connected_components → keep_best_survivors must agree with a
+    union-find + per-component argmax model on arbitrary small graphs,
+    including quality ties (smaller id wins) and singleton-free inputs."""
+    from hypothesis import assume
+
+    from kafka_streams_rosetta_demo_spark.operators.graph import (
+        connected_components,
+        keep_best_survivors,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    assume(edges)
+    nodes = sorted({n for e in edges for n in e})
+    qmap = {n: (n * 37) % 11 for n in nodes}  # deterministic, collision-rich
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    qdf = spark.createDataFrame(list(qmap.items()), "doc_id long, n_chars long")
+    labels = connected_components(edf)
+    got = {
+        r.cluster_id: (r.n_members, r.keep_doc_id, r.keep_quality)
+        for r in keep_best_survivors(labels, qdf).collect()
+    }
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # root stays the min id
+    comps = defaultdict(list)
+    for n in nodes:
+        comps[find(n)].append(n)
+    want = {}
+    for root, members in comps.items():
+        best = max(members, key=lambda n: (qmap[n], -n))
+        want[min(members)] = (len(members), best, qmap[best])
+    assert got == want
+
+
+@given(
+    word_lists=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=8),
+        min_size=2,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_prefix_filter_cross_recall_property(spark, word_lists):
+    """The cross-set prefix filter's recall guarantee must hold on arbitrary
+    tiny-vocabulary corpora (worst case for prefix filtering: everything
+    shares shingles), for every true probe-corpus pair at J >= t."""
+    from kafka_streams_rosetta_demo_spark.operators.textsim import (
+        prefix_filter_pairs_cross,
+        with_shingles,
+    )
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = with_shingles(df, k=3)
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_pairs_cross(
+            sh.where("doc_id % 2 = 0"), sh.where("doc_id % 2 = 1"), threshold=0.6
+        ).collect()
+    }
+    sets = {
+        i: {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+        for i, ws in enumerate(word_lists)
+    }
+    for a in sets:
+        for b in sets:
+            if a % 2 == 0 and b % 2 == 1:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter / union >= 0.6:
+                    assert (a, b) in got, (a, b)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal batch functions: Arrow-level property tests (no Spark round
 # trip per example — the mapInPandas bodies take plain pandas frames, so
