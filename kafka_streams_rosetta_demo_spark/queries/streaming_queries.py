@@ -204,6 +204,71 @@ def streaming_suppress_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_wire_roundtrip",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_records,
+       count(CASE WHEN event_id % 41 <> 0 THEN 1 END)            AS n_decoded,
+       count(CASE WHEN event_id % 41 = 0 THEN 1 END)             AS n_dropped,
+       CAST(sum(CASE WHEN event_id % 41 <> 0 THEN event_id END) AS BIGINT)
+         AS sum_event_id
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S5 as a streaming topology: every record serializes through the
+    Confluent-framed value serde (0x00 magic + int32 schema id + body) and
+    deserializes back *inside a running stream* — the closest brokerless
+    equivalent of producing to and consuming from the reference's
+    Schema-Registry topics. The magic byte of every 41st record is mangled
+    in flight, so the header check (not the body parse) rejects it, and the
+    per-event-type drop counters accumulate in checkpointed update-mode
+    state. Final state must match the batch oracle (same SQL as
+    kafka_wire_framing's aggregate).
+
+    State story: the aggregate keys on event_type — bounded, tiny — and the
+    serde is pure per-row JVM expressions, so the streaming plan adds no
+    state beyond the counter rows."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.kafka_io import KafkaTopicSpec
+
+    spec = KafkaTopicSpec(
+        topic="EVENTS_WIRE",
+        value_schema=T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        serde="json",  # deterministic: avro availability must not change results
+        wire_format="confluent",
+        schema_id=7,
+    )
+    ev = _events_stream(spark, sf_dir)
+    framed = spec.encode_value(F.struct("event_id", "value"))
+    on_wire = F.when(
+        F.col("event_id") % 41 == 0,
+        F.concat(F.lit(b"\xff"), F.substring(framed, 2, 2147483647)),
+    ).otherwise(framed)
+    decoded = spec.decode_value(on_wire)
+    agg = (
+        ev.select("event_type", decoded.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count("v.event_id").alias("n_decoded"),
+            (F.count(F.lit(1)) - F.count("v.event_id")).alias("n_dropped"),
+            F.sum("v.event_id").alias("sum_event_id"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_swr_") as ckpt:
+        state = run_update_query_to_pandas_state(agg, ["event_type"], ckpt)
+    return pandas_state_to_df(spark, state, agg.schema)
+
+
+@register(
     "streaming_dedup_events",
     oracle="SELECT event_id, user_id, event_type, value FROM events",
 )
