@@ -1822,3 +1822,118 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 7 = 0
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# event_transition_matrix — Markov transition counts over per-user sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('microseconds', ts), event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each (prev_type -> next_type) edge, the observed count and the
+    row-normalized transition probability — the behavioral model behind
+    next-action prediction, anomaly scoring, and bot detection.
+
+    Each user's first event has no predecessor and drops; ties on ts break
+    by event_id (the offset stand-in), so the sequence — and therefore the
+    matrix — is deterministic in both engines.
+
+    Scale: ONE shuffle of the events on user_id feeds the lag window
+    (sequence reconstruction is sort-within-user, the same partitioning a
+    sessionizer uses); the transition count collapses map-side into at most
+    |event_types|² cells, and the probability normalization is a window
+    over that tiny matrix — nothing after the first shuffle scales with the
+    input.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(total), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_length_profile — exact discrete length percentiles per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_length_profile",
+    oracle="""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, max(n) AS n_docs,
+       max(CASE WHEN rn = CAST(ceil(0.5  * n) AS BIGINT) THEN n_chars END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.9  * n) AS BIGINT) THEN n_chars END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99,
+       max(CASE WHEN rn = n THEN n_chars END) AS max_chars
+FROM ranked GROUP BY source
+""",
+)
+def source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length profile: exact discrete p50/p90/p99/max of
+    ``n_chars`` — the distribution scan that sizes sequence-packing budgets
+    and sets length-filter cutoffs per corpus slice before a training run.
+
+    Exactness over sketches on purpose: the discrete percentile (value at
+    rank ``ceil(p*n)`` under a total (n_chars, doc_id) order) is
+    engine-exact and hash-comparable, where ``approx_percentile`` sketches
+    differ per engine and run. Scale: one shuffle on source + per-source
+    sort — the honest cost of exact order statistics (the sketch is the
+    100 TB fallback when ±epsilon is acceptable); everything after the sort
+    is a per-source constant number of cells.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    n = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    )
+
+    def at(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("n_chars"))
+        )
+
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        at(0.5).alias("p50"),
+        at(0.9).alias("p90"),
+        at(0.99).alias("p99"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("n_chars"))).alias("max_chars"),
+    )
