@@ -558,3 +558,60 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_survivors(comp, quality).withColumnRenamed(
         "keep_quality", "keep_n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_reservoir — Efraimidis-Spirakis weighted k-sample
+# ---------------------------------------------------------------------------
+
+_WRS_K = 200
+_TWO_60 = 1 << 60
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 15)
+              AS BIGINT) + 1) / {_TWO_60}.0) / n_chars AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, round(es_key * 1000000, 6) AS key_micro
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT {_WRS_K}
+""",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis): each doc
+    draws key ``ln(u)/w`` with weight ``w = n_chars`` (token-budget
+    proportional) and uniform ``u`` derived from the salted doc-id hash —
+    the top-k keys ARE a weighted sample without replacement. Hash-as-
+    uniform makes the draw reproducible across runs, engines, and
+    partitionings — the property that lets a sampling decision be audited
+    months later, which ``rand()`` forfeits.
+
+    Scale: the key is one per-row expression; top-k plans as
+    TakeOrderedAndProject (per-partition heads + one k-row merge — no
+    global sort, no shuffle of the corpus). This is the one-pass
+    distributed form of weighted reservoir sampling; the same key feeds a
+    per-stratum variant via a row_number window over the stratum.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    u = (md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))) + 1) / F.lit(
+        float(_TWO_60)
+    )
+    es_key = F.log(u) / F.col("n_chars")
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .withColumn("es_key", es_key)
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(_WRS_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(F.col("es_key") * 1_000_000, 6).alias("key_micro"),
+        )
+    )
