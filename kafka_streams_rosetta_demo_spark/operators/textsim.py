@@ -232,6 +232,70 @@ def prefix_filter_pairs_cross(
     )
 
 
+def containment_filter_pairs(
+    shingled: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-recall candidates for the ASYMMETRIC containment join
+    ``C(A,B) = |A ∩ B| / |A| >= t`` — the relation that finds documents
+    quoted by, excerpted from, or engulfed by another (Jaccard misses these:
+    a paragraph inside a book has tiny Jaccard but containment ~1).
+
+    Prefix guarantee, one-sided: ``C(A,B) >= t`` forces ``|A ∩ B| >=
+    ceil(t|A|)``, so B must hit one of A's first ``|A| - ceil(t|A|) + 1``
+    tokens under any fixed total order — A (the contained side) indexes only
+    that prefix, while B must index ALL its tokens (no symmetric pruning
+    exists for asymmetric containment; this is the standard cost of the
+    containment self-join). The df order keeps A-prefixes rare-token-first,
+    so B's long posting lists are hit by few prefixes. Output: (id_a
+    contained-candidate, id_b container), a != b, distinct.
+    """
+    ex = shingled.select(id_col, F.explode("shingles").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(freq, "s")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+    )
+    n = F.size("ordered")
+    prefix_len = (n - F.ceil(n * F.lit(threshold)) + F.lit(1)).cast("int")
+    a = ordered.select(
+        id_col, F.explode(F.slice("ordered", 1, prefix_len)).alias("tok")
+    ).select(F.col(id_col).alias("id_a"), F.col("tok.s").alias("s"))
+    b = ex.select(F.col(id_col).alias("id_b"), "s")
+    return (
+        a.join(b, "s")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def containment_verify(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact containment |A ∩ B| / |A| on candidate pairs; keeps pairs at or
+    above threshold with the score rounded to 6 (an int/int division —
+    identical in any engine)."""
+    sa = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    cont = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size("sh_a").cast(
+        "double"
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(cont >= F.lit(threshold))
+        .select(
+            F.col("id_a").alias("doc_in"),
+            F.col("id_b").alias("doc_out"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame,
     shingled: DataFrame,

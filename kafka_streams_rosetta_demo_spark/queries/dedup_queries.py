@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from ..operators import rebalance
 from ..operators.textsim import (
     band_candidate_pairs,
+    containment_filter_pairs,
+    containment_verify,
     jaccard_verify,
     lsh_band_keys,
     minhash_signature,
@@ -294,6 +296,80 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = hyperplane_band_keys(allv, planes, bands=4, id_col="vec_id")
     cand = band_candidate_pairs(bands, id_col="vec_id")
     return cosine_verify_pairs(cand, allv, threshold=0.95, round_to=3)
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment
+# ---------------------------------------------------------------------------
+
+# Asymmetric containment |A∩B|/|A| >= 0.9: finds docs quoted/excerpted by
+# another, which Jaccard structurally misses (a paragraph inside a book has
+# J ~ 0 but containment ~ 1). Every 50th doc is re-injected as its first
+# half (word-wise) under a shifted id — a planted excerpt whose shingles
+# are a strict subset of its source's, so containment = 1 in exactly one
+# direction. The oracle goes brute-force on the shared-shingle join; the
+# engine goes through the one-sided prefix filter.
+_CONTAIN_ORACLE = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1:CAST(len(string_split(text, ' ')) // 2 AS BIGINT)],
+           ' ') AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM all_docs
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_in, b.doc_id AS doc_out, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_in, doc_out,
+       round(CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_in
+WHERE CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.9
+"""
+
+
+@register("dedup_containment", oracle=_CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (engulfing/excerpt) detection at C(A,B) = |A∩B|/|A| >=
+    0.9 over word-3-shingles — the dedup relation that catches documents
+    quoted or wholly included in another, invisible to symmetric Jaccard.
+    Planted excerpts (first half of every 50th doc) must surface with
+    containment 1.0 toward their source and NOT the reverse.
+
+    Plan: one-sided prefix filter (``containment_filter_pairs`` — the
+    contained side indexes only its ``|A| - ceil(0.9|A|) + 1`` rarest
+    shingles, the container side indexes all; exact recall by pigeonhole)
+    → exact containment verify on candidates. Scale: the container-side
+    posting lists are the inherent cost of asymmetric containment; the
+    df-ordered prefixes keep them sparsely probed, and hot shingles are
+    AQE skew territory — never an all-pairs product.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    excerpts = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(words, F.lit(1), F.floor(F.size(words) / 2).cast("int"))
+        ).alias("text"),
+    )
+    allv = rebalance(docs.unionByName(excerpts))
+    # materialized once: feeds the df-order index (2x) and verify (2x)
+    sh = with_shingles(allv, k=3).localCheckpoint(eager=True)
+    cand = containment_filter_pairs(sh, threshold=0.9)
+    return containment_verify(cand, sh, threshold=0.9)
 
 
 # ---------------------------------------------------------------------------

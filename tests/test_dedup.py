@@ -97,6 +97,38 @@ def test_prefix_filter_cross_exact_recall(spark, sf_correctness):
     assert not missed, f"cross prefix filter broke recall: {sorted(missed)}"
 
 
+def test_containment_prefix_exact_recall(spark, sf_correctness):
+    """The one-sided containment prefix filter must surface every true pair
+    at C(A,B) = |A∩B|/|A| >= t."""
+    import duckdb as _duck
+
+    from kafka_streams_rosetta_demo_spark.operators.textsim import (
+        containment_filter_pairs,
+    )
+
+    con = _duck.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_correctness}/documents.parquet'"
+    ).fetchall()
+    sets = {
+        d: {" ".join(t.split()[i : i + 3]) for i in range(len(t.split()) - 2)}
+        for d, t in docs
+        if len(t.split()) >= 3
+    }
+    truth = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a != b and len(sets[a] & sets[b]) / len(sets[a]) >= 0.9
+    }
+    assert truth, "testdata lost its planted near-duplicates"
+    sdocs = load_table(spark, sf_correctness, "documents").select("doc_id", "text")
+    sh = with_shingles(sdocs, k=3)
+    got = {(r.id_a, r.id_b) for r in containment_filter_pairs(sh, threshold=0.9).collect()}
+    missed = truth - got
+    assert not missed, f"containment prefix filter broke recall: {sorted(missed)}"
+
+
 def test_prefix_length_formula():
     # |S| - ceil(t|S|) + 1, never below 1
     assert prefix_length(10, 0.7) == 4
