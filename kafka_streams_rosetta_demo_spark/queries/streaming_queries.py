@@ -204,6 +204,83 @@ def streaming_suppress_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_windows",
+    oracle="""
+WITH e AS (
+  SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events
+),
+d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+),
+sess AS (
+  SELECT user_id,
+         min(ts)                      AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*)                     AS n_events,
+         round(sum(value), 2)         AS total_value
+  FROM s GROUP BY user_id, sid
+),
+wm AS (
+  SELECT max(date_trunc('microseconds', ts)) - INTERVAL 24 HOURS AS cutoff
+  FROM events
+)
+SELECT sess.user_id, sess.session_start, sess.session_end,
+       sess.n_events, sess.total_value
+FROM sess, wm WHERE sess.session_end <= wm.cutoff
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a *streaming* query — the hardest native state
+    shape: unlike fixed windows, sessions MERGE as events arrive (two open
+    sessions coalesce when a bridging event lands), so state is keyed by a
+    window that moves. Spark's ``session_window`` + 24h watermark in append
+    mode emits each merged session exactly once, final, when the watermark
+    passes its end — no event at or above the watermark can extend a
+    session that ended before it, which is precisely the gap-window
+    finality rule. The oracle is the batch gap-islands sessionization
+    (same SQL as window_session) restricted to sessions closed by the
+    final watermark ``max(ts) - 24h`` — so the gate pins both the session
+    math and the finality cutoff.
+
+    State story: one shuffle on user_id; per-key state holds only OPEN
+    sessions (watermark evicts closed ones at emission), the bounded-state
+    contract KS session stores share."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.runner import run_append_query_to_rows
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "24 hours")
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_ssw_") as ckpt:
+        rows = run_append_query_to_rows(agg, ckpt)
+    return spark.createDataFrame(rows, agg.schema)
+
+
+@register(
     "streaming_wire_roundtrip",
     oracle="""
 SELECT event_type,
