@@ -75,6 +75,10 @@ OPTIONAL = [
     "dedup_incremental_screen",
     "embedding_label_confusion",
     "search_hybrid_rerank",
+    "dedup_containment",
+    "event_transition_matrix",
+    "source_length_profile",
+    "sample_weighted_reservoir",
 ]
 
 
