@@ -53,12 +53,23 @@ def connected_components(
     # adjacency is pre-partitioned on the join key and materialized once —
     # the checkpointed frame keeps its HashPartitioning, so every round
     # shuffles only the (much smaller) label table, not the edges.
+    #
+    # The partition count is SIZE-BASED: an explicit repartition is exempt
+    # from AQE coalescing, so pinning it to the session shuffle setting
+    # over-parallelizes small graphs into swarms of near-empty tasks whose
+    # scheduling noise dominates the loop (measured: 2x wall-clock variance
+    # at sf0.1). ~250k adjacency rows per partition, floored at 8, capped
+    # at the session setting — a 100 TB edge set hits the cluster-sized cap,
+    # a near-dup graph gets a handful of full partitions.
+    n_edges = e.count()  # cheap: e is checkpointed
+    conf_parts = int(sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(8, min(conf_parts, (3 * n_edges) // 250_000 + 1))
     adj = (
         sym.unionByName(
             nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
         )
         .distinct()
-        .repartition("src")
+        .repartition(parts, "src")
         .localCheckpoint(eager=True)
     )
     labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
