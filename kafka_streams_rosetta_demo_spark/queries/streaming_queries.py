@@ -204,6 +204,57 @@ def streaming_suppress_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events
+)
+SELECT a.user_id,
+       a.event_id AS event_a,
+       b.event_id AS event_b,
+       abs(epoch_us(a.ts) - epoch_us(b.ts)) AS diff_us
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+""",
+)
+def streaming_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KS windowed stream-stream join (``JoinWindows``) as a registered
+    query (X28 query-shaped): the events stream self-joined within a
+    ±5-minute band on the same user — both sides watermarked, the time-band
+    condition bounding join state (a row evicts once the other side's
+    watermark passes ``ts + tolerance``). Inner matches emit in append mode
+    as they are found; the emitted pair set must equal the batch
+    ``join_range`` answer (same oracle SQL), which is exactly the
+    stream-equals-batch contract for interval joins.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.runner import run_append_query_to_rows
+    from ..streaming.transforms import streaming_interval_join
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    joined = streaming_interval_join(
+        ev, ev, key="user_id", left_ts="ts", right_ts="ts", tolerance_seconds=300
+    )
+    out = (
+        joined.where(F.col("l.event_id") < F.col("r.event_id"))
+        .select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("event_a"),
+            F.col("r.event_id").alias("event_b"),
+            F.abs(
+                F.unix_micros(F.col("l.ts")) - F.unix_micros(F.col("r.ts"))
+            ).alias("diff_us"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_sij_") as ckpt:
+        rows = run_append_query_to_rows(out, ckpt)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "streaming_session_windows",
     oracle="""
 WITH e AS (
