@@ -208,28 +208,35 @@ def prefix_filter_pairs_cross(
     rebuilds per call because the gate queries are self-contained. Output:
     (id_a from probe, id_b from corpus), distinct.
     """
-    ex_p = probe.select(id_col, F.explode("shingles").alias("s"))
-    ex_c = corpus.select(id_col, F.explode("shingles").alias("s"))
-    freq = ex_p.unionByName(ex_c).groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-
-    def prefixes(ex: DataFrame, out: str) -> DataFrame:
-        ordered = (
-            ex.join(freq, "s")
-            .groupBy(id_col)
-            .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+    # One tagged build instead of two: the sides union with a marker, the
+    # df aggregation and the per-doc ordered-prefix groupBy each run ONCE
+    # over the union, and the prefix table splits back by tag — halving the
+    # index-build shuffles vs building each side separately. (The
+    # materialize-the-corpus-index-per-batch production variant builds the
+    # corpus side alone with the same code path, amortized across batches.)
+    ex = (
+        probe.select(id_col, F.explode("shingles").alias("s"))
+        .withColumn("_side", F.lit(0))
+        .unionByName(
+            corpus.select(id_col, F.explode("shingles").alias("s")).withColumn(
+                "_side", F.lit(1)
+            )
         )
-        n = F.size("ordered")
-        prefix_len = (n - F.ceil(n * F.lit(threshold)) + F.lit(1)).cast("int")
-        return ordered.select(
-            id_col, F.explode(F.slice("ordered", 1, prefix_len)).alias("tok")
-        ).select(F.col(id_col).alias(out), F.col("tok.s").alias("s"))
-
-    return (
-        prefixes(ex_p, "id_a")
-        .join(prefixes(ex_c, "id_b"), "s")
-        .select("id_a", "id_b")
-        .distinct()
     )
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(freq, "s")
+        .groupBy("_side", id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+    )
+    n = F.size("ordered")
+    prefix_len = (n - F.ceil(n * F.lit(threshold)) + F.lit(1)).cast("int")
+    prefix = ordered.select(
+        "_side", id_col, F.explode(F.slice("ordered", 1, prefix_len)).alias("tok")
+    ).select("_side", id_col, F.col("tok.s").alias("s"))
+    a = prefix.where(F.col("_side") == 0).select(F.col(id_col).alias("id_a"), "s")
+    b = prefix.where(F.col("_side") == 1).select(F.col(id_col).alias("id_b"), "s")
+    return a.join(b, "s").select("id_a", "id_b").distinct()
 
 
 def containment_filter_pairs(
