@@ -106,6 +106,54 @@ def _write_flat(df, stage_dir, out_dir, name):
     shutil.copy(part_file, out_dir / f"{name}.parquet")
 
 
+def test_streaming_sessions_merge_across_micro_batches(spark, split_events_dir, tmp_path):
+    """Session state must MERGE across micro-batches: an event in batch 2
+    landing within the gap of a session opened in batch 1 extends that
+    session, it does not start a second one. Fed 3 micro-batches, the
+    append-mode emitted sessions must equal the batch sessionization of the
+    same rows under the final-watermark cutoff — the multi-batch half of
+    what the registered streaming_session_windows query (single batch)
+    proves against the SQL oracle."""
+    from kafka_streams_rosetta_demo_spark.streaming.runner import (
+        run_append_query_to_rows,
+    )
+
+    def session_agg(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    stream = _stream(spark, split_events_dir, max_files_per_trigger=1)
+    agg = session_agg(stream.withWatermark("ts", "24 hours"))
+    rows = run_append_query_to_rows(agg, str(tmp_path / "ckpt"))
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in rows
+    }
+
+    batch = spark.read.parquet(split_events_dir)
+    cutoff = batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("c")
+    ).first()["c"]
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in session_agg(batch).where(F.col("session_end") <= F.lit(cutoff)).collect()
+    }
+    assert want, "fixture produced no watermark-closed sessions"
+    assert got == want
+
+
 def test_watermark_drops_rows_later_than_grace(spark, tmp_path):
     """T3: a row arriving (after a checkpointed restart) with event time
     older than the committed watermark is dropped — the silent-drop-after-
