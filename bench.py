@@ -79,6 +79,7 @@ OPTIONAL = [
     "event_transition_matrix",
     "source_length_profile",
     "sample_weighted_reservoir",
+    "text_lm_logprob",
 ]
 
 

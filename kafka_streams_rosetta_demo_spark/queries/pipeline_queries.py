@@ -1065,6 +1065,94 @@ def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_lm_logprob — per-doc bigram LM log-likelihood (perplexity filter)
+# ---------------------------------------------------------------------------
+
+# Per-occurrence terms quantize to integer micro-units BEFORE the per-doc
+# sum (the BM25 trick), so the per-doc aggregate is float-order-free; the
+# ln itself is the same libm call both engines make on identical doubles
+# (precedent: text_tfidf_topk ranks on ln and hash-matches).
+_LM_LOGPROB_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+big AS (
+  SELECT doc_id, words[i] AS prev, words[i+1] AS cur
+  FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w)
+),
+cb AS (SELECT prev, cur, count(*) AS c2 FROM big GROUP BY prev, cur),
+cp AS (SELECT prev, count(*) AS c1 FROM big GROUP BY prev),
+terms AS (
+  SELECT b.doc_id,
+         CAST(floor(ln(CAST(cb.c2 AS DOUBLE) / cp.c1) * 1000000 + 0.5) AS BIGINT)
+           AS t_micro
+  FROM big b JOIN cb ON cb.prev = b.prev AND cb.cur = b.cur
+             JOIN cp ON cp.prev = b.prev
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(t_micro) AS BIGINT) AS logprob_micro_sum,
+       round(CAST(sum(t_micro) AS DOUBLE) / 1000000.0 / count(*), 6)
+         AS avg_logprob
+FROM terms GROUP BY doc_id
+"""
+
+
+@register("text_lm_logprob", oracle=_LM_LOGPROB_ORACLE)
+def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram log-likelihood under the corpus's own
+    bigram LM — the KenLM-style fluency signal quality pipelines threshold
+    on (gibberish and boilerplate score far from the corpus mode). The
+    conditional is ``C(prev cur) / C(prev ·)`` over bigram occurrences, so
+    the model is self-contained: no external LM artifact, exactly
+    reproducible.
+
+    Scale: one explode pass emits bigram occurrences map-side; the two
+    count tables are vocab²- and vocab-sized aggregates that join back onto
+    the occurrence stream (broadcast when small, shuffle join when the
+    vocabulary outgrows memory — Catalyst's size estimate decides); the
+    per-doc reduction is one partial-agg shuffle on doc_id. Contributions
+    quantize to integer micro-units before summing, so the score is
+    independent of aggregation order in either engine.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.lower("text"), " ")
+    big = (
+        docs.where(F.size(F.split("text", " ")) >= 2)
+        .select("doc_id", words.alias("words"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1),"
+                    " i -> struct(words[i-1] AS prev, words[i] AS cur))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.prev", "b.cur")
+    )
+    cb = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    cp = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    t_micro = F.floor(
+        F.log(F.col("c2").cast("double") / F.col("c1")) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        big.join(cb, ["prev", "cur"])
+        .join(cp, "prev")
+        .select("doc_id", t_micro.alias("t_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("t_micro").alias("logprob_micro_sum"),
+            F.round(
+                F.sum("t_micro").cast("double") / 1_000_000.0 / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding_dim_stats — per-dimension corpus statistics (whitening prep)
 # ---------------------------------------------------------------------------
 
