@@ -372,6 +372,80 @@ def kafka_wire_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kafka_avro_roundtrip",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_records,
+       count(CASE WHEN event_id % 43 <> 0 THEN 1 END)            AS n_decoded,
+       count(CASE WHEN event_id % 43 = 0 THEN 1 END)             AS n_dropped,
+       CAST(sum(CASE WHEN event_id % 43 <> 0 THEN event_id END) AS BIGINT)
+         AS sum_event_id,
+       CAST(sum(CASE WHEN event_id % 43 <> 0
+                     THEN CAST(floor(value * 1000) AS BIGINT) END) AS BIGINT)
+         AS sum_value_milli
+FROM events
+GROUP BY event_type
+""",
+)
+def kafka_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S5 with genuine **Avro** wire bytes: every event round-trips
+    through the Confluent-framed AVRO value serde — the reference's actual
+    on-wire encoding (``SpecificAvroSerde``, ``CallsAggregationApp.java:
+    33,40-41``) — via the pure-Python Avro 1.12 codec (``streaming/
+    avro_codec.py``, byte-level cross-validated against the JVM's own Avro
+    in ``tests/test_avro_codec.py``). Every 43rd record's *body* is
+    truncated in flight (header left intact), so the Avro decoder itself —
+    not the wire-header check — must detect the corruption (truncated
+    varint/double → null row → S5 drop counter).
+
+    Scale: the codec runs as Arrow-batched pandas UDFs — the documented
+    jar-less fallback; with spark-avro on the classpath the spec's ``auto``
+    serde selects the JVM ``from_avro``/``to_avro`` expressions instead and
+    the topology is unchanged. One partial-agg shuffle on event_type.
+    """
+    from ..streaming.kafka_io import KafkaTopicSpec
+
+    spec = KafkaTopicSpec(
+        topic="EVENTS_AVRO",
+        value_schema=T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        serde="avro_py",  # deterministic here; "auto" would pick the JVM
+        # expressions on clusters that ship spark-avro
+        wire_format="confluent",
+        schema_id=11,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    framed = spec.encode_value(F.struct("event_id", "value"))
+    # Body is always >= 9 bytes (varint long + 8-byte double), so keeping
+    # only 3 body bytes guarantees a truncation the decoder must reject.
+    on_wire = F.when(
+        F.col("event_id") % 43 == 0, F.substring(framed, 1, 8)
+    ).otherwise(framed)
+    decoded = spec.decode_value(on_wire)
+    return (
+        ev.select("event_type", decoded.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count("v.event_id").alias("n_decoded"),
+            (F.count(F.lit(1)) - F.count("v.event_id")).alias("n_dropped"),
+            F.sum("v.event_id").alias("sum_event_id"),
+            # Integer micro-units: the decoded double is bit-exact (IEEE754
+            # through the codec), but a float SUM is order-dependent across
+            # engines — floor-to-milli before summing is order-free and
+            # still proves the double survived the roundtrip.
+            F.sum(F.floor(F.col("v.value") * 1000).cast("long")).alias(
+                "sum_value_milli"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Session + sliding windows (streaming parity breadth, batch-checkable —
 # SURVEY §2.8/§7-4; the reference is tumbling-only, Spark adds both natively)

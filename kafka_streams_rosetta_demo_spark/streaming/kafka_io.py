@@ -18,8 +18,13 @@ jar, so the spec object separates three concerns so each is testable alone:
   via ``observe`` metrics instead of failing the query.
 - ``serialize(df)`` — typed columns → (key, value) ready for the Kafka sink.
 
-Serde selection: ``avro`` when available (probed once, lazily), else
-``json`` — same topology, different edge encoding.
+Serde selection: ``avro`` (the JVM ``from_avro``/``to_avro`` expressions)
+when the spark-avro module is loadable — probed once, lazily — else
+``avro_py``: genuine Avro binary through the pure-Python codec
+(``avro_codec.py``, cross-validated byte-level against the JVM's own Avro
+via the in-core ``AvroFileFormat``) running as Arrow-batched pandas UDFs.
+Either way the bytes on the wire are Avro, like the reference's topics;
+``json`` remains selectable explicitly for JVM-only-expression paths.
 
 Wire framing: the reference's Confluent serdes do NOT write raw Avro — every
 value on the wire is ``0x00 magic + 4-byte big-endian schema id + body``
@@ -35,6 +40,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import lru_cache
+
+# Module-level so the pandas-UDF type hints (evaluated lazily under
+# ``from __future__ import annotations``) resolve against module globals.
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -84,7 +93,7 @@ class KafkaTopicSpec:
     def resolved_serde(self) -> str:
         if self.serde != "auto":
             return self.serde
-        return "avro" if avro_available() else "json"
+        return "avro" if avro_available() else "avro_py"
 
     # -- connection specs ---------------------------------------------------
 
@@ -112,16 +121,76 @@ class KafkaTopicSpec:
 
     # -- value serde --------------------------------------------------------
 
+    def _schema_json(self) -> str:
+        from ..schemas import avro_schema_json
+
+        return avro_schema_json(self.value_schema, self.avro_record_name)
+
     def _decode_body(self, value: Column) -> Column:
-        if self.resolved_serde() == "avro":
+        serde = self.resolved_serde()
+        if serde == "avro":
             from pyspark.sql.avro.functions import from_avro
 
-            from ..schemas import avro_schema_json
-
-            schema_json = avro_schema_json(self.value_schema, self.avro_record_name)
             # PERMISSIVE: corrupt records decode to null (S5)
-            return from_avro(value, schema_json, {"mode": "PERMISSIVE"})
+            return from_avro(value, self._schema_json(), {"mode": "PERMISSIVE"})
+        if serde == "avro_py":
+            return self._avro_py_decode_udf()(value)
         return F.from_json(value.cast("string"), self.value_schema)
+
+    def _avro_py_decode_udf(self):
+        """Arrow-batched decoder over the pure-Python Avro codec. Permissive:
+        a corrupt/truncated body yields an all-null row, which ``parse()``
+        counts as a deser drop (S5) — same observable as the JVM path's null
+        struct. Per-record Python is the jar-less fallback; with spark-avro
+        on the classpath ``resolved_serde()`` picks the JVM expression."""
+        from .avro_codec import decode_record, parse_schema
+
+        schema_json = self._schema_json()
+        field_names = [f.name for f in self.value_schema.fields]
+        # Permissive decode emits all-null rows for corrupt input, so the
+        # UDF's declared return type must be nullable regardless of the
+        # topic schema's nullability (same relaxation from_avro PERMISSIVE
+        # applies JVM-side).
+        nullable_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in self.value_schema.fields]
+        )
+
+        @F.pandas_udf(nullable_schema)
+        def dec(vals: pd.Series) -> pd.DataFrame:
+            schema = parse_schema(schema_json)
+            null_row = dict.fromkeys(field_names)
+            rows = []
+            for v in vals:
+                if v is None:
+                    rows.append(null_row)
+                    continue
+                try:
+                    rec = decode_record(schema, bytes(v))
+                    rows.append({k: rec.get(k) for k in field_names})
+                except (ValueError, UnicodeDecodeError, OverflowError):
+                    rows.append(null_row)
+            return pd.DataFrame(rows, columns=field_names)
+
+        return dec
+
+    def _avro_py_encode_udf(self):
+        from .avro_codec import encode_record, parse_schema
+
+        schema_json = self._schema_json()
+        field_names = [f.name for f in self.value_schema.fields]
+
+        @F.pandas_udf(T.BinaryType())
+        def enc(vals: pd.DataFrame) -> pd.Series:
+            schema = parse_schema(schema_json)
+            out = []
+            for row in vals.itertuples(index=False):
+                rec = {}
+                for name, v in zip(field_names, row):
+                    rec[name] = None if (v is None or v is pd.NaT or pd.isna(v)) else v
+                out.append(encode_record(schema, rec))
+            return pd.Series(out)
+
+        return enc
 
     def _decode(self, value: Column) -> Column:
         if self.wire_format == "confluent":
@@ -137,12 +206,13 @@ class KafkaTopicSpec:
         return self._decode_body(value)
 
     def _encode_body(self, value: Column) -> Column:
-        if self.resolved_serde() == "avro":
+        serde = self.resolved_serde()
+        if serde == "avro":
             from pyspark.sql.avro.functions import to_avro
 
-            from ..schemas import avro_schema_json
-
-            return to_avro(value, avro_schema_json(self.value_schema, self.avro_record_name))
+            return to_avro(value, self._schema_json())
+        if serde == "avro_py":
+            return self._avro_py_encode_udf()(value)
         return F.to_json(value).cast("binary")
 
     def _encode(self, value: Column) -> Column:

@@ -331,9 +331,13 @@ def test_confluent_wire_framing_rejects_bad_header(spark):
 
 
 def test_serde_selection_is_environment_aware():
+    # auto NEVER silently downgrades the wire format to JSON: genuine Avro
+    # bytes either way — the JVM expressions when spark-avro is loadable,
+    # else the cross-validated pure-Python codec.
     spec = KafkaTopicSpec(topic="t", value_schema=CALL_AGGREGATE)
-    assert spec.resolved_serde() == ("avro" if avro_available() else "json")
+    assert spec.resolved_serde() == ("avro" if avro_available() else "avro_py")
     assert KafkaTopicSpec(topic="t", value_schema=CALL_AGGREGATE, serde="json").resolved_serde() == "json"
+    assert KafkaTopicSpec(topic="t", value_schema=CALL_AGGREGATE, serde="avro_py").resolved_serde() == "avro_py"
 
 
 def test_reader_writer_options():
