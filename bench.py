@@ -129,6 +129,17 @@ def main() -> None:
         q = registry[name]
         reps = []
         for _ in range(REPS):
+            if name == "dedup_cluster_cc":
+                # The CC label frame is memoized per (app, sf_dir) because
+                # dedup_cluster_keep_best consumes the same artifact. Clear
+                # it here so THIS number stays the honest artifact-build
+                # cost; keep_best (later in the list) then times against
+                # the warm artifact — the incremental cost a pipeline pays.
+                from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+                    clear_cc_labels_cache,
+                )
+
+                clear_cc_labels_cache()
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)

@@ -7,14 +7,17 @@ connected components over the pair graph.
 
 Scale design: min-label propagation, the standard distributed CC. Each
 iteration is one equi-join + one groupBy-min — plain shuffles on the node
-id, no driver-side graph. Iteration count is bounded by the component
-*diameter*, and near-dup components are shallow (near-duplication is close
-to transitive), so a handful of rounds converge; the ``large-star /
-small-star`` variant (Kiveris et al., "Connected Components in MapReduce
-and Beyond") drops that to O(log d) for adversarially long chains and slots
-into the same loop shape if ever needed. Per-iteration ``localCheckpoint``
-truncates the lineage so the plan does not grow with iterations (the
-classic iterative-algorithm failure mode on Spark).
+id, no driver-side graph. Near-dup components are shallow (near-duplication
+is close to transitive), so a handful of neighbor-min rounds converge; for
+adversarially long chains (sliding boilerplate near-dups) the loop adds
+PATH HALVING from round 3 — label <- label(label), one extra equi-join of
+the small label table — which bounds rounds at O(log diameter), the same
+asymptotic the ``large-star / small-star`` variant (Kiveris et al.,
+"Connected Components in MapReduce and Beyond") buys with heavier
+edge-rewriting rounds. A 400-node path graph is pinned converging inside
+the default budget (``tests/test_corpus.py``). Per-iteration
+``localCheckpoint`` truncates the lineage so the plan does not grow with
+iterations (the classic iterative-algorithm failure mode on Spark).
 
 The driver-side loop carries only a scalar convergence flag per round —
 never node or edge data.
@@ -80,13 +83,38 @@ def connected_components(
     labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
 
     prev_sum = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
         labels = (
             adj.join(labels, adj["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
+        # PATH HALVING (pointer jumping): label <- label(label). Plain
+        # neighbor-min needs diameter rounds — fine for shallow near-dup
+        # graphs, fatal for a long chain (boilerplate sliding near-dups can
+        # chain arbitrarily at corpus scale). Following the label's own
+        # label halves remaining distance, so rounds drop to O(log d) —
+        # the same acceleration large-star/small-star buys, for one extra
+        # equi-join of the (node-sized, 2-column) label table, much
+        # smaller than the adjacency join above. Correctness: every label
+        # value is a node id of the same component (init = self, min over
+        # neighbors preserves membership), so label(label) stays in the
+        # component and the component min is still the unique fixpoint.
+        # Skipped for the first two rounds: shallow graphs converge before
+        # the extra join would pay for itself.
+        if i >= 2:
+            hop = labels.select(
+                F.col("id").alias("h_id"), F.col("component").alias("h_comp")
+            )
+            labels = labels.join(
+                hop, labels["component"] == hop["h_id"], "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("h_comp", "component")
+                ).alias("component"),
+            )
+        labels = labels.localCheckpoint(eager=True)
         # Labels are monotonically non-increasing (the self-loop keeps each
         # node's own label in the min), so the label sum strictly decreases
         # until the fixpoint — a scalar convergence flag with no join

@@ -58,8 +58,10 @@ def run_update_query_to_state(
     last-update-wins, the changelog/compacted-topic contract (T2).
 
     The collect inside foreachBatch materializes only the *changed aggregate
-    rows* per micro-batch (bounded by key cardinality, not input size); a
-    production sink would write them to Kafka/Delta instead.
+    rows* per micro-batch (bounded by key cardinality, not input size); the
+    production sink is :func:`run_update_query_to_parquet_changelog`
+    (executor-side parquet appends — pytest-pinned equal to this merge),
+    or a Kafka/Delta writer in the same ``foreachBatch`` position.
     """
     merged: dict = state if state is not None else {}
 
@@ -127,6 +129,61 @@ def pandas_state_to_df(spark: SparkSession, pdf, schema: T.StructType) -> DataFr
     if len(pdf) == 0:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(pdf, schema)
+
+
+def run_update_query_to_parquet_changelog(
+    result: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """The PRODUCTION-shaped sink the ``run_update_query_to_*state``
+    helpers stand in for: each update-mode micro-batch appends its changed
+    aggregate rows to a parquet changelog (stamped with the batch id) —
+    entirely executor-side, nothing moves driver-ward, so it scales to
+    billions of keys where the in-memory adapters cannot. The changelog is
+    the lakehouse analogue of the compacted output topic; read it back
+    with :func:`parquet_changelog_snapshot` for last-write-wins state.
+    ``tests/test_streaming.py`` pins this sink equal to the driver-merged
+    state, proving the in-memory merge is an optional adapter, not
+    load-bearing.
+    """
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    (
+        result.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def parquet_changelog_snapshot(
+    spark: SparkSession, out_dir: str, key_cols: list[str]
+) -> DataFrame:
+    """Compact a parquet changelog to its final state: last write per key,
+    where "last" is the highest micro-batch id (update mode emits a key at
+    most once per batch, so batch id is a total order per key). One window
+    over the (small, key-cardinality-bounded) changelog — the same read a
+    downstream ``builder.table`` does over a compacted topic."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    log = spark.read.parquet(out_dir)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_batch_id").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_batch_id", "_rn")
+    )
 
 
 def run_append_query_to_rows(

@@ -44,6 +44,19 @@ def test_connected_components_matches_union_find(spark):
     assert got == _union_find_components(edges)
 
 
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """A 400-node path graph has diameter 400 — plain neighbor-min label
+    propagation would need 400 rounds (far past max_iter and a RuntimeError
+    before round 5 added path halving). Pointer jumping must collapse it
+    within the default 25-round budget, labeling every node with the chain
+    head. Long boilerplate near-dup chains ARE this shape at corpus scale."""
+    n = 400
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r.id: r.component for r in connected_components(df, "src", "dst").collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
 def test_cluster_cc_labels_are_component_minima(spark, sf_correctness):
     out = QUERIES["dedup_cluster_cc"].fn(spark, sf_correctness)
     rows = out.collect()

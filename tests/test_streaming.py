@@ -81,6 +81,39 @@ def test_multibatch_windowed_agg_converges_to_batch(spark, split_events_dir, tmp
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
 
 
+def test_parquet_changelog_sink_equals_driver_merged_state(
+    spark, split_events_dir, tmp_path
+):
+    """The driver-side state merge is an optional ADAPTER, not load-bearing:
+    the same update-mode topology written through the production-shaped
+    parquet-changelog sink (executor-side appends, nothing collected) must
+    compact to exactly the state the in-memory merge produced."""
+    from kafka_streams_rosetta_demo_spark.streaming.runner import (
+        parquet_changelog_snapshot,
+        run_update_query_to_parquet_changelog,
+    )
+
+    def topology():
+        calls = events_to_calls(_stream(spark, split_events_dir, max_files_per_trigger=1))
+        return streaming_windowed_call_agg(calls)
+
+    agg = topology()
+    state = run_update_query_to_state(
+        agg, lambda r: (r.id_telef_origen, r.window_start), str(tmp_path / "ckpt_mem")
+    )
+    merged = state_to_df(spark, state, agg.schema)
+
+    out_dir = str(tmp_path / "changelog")
+    run_update_query_to_parquet_changelog(
+        topology(), str(tmp_path / "ckpt_lake"), out_dir
+    )
+    lake = parquet_changelog_snapshot(
+        spark, out_dir, ["id_telef_origen", "window_start"]
+    ).select(*merged.columns)
+
+    assert sorted(map(tuple, lake.collect())) == sorted(map(tuple, merged.collect()))
+
+
 def test_multibatch_latest_per_key_converges_to_batch(spark, split_events_dir, tmp_path):
     cols = ["ts", "event_id", "event_type", "value"]
     stream = _stream(spark, split_events_dir, max_files_per_trigger=1)
