@@ -80,6 +80,8 @@ OPTIONAL = [
     "source_length_profile",
     "sample_weighted_reservoir",
     "text_lm_logprob",
+    # round 5 additions
+    "kafka_avro_roundtrip",
 ]
 
 

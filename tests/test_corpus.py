@@ -57,6 +57,53 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_keep_best_broadcast_guard_degrades_to_shuffle_join(spark):
+    """Above the row cap the labels side must NOT broadcast (at 100 TB the
+    duplicated fraction can be billions of rows — force-broadcast would OOM
+    every executor); the join degrades to a shuffle join with identical
+    results."""
+    from kafka_streams_rosetta_demo_spark.operators.graph import keep_best_survivors
+
+    labels = spark.createDataFrame(
+        [(i, i // 3 * 3) for i in range(30)], "id long, component long"
+    )
+    quality = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(30)], "doc_id long, n_chars long"
+    )
+    # Disable size-based auto-broadcast so the HINT (or its absence) alone
+    # decides the strategy — on real data the sizes decide, but the fixture
+    # is tiny and AQE would broadcast either side regardless.
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in old:
+            spark.conf.set(k, "-1")
+        small = keep_best_survivors(labels, quality)
+        guarded = keep_best_survivors(labels, quality, max_broadcast_rows=0)
+        assert (
+            "BroadcastExchange"
+            in small._jdf.queryExecution().executedPlan().toString()
+        )
+        assert (
+            "BroadcastExchange"
+            not in guarded._jdf.queryExecution().executedPlan().toString()
+        )
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, guarded.collect())
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_cluster_cc_labels_are_component_minima(spark, sf_correctness):
     out = QUERIES["dedup_cluster_cc"].fn(spark, sf_correctness)
     rows = out.collect()
