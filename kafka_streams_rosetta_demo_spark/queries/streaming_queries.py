@@ -397,6 +397,77 @@ def streaming_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_avro_roundtrip",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_records,
+       count(CASE WHEN event_id % 43 <> 0 THEN 1 END)            AS n_decoded,
+       count(CASE WHEN event_id % 43 = 0 THEN 1 END)             AS n_dropped,
+       CAST(sum(CASE WHEN event_id % 43 <> 0 THEN event_id END) AS BIGINT)
+         AS sum_event_id,
+       CAST(sum(CASE WHEN event_id % 43 <> 0
+                     THEN CAST(floor(value * 1000) AS BIGINT) END) AS BIGINT)
+         AS sum_value_milli
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``kafka_avro_roundtrip``'s topology inside a running checkpointed
+    stream: every record serializes to genuine Confluent-framed AVRO bytes
+    (pure-Python Avro 1.12 codec as Arrow-batched pandas UDFs —
+    ``streaming/avro_codec.py``, cross-validated against the JVM's Avro)
+    and deserializes back per micro-batch; every 43rd record's body is
+    truncated in flight so the Avro decoder itself must reject it, and the
+    per-event-type counters accumulate in checkpointed update-mode state
+    that must match the batch oracle. The closest brokerless equivalent of
+    producing Avro to and consuming Avro from the reference's topics
+    (``SpecificAvroSerde``, ``CallsAggregationApp.java:33,40-41``).
+
+    State story: identical to ``streaming_wire_roundtrip`` — serde is
+    per-row (JVM framing + Arrow-batched codec), the only state is the
+    event_type counter rows."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.kafka_io import KafkaTopicSpec
+
+    spec = KafkaTopicSpec(
+        topic="EVENTS_AVRO",
+        value_schema=T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        serde="avro_py",
+        wire_format="confluent",
+        schema_id=11,
+    )
+    ev = _events_stream(spark, sf_dir)
+    framed = spec.encode_value(F.struct("event_id", "value"))
+    on_wire = F.when(
+        F.col("event_id") % 43 == 0, F.substring(framed, 1, 8)
+    ).otherwise(framed)
+    decoded = spec.decode_value(on_wire)
+    agg = (
+        ev.select("event_type", decoded.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count("v.event_id").alias("n_decoded"),
+            (F.count(F.lit(1)) - F.count("v.event_id")).alias("n_dropped"),
+            F.sum("v.event_id").alias("sum_event_id"),
+            F.sum(F.floor(F.col("v.value") * 1000).cast("long")).alias(
+                "sum_value_milli"
+            ),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_sar_") as ckpt:
+        state = run_update_query_to_pandas_state(agg, ["event_type"], ckpt)
+    return pandas_state_to_df(spark, state, agg.schema)
+
+
+@register(
     "streaming_dedup_events",
     oracle="SELECT event_id, user_id, event_type, value FROM events",
 )

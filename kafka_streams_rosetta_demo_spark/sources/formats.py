@@ -23,7 +23,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-_FORMATS = ("json", "csv", "parquet")
+_FORMATS = ("json", "csv", "parquet", "avro")
+
+# Spark 4.1 ships the Avro file-format classes inside spark-sql but the
+# short name "avro" registers only when the external spark-avro module is
+# on the classpath (its DataSourceRegister). The fully-qualified class
+# name loads either way — genuine JVM-side Avro container files, the batch
+# twin of the reference's topic serde (see SCALING.md "Avro without the
+# spark-avro jar"); `streaming/avro_codec.read_ocf` reads the same files
+# jar-lessly and is cross-validated against this writer.
+_AVRO_FQCN = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def _fmt(fmt: str) -> str:
+    return _AVRO_FQCN if fmt == "avro" else fmt
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "json") -> None:
@@ -31,14 +44,14 @@ def write_table(df: DataFrame, path: str, fmt: str = "json") -> None:
 
     CSV keeps a header only for human inspection — reads never rely on it
     (see ``read_table``). Timestamps round-trip as ISO-8601 strings in both
-    text formats.
+    text formats; Avro stores them as ``timestamp-micros`` natively.
     """
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format: {fmt!r} (want one of {_FORMATS})")
     writer = df.write.mode("overwrite")
     if fmt == "csv":
         writer = writer.option("header", "true")
-    writer.format(fmt).save(path)
+    writer.format(_fmt(fmt)).save(path)
 
 
 def read_table(spark: SparkSession, path: str, schema: StructType, fmt: str = "json") -> DataFrame:
@@ -57,7 +70,7 @@ def read_table(spark: SparkSession, path: str, schema: StructType, fmt: str = "j
         reader = reader.option("header", "true")
     if fmt in ("json", "csv"):
         reader = reader.option("mode", "PERMISSIVE")
-    return reader.format(fmt).load(path)
+    return reader.format(_fmt(fmt)).load(path)
 
 
 def shard_column(key: F.Column, n_shards: int) -> F.Column:

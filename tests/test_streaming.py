@@ -40,6 +40,26 @@ from kafka_streams_rosetta_demo_spark.streaming.transforms import (
 )
 
 
+def test_events_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The footer-schema cache keys on (path, mtime, size): rewriting the
+    same path with a different schema must serve the NEW schema, not the
+    cached one (long-lived drivers rewrite landing zones in place)."""
+    import os
+    import time
+
+    path = str(tmp_path / "events.parquet")
+    spark.range(5).selectExpr("id AS a").coalesce(1).write.mode("overwrite").parquet(path)
+    first = events_schema(spark, path)
+    assert [f.name for f in first.fields] == ["a"]
+    time.sleep(0.05)  # ensure a distinct mtime even on coarse filesystems
+    spark.range(5).selectExpr("id AS a", "id * 2 AS b").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    os.utime(path)
+    second = events_schema(spark, path)
+    assert [f.name for f in second.fields] == ["a", "b"]
+
+
 @pytest.fixture(scope="module")
 def split_events_dir(spark, sf_smoke, tmp_path_factory):
     """sf0.001 events split into 3 time-ordered parquet files — 3 micro-
