@@ -10,7 +10,7 @@ to JSON, this module implements the Avro **binary encoding** directly from
 the public Apache Avro 1.12 specification ("Binary Encoding" +
 "Object Container Files" sections) for the subset the reference's value
 schemas use: records of primitive fields, nullable ``["null", T]`` unions,
-arrays, maps, and the ``timestamp-millis`` logical type.
+arrays, maps, and the ``timestamp-millis``/``timestamp-micros`` logical types.
 
 Correctness is pinned against the JVM's own Avro implementation: Spark 4.1
 ships the Avro *file format* classes inside ``spark-sql`` (only the column
@@ -85,23 +85,32 @@ def _schema_type(schema) -> str:
     return schema["type"]
 
 
-def _is_timestamp_millis(schema) -> bool:
-    return (
-        isinstance(schema, dict)
-        and schema.get("type") == "long"
-        and schema.get("logicalType") == "timestamp-millis"
-    )
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 
-def _to_epoch_millis(v) -> int:
+def _timestamp_micros_per_unit(schema) -> int | None:
+    """1000 for timestamp-millis, 1 for timestamp-micros (what Spark's Avro
+    writer emits), None for a plain long."""
+    if isinstance(schema, dict) and schema.get("type") == "long":
+        lt = schema.get("logicalType")
+        if lt == "timestamp-millis":
+            return 1000
+        if lt == "timestamp-micros":
+            return 1
+    return None
+
+
+def _to_epoch_units(v, us_per_unit: int) -> int:
+    # pandas.Timestamp exposes .value (nanos) — integer-exact
+    value_ns = getattr(v, "value", None)
+    if value_ns is not None:
+        return int(value_ns) // (1000 * us_per_unit)
     if isinstance(v, datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=timezone.utc)  # session TZ is pinned UTC
-        return int(v.timestamp() * 1000)
-    # pandas.Timestamp exposes .value (nanos); numpy datetime64 via item()
-    value_ns = getattr(v, "value", None)
-    if value_ns is not None:
-        return int(value_ns) // 1_000_000
+        delta = v - _EPOCH
+        us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return us // us_per_unit
     return int(v)
 
 
@@ -130,8 +139,9 @@ def encode_value(schema, v, out: io.BytesIO) -> None:
     elif t == "boolean":
         out.write(b"\x01" if v else b"\x00")
     elif t in ("int", "long"):
-        if _is_timestamp_millis(schema):
-            _write_long(out, _to_epoch_millis(v))
+        unit = _timestamp_micros_per_unit(schema)
+        if unit is not None:
+            _write_long(out, _to_epoch_units(v, unit))
         else:
             _write_long(out, int(v))
     elif t == "float":
@@ -187,10 +197,13 @@ def decode_value(schema, buf: bytes, pos: int):
         return buf[pos] != 0, pos + 1
     if t in ("int", "long"):
         n, pos = _read_long(buf, pos)
-        if _is_timestamp_millis(schema):
-            return datetime.fromtimestamp(n / 1000.0, tz=timezone.utc).replace(
-                tzinfo=None
-            ), pos
+        unit = _timestamp_micros_per_unit(schema)
+        if unit is not None:
+            from datetime import timedelta
+
+            # naive UTC, integer-exact (no float epoch division)
+            ts = _EPOCH.replace(tzinfo=None) + timedelta(microseconds=n * unit)
+            return ts, pos
         return n, pos
     if t == "float":
         if pos + 4 > len(buf):

@@ -16,6 +16,8 @@ import json
 from datetime import datetime
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -148,6 +150,61 @@ def test_avro_py_serde_roundtrips_through_spark(spark):
         else:
             assert r.v.event_id == r.event_id
             assert r.v.value == r.event_id * 0.5
+
+
+def test_jvm_written_containers_and_timestamps_decode_with_python_codec(
+    spark, tmp_path
+):
+    """Array, map, and timestamp columns through the JVM writer (its schema
+    converter emits nullable-union elements and timestamp-micros) must
+    decode correctly with the standalone codec — the container/logical-type
+    paths, cross-validated like the primitives."""
+    df = spark.sql(
+        """
+        SELECT id,
+               array(id, id * 2) AS arr,
+               map(concat('k', id), id) AS m,
+               timestamp_micros(CAST(1755100800000000 + id * 1000000 AS LONG)) AS ts
+        FROM range(50)
+        """
+    )
+    path = str(tmp_path / "jvm_containers")
+    df.coalesce(1).write.format(AVRO_FQCN).option("compression", "uncompressed").save(
+        path
+    )
+    part = glob.glob(f"{path}/part-*.avro")[0]
+    _, recs = read_ocf(part)
+    assert len(recs) == 50
+    by_id = {r["id"]: r for r in recs}
+    for row in df.collect():
+        r = by_id[row.id]
+        assert r["arr"] == list(row.arr)
+        assert r["m"] == dict(row.m)
+        # Spark writes timestamp-micros; the codec returns naive-UTC
+        # datetimes and the session TZ is pinned UTC
+        assert r["ts"] == row.ts, (r["ts"], row.ts)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(max_size=40),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=True)),
+            st.booleans(),
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_codec_roundtrip_property(rows):
+    """Spec identity on arbitrary records: decode(encode(r)) == r for any
+    long/unicode-string/nullable-double/boolean combination (negative
+    zigzags, astral-plane text, +-inf)."""
+    for i, (a, b, c, d) in enumerate(rows):
+        rec = {"id": a, "name": b, "score": c, "flag": d}
+        back = decode_record(SCHEMA_JSON, encode_record(SCHEMA_JSON, rec))
+        assert back == rec, (i, rec, back)
 
 
 def test_avro_py_bytes_are_real_avro():
