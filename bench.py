@@ -82,6 +82,7 @@ OPTIONAL = [
     "text_lm_logprob",
     # round 5 additions
     "kafka_avro_roundtrip",
+    "agg_approx_percentile",
 ]
 
 

@@ -139,6 +139,74 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentile",
+    oracle="""
+WITH cents AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, c,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn,
+         count(*)    OVER (PARTITION BY l_returnflag)             AS n
+  FROM cents
+)
+SELECT l_returnflag, n, c AS exact_p50_cents, TRUE AS within_tolerance
+FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+""",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) under the same
+    driver-checkable contract as ``agg_approx_count_distinct``: sketch
+    values differ across engines, but the sketch's RANK-ERROR bound does
+    not. Spark computes its own exact discrete p50 (rank-at-ceil, the
+    ``source_length_profile`` pattern) AND the rank of its own approx
+    answer, then emits ``within_tolerance`` = |rank(approx) - n/2| <=
+    n/accuracy + 1 (GK guarantees rank error <= n/accuracy); the oracle
+    emits the exact p50 with TRUE. Prices quantize to integer cents so the
+    exact value is engine-comparable. At 100 TB the sketch alone runs: one
+    pass, bounded state, no per-group sort — the exact-rank side here is
+    the verification harness, not the operator.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    sketch = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("approx_percentile(cents, 0.5, 1000)").alias("ap"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_all", F.count(F.lit(1)).over(wn)
+    )
+    exact = ranked.where(
+        F.col("rn") == F.ceil(F.col("n_all") * 0.5)
+    ).select("l_returnflag", F.col("cents").alias("exact_p50_cents"))
+    rank_of_ap = (
+        li.join(F.broadcast(sketch), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            F.count(F.when(F.col("cents") <= F.col("ap"), 1)).alias("rank_ap"),
+        )
+    )
+    return (
+        rank_of_ap.join(F.broadcast(exact), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "exact_p50_cents",
+            (
+                F.abs(F.col("rank_ap") - F.col("n") * 0.5)
+                <= F.col("n") / 1000.0 + 1
+            ).alias("within_tolerance"),
+        )
+    )
+
+
+@register(
     "agg_having",
     oracle="""
 SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent

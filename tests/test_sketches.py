@@ -39,6 +39,42 @@ def test_approx_count_distinct_flag_true_and_exact(spark, sf_correctness):
         )
 
 
+def test_approx_percentile_flag_true_and_exact_rank(spark, sf_correctness):
+    rows = QUERIES["agg_approx_percentile"].fn(spark, sf_correctness).collect()
+    assert rows
+    for r in rows:
+        assert r.within_tolerance is True, (
+            f"{r.l_returnflag}: GK sketch rank outside n/accuracy bound"
+        )
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_correctness):
+    """Independent pin of the GK guarantee (rank error <= n/accuracy),
+    computed outside the query: the sketch's p50 must sit within rank
+    n/1000 (+1 for discreteness) of the true median position."""
+    li = (
+        load_table(spark, sf_correctness, "lineitem")
+        .select(
+            F.col("l_returnflag"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    sk = {
+        r.l_returnflag: (r.n, r.ap)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("approx_percentile(cents, 0.5, 1000)").alias("ap"),
+        )
+        .collect()
+    }
+    for flag, (n, ap) in sk.items():
+        rank = li.where(
+            (F.col("l_returnflag") == flag) & (F.col("cents") <= ap)
+        ).count()
+        assert abs(rank - n * 0.5) <= n / 1000.0 + 1, (flag, n, ap, rank)
+
+
 def test_approx_count_distinct_within_rsd(spark, sf_correctness):
     """Independent 3-sigma pin on the raw sketch (not via the query), so the
     bound itself — rsd 0.02 → 6% — is regression-tested even if the query's
