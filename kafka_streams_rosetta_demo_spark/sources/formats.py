@@ -1,4 +1,4 @@
-"""Batch source/sink format surface: JSON, CSV, and sharded parquet.
+"""Batch source/sink format surface: JSON, CSV, ORC, Avro, and sharded parquet.
 
 The reference's only I/O is Kafka topics with Avro values (SURVEY §2.1
 S1/S3; ``CallsAggregationApp.java:51,85``) — the streaming layer mirrors
@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-_FORMATS = ("json", "csv", "parquet", "avro")
+_FORMATS = ("json", "csv", "parquet", "orc", "avro")
 
 # Spark 4.1 ships the Avro file-format classes inside spark-sql but the
 # short name "avro" registers only when the external spark-avro module is

@@ -48,6 +48,15 @@ def test_avro_round_trip_preserves_rows(spark, sf_smoke, tmp_path):
     assert got == _sorted_rows(nation, cols)
 
 
+def test_orc_round_trip_preserves_rows(spark, sf_smoke, tmp_path):
+    nation = load_table(spark, sf_smoke, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_table(nation, path, "orc")
+    back = read_table(spark, path, nation.schema, "orc")
+    cols = nation.columns
+    assert _sorted_rows(back, cols) == _sorted_rows(nation, cols)
+
+
 def test_json_round_trip_preserves_rows(spark, sf_smoke, tmp_path):
     nation = load_table(spark, sf_smoke, "nation")
     path = str(tmp_path / "nation_json")
