@@ -83,6 +83,7 @@ OPTIONAL = [
     # round 5 additions
     "kafka_avro_roundtrip",
     "agg_approx_percentile",
+    "agg_hll_mergeable",
 ]
 
 

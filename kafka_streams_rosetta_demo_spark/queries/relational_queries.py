@@ -139,6 +139,48 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hll_mergeable",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS within_tolerance
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg``/``hll_union_agg``) — the production 100 TB shape
+    that ``approx_count_distinct`` alone doesn't show: per-partition
+    sketches (here per (flag, ship-month)) materialize as binary columns a
+    pipeline can STORE, then union losslessly to any coarser grain without
+    touching the raw data again. Same driver-checkable contract as
+    ``agg_approx_count_distinct``: the query compares the merged sketch's
+    estimate to its own exact count (lgConfigK=12 → RSE ~1.6%, 3-sigma ~5%)
+    and emits ``within_tolerance``; the oracle emits exact + TRUE. At scale
+    only the sketch path runs — the exact side is the verification harness.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per_month = li.groupBy(
+        "l_returnflag", F.month("l_shipdate").alias("m")
+    ).agg(F.expr("hll_sketch_agg(l_orderkey, 12)").alias("sk"))
+    merged = per_month.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_approx")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return merged.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("_approx") - F.col("exact_orders"))
+            <= F.ceil(F.col("exact_orders") * F.lit(0.05))
+        ).alias("within_tolerance"),
+    )
+
+
+@register(
     "agg_approx_percentile",
     oracle="""
 WITH cents AS (

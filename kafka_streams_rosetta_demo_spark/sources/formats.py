@@ -108,6 +108,71 @@ def write_sharded_parquet(
     out.write.mode("overwrite").partitionBy("_shard").parquet(path)
 
 
+def zorder_key(norm_cols: list, bits: int = 16) -> F.Column:
+    """Interleave the low ``bits`` bits of already-normalized non-negative
+    integer columns into one Morton (Z-order) key: bit ``i`` of column
+    ``j`` lands at position ``i * k + j``. Pure JVM shift/mask expressions
+    — zero shuffle; the caller supplies columns scaled to ``[0, 2^bits)``
+    (see :func:`write_zordered_parquet`). ``k * bits`` must fit a long."""
+    k = len(norm_cols)
+    if k * bits > 62:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a long key")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(norm_cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return key
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write parquet clustered on the Z-order (Morton) curve of ``cols`` —
+    the multi-dimensional locality layout: rows close in ANY of the keyed
+    dimensions land in the same files/row groups, so parquet min/max
+    statistics prune box predicates on *every* keyed column, where a plain
+    sort only serves its leading column. This is the lakehouse OPTIMIZE
+    ZORDER operation expressed as one declarative pass.
+
+    Mechanics: one tiny stats aggregate (per-column min/max — bounded
+    model state, the only driver round-trip) min-max-normalizes each
+    column to ``[0, 2^bits)``; the interleaved key is a per-row JVM
+    expression; ``repartitionByRange`` on the key gives ``n_files``
+    contiguous curve segments (one range shuffle — the inherent cost of
+    any clustering rewrite) and ``sortWithinPartitions`` orders rows
+    inside each file so row-group stats are tight. Pruning is pinned
+    against actual parquet footer statistics in ``tests/test_formats.py``.
+    """
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    norm = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1
+        norm.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c) - F.lit(mn)) / F.lit(span) * top).cast("long"),
+            )
+        )
+    keyed = df.withColumn("_z", zorder_key(norm, bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,

@@ -198,3 +198,61 @@ def test_partitioned_join_dynamic_partition_pruning(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def _rowgroup_prune_fraction(path, col_a, lo_a, hi_a, col_b, lo_b, hi_b):
+    """Fraction of parquet row groups whose min/max stats let a reader SKIP
+    them for the box predicate a in [lo_a, hi_a] AND b in [lo_b, hi_b] —
+    exactly the footer-stats test a scan performs."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    total = skipped = 0
+    for f in _glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.names
+        ia, ib = names.index(col_a), names.index(col_b)
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            sa, sb = g.column(ia).statistics, g.column(ib).statistics
+            total += 1
+            if sa.max < lo_a or sa.min > hi_a or sb.max < lo_b or sb.min > hi_b:
+                skipped += 1
+    assert total > 0
+    return skipped / total
+
+
+def test_zorder_layout_prunes_box_predicates_on_both_dims(spark, sf_smoke, tmp_path):
+    """Z-order clustering must make row-group min/max stats selective on
+    BOTH keyed columns: for a small 2-D box predicate, most row groups of
+    the z-ordered layout are skippable, while a layout sorted on an
+    unrelated column skips (nearly) none. Pinned on the actual parquet
+    footers, not plan text."""
+    from kafka_streams_rosetta_demo_spark.sources.formats import (
+        write_zordered_parquet,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id", "value")
+    zpath = str(tmp_path / "z")
+    # granularity comes from file count (each file = one curve segment /
+    # one row group at this scale); 32 files ~ a 32-cell space partition
+    write_zordered_parquet(ev, zpath, ["user_id", "value"], n_files=32)
+    upath = str(tmp_path / "u")
+    ev.repartition(32).sortWithinPartitions("event_id").write.mode(
+        "overwrite"
+    ).parquet(upath)
+
+    stats = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    umin, umax, vmin, vmax = stats
+    # a ~1/16-area box in the middle of the domain
+    lo_u = umin + (umax - umin) * 0.4
+    hi_u = umin + (umax - umin) * 0.65
+    lo_v = vmin + (vmax - vmin) * 0.4
+    hi_v = vmin + (vmax - vmin) * 0.65
+    z_skip = _rowgroup_prune_fraction(zpath, "user_id", lo_u, hi_u, "value", lo_v, hi_v)
+    u_skip = _rowgroup_prune_fraction(upath, "user_id", lo_u, hi_u, "value", lo_v, hi_v)
+    assert z_skip > u_skip, (z_skip, u_skip)
+    assert z_skip >= 0.5, f"z-order skipped only {z_skip:.0%} of row groups"

@@ -39,6 +39,39 @@ def test_approx_count_distinct_flag_true_and_exact(spark, sf_correctness):
         )
 
 
+def test_hll_mergeable_union_matches_flat_sketch(spark, sf_correctness):
+    """Mergeability is the property the query claims: the union of per-month
+    sketches must estimate the same cardinality (within the bound) as one
+    flat sketch over the same rows — the partial-agg-then-merge contract a
+    pipeline storing sketch columns relies on."""
+    rows = QUERIES["agg_hll_mergeable"].fn(spark, sf_correctness).collect()
+    assert rows
+    for r in rows:
+        assert r.within_tolerance is True, f"{r.l_returnflag}: merged HLL off-bound"
+    li = load_table(spark, sf_correctness, "lineitem")
+    flat = {
+        r.l_returnflag: r.approx
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 12))").alias("approx"))
+        .collect()
+    }
+    merged = {
+        r.l_returnflag: r.approx
+        for r in li.groupBy("l_returnflag", F.month("l_shipdate").alias("m"))
+        .agg(F.expr("hll_sketch_agg(l_orderkey, 12)").alias("sk"))
+        .groupBy("l_returnflag")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx"))
+        .collect()
+    }
+    # same lgConfigK → the union is lossless: estimates agree closely
+    for flag in flat:
+        assert abs(flat[flag] - merged[flag]) <= max(1, 0.01 * flat[flag]), (
+            flag,
+            flat[flag],
+            merged[flag],
+        )
+
+
 def test_approx_percentile_flag_true_and_exact_rank(spark, sf_correctness):
     rows = QUERIES["agg_approx_percentile"].fn(spark, sf_correctness).collect()
     assert rows
