@@ -48,6 +48,28 @@ def test_avro_round_trip_preserves_rows(spark, sf_smoke, tmp_path):
     assert got == _sorted_rows(nation, cols)
 
 
+def test_avro_reader_schema_projects_columns(spark, sf_smoke, tmp_path):
+    """Schema-on-read with a NARROWER reader schema must project (Avro
+    reader schema resolution) — the column-pruning contract every other
+    format surface honors."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    nation = load_table(spark, sf_smoke, "nation")
+    path = str(tmp_path / "nation_avro_proj")
+    write_table(nation, path, "avro")
+    narrow = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+        ]
+    )
+    back = read_table(spark, path, narrow, "avro")
+    assert back.columns == ["n_nationkey", "n_name"]
+    assert _sorted_rows(back, back.columns) == _sorted_rows(
+        nation.select("n_nationkey", "n_name"), ["n_nationkey", "n_name"]
+    )
+
+
 def test_orc_round_trip_preserves_rows(spark, sf_smoke, tmp_path):
     nation = load_table(spark, sf_smoke, "nation")
     path = str(tmp_path / "nation_orc")

@@ -134,6 +134,28 @@ def test_parquet_changelog_sink_equals_driver_merged_state(
     assert sorted(map(tuple, lake.collect())) == sorted(map(tuple, merged.collect()))
 
 
+def test_parquet_changelog_sink_restart_replays_nothing(spark, split_events_dir, tmp_path):
+    """T5/T6 for the lakehouse sink: restarting the finished query on the
+    same checkpoint must append NOTHING to the changelog (offsets are
+    committed; availableNow finds no new files) — the exactly-once-per-batch
+    contract that makes the parquet changelog safe to re-run."""
+    from kafka_streams_rosetta_demo_spark.streaming.runner import (
+        run_update_query_to_parquet_changelog,
+    )
+
+    def topology():
+        calls = events_to_calls(_stream(spark, split_events_dir, max_files_per_trigger=1))
+        return streaming_windowed_call_agg(calls)
+
+    out_dir = str(tmp_path / "changelog")
+    ckpt = str(tmp_path / "ckpt")
+    run_update_query_to_parquet_changelog(topology(), ckpt, out_dir)
+    first = spark.read.parquet(out_dir).count()
+    assert first > 0
+    run_update_query_to_parquet_changelog(topology(), ckpt, out_dir)  # restart
+    assert spark.read.parquet(out_dir).count() == first
+
+
 def test_multibatch_latest_per_key_converges_to_batch(spark, split_events_dir, tmp_path):
     cols = ["ts", "event_id", "event_type", "value"]
     stream = _stream(spark, split_events_dir, max_files_per_trigger=1)
