@@ -84,6 +84,10 @@ OPTIONAL = [
     "kafka_avro_roundtrip",
     "agg_approx_percentile",
     "agg_hll_mergeable",
+    "sketch_cms_heavy_hitters",
+    "dedup_span_duplicates",
+    "graph_pagerank",
+    "graph_triangles",
 ]
 
 

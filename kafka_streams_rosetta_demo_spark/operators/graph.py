@@ -126,6 +126,131 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 1_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in pure integer arithmetic — the page-
+    importance signal web-corpus curation uses as a quality weight (domain/
+    URL rank filtering a la Common Crawl pipelines).
+
+    All math is integer: ranks start at ``scale``, each round emits
+    ``r div deg`` per out-edge and recombines as ``(1-d)·scale + d·sum``
+    with floor division. Integer addition is associative, so the result is
+    independent of partitioning and aggregation order — exactly
+    reproducible across engines (a float PageRank is not), which is what
+    makes the query's unrolled-SQL oracle hash-exact. Precision loss vs
+    float is ≤ deg·iterations ulps of 1e-9 — noise at rank scale.
+
+    Scale: the adjacency (with out-degrees attached) is partitioned on the
+    join key and checkpointed ONCE; each round shuffles only the 2-column
+    rank table (the CC pattern above). Driver holds nothing but the loop
+    counter. Caller symmetrizes if the graph is undirected. At ~1e9+ nodes,
+    lower ``scale`` (or widen to decimal(38,0)) so ``damping_pct · Σranks``
+    stays inside int64.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    parts = _sized_partitions(e.sparkSession, e.count())
+    adj = e.join(deg, "src").repartition(parts, "src").localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
+    base = (100 - damping_pct) * scale // 100
+    for _ in range(iterations):
+        summed = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .select("dst", F.expr("r div deg").alias("contrib"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("t"))
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(t, CAST(0 AS BIGINT))) div 100")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def triangle_counts(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph given
+    as distinct pairs with ``a < b`` (each edge once). Returns (node,
+    n_triangles) for every node in at least one triangle.
+
+    The standard distributed shape: DEGREE-ORDERED ORIENTATION. Each edge is
+    directed from the endpoint with the smaller (degree, id) to the larger,
+    then triangles are two equi-joins of the oriented list (wedge at the
+    lowest-ordered vertex + closing-edge check). Orientation bounds every
+    vertex's out-degree by O(sqrt(|E|)), so the wedge join emits
+    O(|E|^1.5) candidates worst-case instead of Σdeg² — the difference
+    between feasible and not on a skewed 100 TB graph (a celebrity node with
+    1e7 neighbors would otherwise generate 1e14 wedges). All joins are plain
+    equi-joins; nothing is collected.
+    """
+    e = pairs.select(F.col(a).alias("a"), F.col(b).alias("b")).localCheckpoint(
+        eager=True
+    )
+    both = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.col("b"),
+            )
+            .otherwise(F.col("a"))
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def _sized_partitions(spark, n_rows: int, rows_per_part: int = 250_000) -> int:
+    """Size-based partition count for iterative-join adjacencies: ~250k rows
+    per partition, floored at 8, capped at the session shuffle setting (see
+    connected_components for why pinning to the session setting alone
+    over-parallelizes small graphs)."""
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_parts = 2**31 - 1
+    return max(8, min(conf_parts, n_rows // rows_per_part + 1))
+
+
 def keep_best_survivors(
     labels: DataFrame,
     quality: DataFrame,

@@ -186,9 +186,11 @@ def load_all() -> dict[str, Query]:
     from . import (  # noqa: F401
         corpus_queries,
         dedup_queries,
+        graph_queries,
         pipeline_queries,
         relational_queries,
         rosetta_queries,
+        sketch_queries,
         streaming_queries,
     )
 

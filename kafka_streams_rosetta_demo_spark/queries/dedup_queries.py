@@ -486,3 +486,125 @@ def dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("edit_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_duplicates
+# ---------------------------------------------------------------------------
+
+# Substring-level exact duplication (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): document-level dedup misses
+# REPEATED PASSAGES — boilerplate, licenses, quoted blocks — inside
+# otherwise-distinct documents. The suffix-array approach of the paper is
+# inherently single-machine; the distributed equivalent is fixed-width
+# token-window fingerprinting: every 15-word span is hashed, and a span
+# occurring more than once corpus-wide marks all its occurrences as
+# duplicated text. Every 25th doc is re-injected as its first half under a
+# shifted id, planting cross-doc duplicated spans deterministically.
+_SPAN_W = 15
+
+_SPAN_ORACLE = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1:CAST(len(string_split(text, ' ')) // 2 AS BIGINT)],
+           ' ') AS text
+  FROM documents WHERE doc_id % 25 = 0
+),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM all_docs
+  WHERE len(string_split(text, ' ')) >= {_SPAN_W}
+),
+sp AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(array_to_string(words[i:i+{_SPAN_W - 1}], ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - {_SPAN_W - 2})) AS i FROM w)
+),
+occ AS (SELECT h FROM sp GROUP BY h HAVING count(*) > 1),
+docdup AS (
+  SELECT s.doc_id, count(*) AS n_dup
+  FROM sp s JOIN occ o ON o.h = s.h
+  GROUP BY s.doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.words) - {_SPAN_W - 1} AS BIGINT) AS n_spans,
+       COALESCE(d.n_dup, 0)                         AS n_dup_spans,
+       (1000 * COALESCE(d.n_dup, 0)) // (len(w.words) - {_SPAN_W - 1}) AS dup_permille
+FROM w LEFT JOIN docdup d ON d.doc_id = w.doc_id
+"""
+
+
+@register("dedup_span_duplicates", oracle=_SPAN_ORACLE)
+def dedup_span_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicated-passage profile: per document, how many of
+    its 15-word token windows occur anywhere else in the corpus (including
+    the planted half-doc excerpts). The per-doc ``dup_permille`` is the
+    quality signal a curation pipeline thresholds on — documents that are
+    mostly boilerplate score high even when no whole-document near-dup
+    exists.
+
+    Plan: per-row span hashing (JVM ``transform`` over the token array —
+    zero shuffle, and the hash is the shared 60-bit md5_long so the 8-byte
+    key, not a 32-char string, is what shuffles); ONE groupBy on the span
+    hash with map-side partial counts finds duplicated spans; one join back
+    + per-doc count finishes. ``n_spans`` comes from the token count
+    directly — no second pass. At 100 TB the duplicated-hash set is not
+    assumed broadcastable (plain shuffle join; AQE downgrades it to
+    broadcast when small). This is the distributed stand-in for the
+    suffix-array pass of Lee et al. — exact for duplication at the window
+    width, blind below it, which is the standard large-scale tradeoff.
+    """
+    from ..operators.textsim import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words0 = F.split("text", " ")
+    excerpts = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(words0, F.lit(1), F.floor(F.size(words0) / 2).cast("int"))
+        ).alias("text"),
+    )
+    allv = rebalance(docs.unionByName(excerpts))
+    wdf = (
+        allv.select("doc_id", F.split("text", " ").alias("words"))
+        .where(F.size("words") >= _SPAN_W)
+        .localCheckpoint(eager=True)  # feeds spans AND the per-doc base
+    )
+    spans = wdf.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - F.lit(_SPAN_W - 1)),
+                lambda i: md5_long(
+                    F.concat_ws(" ", F.slice(F.col("words"), i, F.lit(_SPAN_W)))
+                ),
+            )
+        ).alias("h"),
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") > 1)
+        .select("h")
+    )
+    docdup = spans.join(dup, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    return (
+        wdf.select(
+            "doc_id", (F.size("words") - F.lit(_SPAN_W - 1)).cast("long").alias("n_spans")
+        )
+        .join(docdup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.expr(
+                f"(1000 * coalesce(n_dup, CAST(0 AS BIGINT))) div n_spans"
+            ).alias("dup_permille"),
+        )
+    )

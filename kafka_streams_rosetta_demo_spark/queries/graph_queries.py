@@ -1,0 +1,155 @@
+"""Graph-analytics queries (link analysis for corpus curation).
+
+The reference has no graph operators; a web-scale training-data pipeline
+does: page/domain importance (PageRank) is a standard quality-weighting
+signal, and triangle/clustering structure flags link farms and mirror
+clusters. Both run here over graphs derived from the TPC-H-ish testdata —
+the customer↔supplier purchase graph and the supplier co-occurrence graph —
+purely so the oracle can replay them; the operators
+(``operators/graph.py``) take any edge list.
+
+Determinism: PageRank uses integer-only arithmetic (see the operator
+docstring), so the unrolled-iteration DuckDB oracle is hash-exact.
+Triangle counts are exact integers by nature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank, triangle_counts
+from ..sources.parquet import load_table
+from . import register
+
+_PR_SCALE = 1_000_000_000
+_PR_BASE = 150_000_000  # (1 - 0.85) · scale
+_PR_ITER = 5
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)"""
+    iters = []
+    for i in range(1, _PR_ITER + 1):
+        iters.append(f""",
+r{i} AS (
+  SELECT d.node,
+         CAST({_PR_BASE} + (85 * COALESCE(s.t, 0)) // 100 AS BIGINT) AS r
+  FROM deg d
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(pr.r // dg.deg) AS t
+    FROM edges e
+    JOIN r{i - 1} pr ON pr.node = e.src
+    JOIN deg dg ON dg.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = d.node
+)""")
+    return head + "".join(iters) + f"\nSELECT node, r AS rank_scaled FROM r{_PR_ITER}"
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration integer PageRank over the undirected customer↔supplier
+    purchase graph (an edge per distinct customer/supplier trading pair).
+
+    Scale: the edge build is a fact-fact equi-join on the order key followed
+    by a distinct — both shuffle on keys Spark hash-partitions evenly. The
+    iteration itself shuffles only the 2-column rank table per round against
+    a once-partitioned, checkpointed adjacency (see the operator). The
+    oracle unrolls the same 5 integer iterations as CTEs, so values
+    hash-match exactly."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(sym, iterations=_PR_ITER, scale=_PR_SCALE)
+
+
+_TRIANGLE_ORACLE = """
+WITH los AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+  FROM lineitem WHERE l_quantity >= 45
+),
+pairs AS (
+  SELECT DISTINCT x.sk AS a, y.sk AS b
+  FROM los x JOIN los y ON x.ok = y.ok AND x.sk < y.sk
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+deg AS (SELECT a AS node, count(*) AS deg FROM edges GROUP BY 1),
+oriented AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND p.a < p.b)
+              THEN p.a ELSE p.b END AS u,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND p.a < p.b)
+              THEN p.b ELSE p.a END AS v
+  FROM pairs p
+  JOIN deg da ON da.node = p.a
+  JOIN deg db ON db.node = p.b
+),
+tris AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e2.u = e1.v
+  JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pernode AS (
+  SELECT node, count(*) AS n FROM (
+    SELECT x AS node FROM tris
+    UNION ALL SELECT y AS node FROM tris
+    UNION ALL SELECT z AS node FROM tris
+  ) GROUP BY node
+)
+SELECT s.s_suppkey, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_triangles
+FROM supplier s LEFT JOIN pernode p ON p.node = s.s_suppkey
+"""
+
+
+@register("graph_triangles", oracle=_TRIANGLE_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts over the 'co-supplied a large-quantity
+    line in the same order' graph (the quantity filter keeps the graph
+    sparse at every scale — an unfiltered co-occurrence graph trends
+    complete, where triangle counting is Θ(n³) by nature, not by plan).
+
+    Scale: the pair build self-joins per order key, bounded by the ≤7
+    lineitems an order has — no blowup. Triangle enumeration uses the
+    degree-ordered orientation in ``operators/graph.py:triangle_counts``,
+    bounding wedge candidates at O(|E|^1.5) even under degree skew."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    x = li.select(F.col("ok"), F.col("sk").alias("a"))
+    y = li.select(F.col("ok"), F.col("sk").alias("b"))
+    pairs = (
+        x.join(y, "ok")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    tri = triangle_counts(pairs)
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    return sup.join(
+        tri, sup["s_suppkey"] == tri["node"], "left"
+    ).select(
+        "s_suppkey",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+    )

@@ -1,0 +1,126 @@
+"""Frequency-sketch queries (SURVEY §2.8 "approximate sketches" family,
+alongside the HLL / GK tolerance contracts in relational_queries).
+
+The reference has no approximate aggregates; these are the heavy-hitter
+half of the sketch story (HLL covers cardinality, GK covers quantiles):
+
+- ``sketch_cms_heavy_hitters`` — a from-scratch, deterministic count-min
+  sketch whose DuckDB oracle replays the exact same cells, so the
+  *estimates themselves* hash-match (stronger than a tolerance flag).
+- ``agg_approx_topk`` — Spark's built-in ``approx_top_k`` under the X80
+  tolerance-contract pattern: capacity ≥ vocabulary ⇒ the space-saving
+  sketch is exact, and the query proves it against its own exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_build, cms_estimate
+from ..sources.parquet import load_table
+from . import register
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens of the document corpus, empties dropped — mirrors
+    ``string_split(text, ' ')`` + ``word <> ''`` in the oracles."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+toks2 AS (SELECT word FROM toks WHERE word <> ''),
+exact AS (SELECT word, count(*) AS exact_n FROM toks2 GROUP BY word),
+top AS (
+  SELECT word, exact_n FROM exact ORDER BY exact_n DESC, word LIMIT 20
+),
+depths AS (SELECT unnest(range(0, {CMS_DEPTH})) AS d),
+cells AS (
+  SELECT d,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || word), 1, 15) AS BIGINT)
+           % {CMS_WIDTH} AS bucket,
+         count(*) AS c
+  FROM toks2 CROSS JOIN depths
+  GROUP BY 1, 2
+)
+SELECT t.word, t.exact_n, min(c.c) AS cms_est
+FROM top t
+CROSS JOIN depths dd
+JOIN cells c
+  ON c.d = dd.d
+ AND c.bucket = CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || t.word), 1, 15) AS BIGINT)
+                % {CMS_WIDTH}
+GROUP BY t.word, t.exact_n
+"""
+
+
+@register("sketch_cms_heavy_hitters", oracle=_CMS_ORACLE)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimates over corpus tokens.
+
+    The sketch (operators/sketches.py) is 4×2048 cells built in ONE bounded-
+    state aggregation — at 100 TB the shuffle moves ≤ 8192 rows per task no
+    matter the token count, where an exact per-word count table shuffles the
+    vocabulary. The probe set here is the exact top-20 (the query also
+    serves as the sketch's verification harness: ``cms_est ≥ exact_n``
+    always, and both engines compute the identical estimate because the
+    bucket hash is the shared md5_long — the oracle replays the sketch
+    cell-for-cell, so this is hash-exact, not a tolerance check). In
+    production only the sketch runs; candidate keys come from a prior pass
+    or a stream of queries.
+    """
+    toks = _tokens(spark, sf_dir)
+    exact = toks.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "word").limit(20)
+    sketch = cms_build(toks, "word")
+    return cms_estimate(sketch, top, "word").select("word", "exact_n", "cms_est")
+
+
+_TOPK_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+toks2 AS (SELECT word FROM toks WHERE word <> ''),
+exact AS (SELECT word, count(*) AS exact_n FROM toks2 GROUP BY word)
+SELECT word, exact_n, TRUE AS within_tolerance
+FROM exact ORDER BY exact_n DESC, word LIMIT 10
+"""
+
+
+@register("agg_approx_topk", oracle=_TOPK_ORACLE)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``approx_top_k`` (space-saving sketch) under the X80
+    tolerance contract: the query computes its own exact top-10 AND probes
+    the sketch output, emitting ``within_tolerance`` = the sketch's count
+    for that word equals the exact count. The capacity (1e6 tracked items)
+    exceeds any plausible corpus vocabulary here, and the space-saving
+    sketch is provably exact while no eviction occurs — so the flag is
+    deterministically TRUE, which is what the oracle asserts. At 100 TB the
+    sketch runs with a smaller capacity and bounded error; the exact side
+    here is the verification harness, not the operator. ``k`` is padded to
+    200 so a tie at the sketch's own cut line cannot drop an exact-top-10
+    word."""
+    toks = _tokens(spark, sf_dir)
+    exact10 = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "word")
+        .limit(10)
+    )
+    sk = (
+        toks.agg(F.expr("approx_top_k(word, 200, 1000000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("word"), F.col("e.count").alias("approx_n"))
+    )
+    return exact10.join(F.broadcast(sk), "word", "left").select(
+        "word",
+        "exact_n",
+        (F.col("approx_n") == F.col("exact_n")).alias("within_tolerance"),
+    )

@@ -120,3 +120,52 @@ def test_keep_best_broadcasts_labels_not_corpus(plans):
     p = plans["dedup_cluster_keep_best"]
     assert p.count("BroadcastExchange") == 1, p
     assert "BuildRight" in p and "BuildLeft" not in p, p
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke):
+    """100 TB posture: when a selective dim join cannot broadcast, Spark's
+    runtime Bloom filter should still pre-prune the fact side (a
+    ``bloom_filter_agg`` subquery on the dim keys injected as
+    ``might_contain`` above the fact scan — the InjectRuntimeFilter rule).
+    The sandbox tables sit under the default size thresholds, so this pin
+    lowers them for one query to prove the engine's plans *inherit* the
+    optimization the moment real table sizes cross the line; nothing in the
+    engine disables it."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        cust = load_table(spark, sf_smoke, "customer").where(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = load_table(spark, sf_smoke, "orders")
+        df = (
+            orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime Bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
