@@ -88,6 +88,7 @@ OPTIONAL = [
     "dedup_span_duplicates",
     "graph_pagerank",
     "graph_triangles",
+    "dedup_semantic_semdedup",
 ]
 
 

@@ -608,3 +608,151 @@ def dedup_span_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_semdedup
+# ---------------------------------------------------------------------------
+
+# SemDeDup (Abbas et al. 2023): cluster the embedding space, then look for
+# near-duplicate pairs only WITHIN each cluster — semantic dedup at corpus
+# scale without any all-pairs stage. The clustering here is the same
+# deterministic id-sampled 32-centroid assignment the IVF index uses
+# (closed-form argmax, no join), so the oracle can replay the full path:
+# centroid pick → cell assign → in-cell pairwise cosine → survivor rule.
+# The injected 1.5x-scaled duplicates of every 20th vector land in their
+# source's cell (cosine is scale-invariant), making in-cell recall on them
+# structural, not probabilistic.
+
+_SEMDEDUP_DOT = (
+    "(SELECT sum(CAST({a}[s.i] AS DOUBLE) * CAST({b}[s.i] AS DOUBLE)) "
+    "FROM (SELECT unnest(range(1, 65)) AS i) s)"
+)
+
+_SEMDEDUP_ORACLE = f"""
+WITH all_vecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+norms AS (
+  SELECT vec_id, embedding,
+         sqrt({_SEMDEDUP_DOT.format(a="embedding", b="embedding")}) AS nrm
+  FROM all_vecs
+),
+centroids AS (
+  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+  FROM norms WHERE vec_id % 31 = 0 AND vec_id < 1000000
+  ORDER BY vec_id LIMIT 32
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT n.vec_id, c.cid AS cell_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {_SEMDEDUP_DOT.format(a="n.embedding", b="c.cemb")} / (n.nrm * c.cnrm)
+                      DESC, c.cid DESC) AS rn
+    FROM norms n CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT aa.vec_id AS va, bb.vec_id AS vb
+  FROM assigned aa
+  JOIN assigned bb ON aa.cell_id = bb.cell_id AND aa.vec_id < bb.vec_id
+  JOIN norms a ON a.vec_id = aa.vec_id
+  JOIN norms b ON b.vec_id = bb.vec_id
+  WHERE {_SEMDEDUP_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm) >= 0.95
+),
+partners AS (
+  SELECT va AS vec_id FROM pairs UNION ALL SELECT vb AS vec_id FROM pairs
+),
+cnt AS (SELECT vec_id, count(*) AS n FROM partners GROUP BY vec_id)
+SELECT s.vec_id, s.cell_id,
+       COALESCE(c.n, 0) AS n_cell_dups,
+       s.vec_id NOT IN (SELECT vb FROM pairs) AS keep
+FROM assigned s LEFT JOIN cnt c ON c.vec_id = s.vec_id
+"""
+
+
+@register("dedup_semantic_semdedup", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: per-cell cosine near-dup screen with a
+    min-id survivor rule. Emits every vector's cell, its in-cell duplicate
+    count, and whether it survives (``keep`` = no in-cell partner with a
+    smaller id at cosine >= 0.95).
+
+    Scale: cell assignment is a closed-form literal-centroid argmax (zero
+    join, the ``ivf_assign`` expression); the pairwise stage is an equi
+    self-join ON THE CELL KEY — candidate pairs scale with sum(cell²), not
+    corpus², and cells are capacity-bounded in a real index (re-shard hot
+    cells; AQE skew-split covers the residual). Centroid collect is k×dim
+    bounded model state. This is the semantic complement to
+    ``dedup_embedding_cosine``'s hyperplane-LSH: clustering catches
+    paraphrase-level near-dups whose token overlap is too low for MinHash,
+    at the cost of per-cell locality (cross-cell pairs are structurally
+    out of scope — the published SemDeDup tradeoff, deterministic here and
+    replayed identically by the oracle).
+    """
+    from ..operators.vectors import cosine, ivf_assign, with_norm
+
+    emb = rebalance(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    inj = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+    )
+    allv = with_norm(emb.unionByName(inj))
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroid_rows = (
+        base.where(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(32).collect()
+    )
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in centroid_rows
+    ]
+    # materialized once: feeds both sides of the in-cell self-join AND the
+    # final projection
+    cells = ivf_assign(allv, centroids).localCheckpoint(eager=True)
+    a = cells.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = cells.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .where(F.col("va") < F.col("vb"))
+        .where(
+            cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= 0.95
+        )
+        .select("va", "vb")
+        .localCheckpoint(eager=True)  # feeds the count AND the keep flag
+    )
+    cnt = (
+        pairs.select(F.col("va").alias("vec_id"))
+        .unionByName(pairs.select(F.col("vb").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dominated = pairs.select(F.col("vb").alias("vec_id")).distinct()
+    return (
+        cells.select("vec_id", "cell_id")
+        .join(cnt, "vec_id", "left")
+        .join(dominated.withColumn("_dom", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_cell_dups"),
+            F.coalesce(~F.col("_dom"), F.lit(True)).alias("keep"),
+        )
+    )
