@@ -89,6 +89,8 @@ OPTIONAL = [
     "graph_pagerank",
     "graph_triangles",
     "dedup_semantic_semdedup",
+    "doc_chunk_overlap",
+    "split_leakage_safe",
 ]
 
 

@@ -644,3 +644,173 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("es_key") * 1_000_000, 6).alias("key_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_chunk_overlap
+# ---------------------------------------------------------------------------
+
+# Overlapping-window chunking — the pretraining/RAG ingestion step that
+# turns documents into bounded-length training/retrieval units. 128-token
+# chunks on a 96-token stride (32-token overlap keeps boundary context in
+# both neighbors). Purely map-side: explode over a per-row start sequence.
+
+_CHUNK = 128
+_STRIDE = 96
+
+_CHUNK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, words, unnest(range(1, len(words) + 1, {_STRIDE})) AS s
+  FROM w
+)
+SELECT doc_id,
+       CAST((s - 1) // {_STRIDE} AS BIGINT)      AS chunk_idx,
+       CAST(s AS BIGINT)                          AS start_pos,
+       CAST(len(words[s:s+{_CHUNK - 1}]) AS BIGINT) AS n_tokens,
+       CAST('0x' || substr(md5(array_to_string(words[s:s+{_CHUNK - 1}], ' ')), 1, 15)
+            AS BIGINT)                            AS chunk_hash
+FROM starts
+"""
+
+
+@register("doc_chunk_overlap", oracle=_CHUNK_ORACLE)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into 128-token windows on a 96-token stride
+    (32-token overlap), emitting position, length, and a content hash per
+    chunk — the unit-of-work table a RAG index or sequence-packing stage
+    consumes.
+
+    Scale: zero shuffle — the start grid is a per-row ``sequence`` +
+    ``explode`` and every output column derives from the row's own token
+    array (JVM slice/hash). Output size is input tokens ÷ stride, a fixed
+    ~1.33× token overhead from the overlap; at 100 TB the chunk table
+    writes straight to a sharded layout (``doc_shard_assign``) with no
+    intermediate aggregation.
+    """
+    from ..operators.textsim import md5_long
+
+    w = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    chunk = F.slice(F.col("words"), F.col("s"), F.lit(_CHUNK))
+    return (
+        w.select(
+            "doc_id",
+            "words",
+            F.explode(
+                F.sequence(F.lit(1), F.size("words"), F.lit(_STRIDE))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / _STRIDE).cast("long").alias("chunk_idx"),
+            F.col("s").cast("long").alias("start_pos"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            md5_long(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_safe
+# ---------------------------------------------------------------------------
+
+# Leakage-safe train/test split: a naive hash split leaks evaluation data
+# whenever a train document shares verbatim text with a test document
+# (boilerplate, excerpts, mirrors). The split here is the deterministic
+# md5 bucket (≈10% test), and every train doc sharing ANY 15-word span
+# with any test doc is flagged — the corpus-internal form of the
+# benchmark-contamination screen, using the span-fingerprint machinery.
+
+_SPLIT_W = 15
+
+_SPLIT_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 = 0 AS is_test
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {_SPLIT_W}
+),
+sp AS (
+  SELECT DISTINCT doc_id, is_test,
+         CAST('0x' || substr(md5(array_to_string(words[i:i+{_SPLIT_W - 1}], ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM (SELECT doc_id, is_test, words,
+               unnest(range(1, len(words) - {_SPLIT_W - 2})) AS i FROM w)
+),
+test_spans AS (SELECT DISTINCT h FROM sp WHERE is_test),
+leaks AS (
+  SELECT s.doc_id, count(*) AS n_shared
+  FROM sp s JOIN test_spans t ON t.h = s.h
+  WHERE NOT s.is_test
+  GROUP BY s.doc_id
+)
+SELECT w.doc_id,
+       CASE WHEN w.is_test THEN 'test' ELSE 'train' END AS split,
+       COALESCE(l.n_shared, 0) AS n_shared_spans,
+       (NOT w.is_test) AND COALESCE(l.n_shared, 0) > 0 AS leaked
+FROM w LEFT JOIN leaks l ON l.doc_id = w.doc_id
+"""
+
+
+@register("split_leakage_safe", oracle=_SPLIT_ORACLE)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash test split with span-level leakage audit:
+    every train document sharing a 15-word span with any test document is
+    flagged ``leaked`` (exclude or re-assign before training). Test docs
+    are never flagged — the rule quarantines the train side only.
+
+    Scale: span fingerprints are per-row JVM hashing (8-byte md5_long
+    keys); the test-side span set is NOT assumed broadcastable (a 10%
+    split of 100 TB is 10 TB) — the leak check is a plain distinct +
+    equi-join on the span hash, the same cross-set shape as
+    ``dedup_incremental_screen``. One groupBy per leaked doc finishes.
+    """
+    from ..operators.textsim import md5_long
+
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.split("text", " ").alias("words"))
+        .where(F.size("words") >= _SPLIT_W)
+        .select(
+            "doc_id",
+            "words",
+            (md5_long(F.col("text")) % 10 == 0).alias("is_test"),
+        )
+        .localCheckpoint(eager=True)  # feeds spans AND the final projection
+    )
+    spans = w.select(
+        "doc_id",
+        "is_test",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - F.lit(_SPLIT_W - 1)),
+                    lambda i: md5_long(
+                        F.concat_ws(" ", F.slice(F.col("words"), i, F.lit(_SPLIT_W)))
+                    ),
+                )
+            )
+        ).alias("h"),
+    )
+    test_spans = spans.where(F.col("is_test")).select("h").distinct()
+    leaks = (
+        spans.where(~F.col("is_test"))
+        .join(test_spans, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        w.select("doc_id", "is_test")
+        .join(leaks, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_test"), F.lit("test")).otherwise(F.lit("train")).alias("split"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared_spans"),
+            (~F.col("is_test") & (F.coalesce("n_shared", F.lit(0)) > 0)).alias("leaked"),
+        )
+    )

@@ -145,3 +145,39 @@ def test_stratified_hash_sample_is_deterministic_and_stratified(spark, sf_correc
     # binomial spread cannot invert a 20%-vs-60% rate gap
     assert got["en"] < min(v for k, v in got.items() if k != "en") * 3
     assert set(got) == {"en", "de", "es", "fr", "zh"}
+
+
+def test_chunking_covers_every_token_exactly(spark, sf_smoke):
+    """Chunk windows on a 96 stride must cover position 1..n with the last
+    chunk short iff n mod stride says so; per doc: contiguous chunk_idx from
+    0, start_pos = 1 + 96*idx, and full chunks are exactly 128 tokens."""
+    from collections import defaultdict
+
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    rows = load_all()["doc_chunk_overlap"].fn(spark, sf_smoke).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    assert by_doc
+    for doc, ch in by_doc.items():
+        ch.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in ch] == list(range(len(ch)))
+        # doc length is recoverable from the last chunk: its window is
+        # clipped at the end of the token array
+        n = ch[-1].start_pos + ch[-1].n_tokens - 1
+        for c in ch:
+            assert c.start_pos == 1 + 96 * c.chunk_idx
+            assert c.n_tokens == min(128, n - c.start_pos + 1)
+
+
+def test_leakage_split_flags_only_train(spark, sf_smoke):
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    rows = load_all()["split_leakage_safe"].fn(spark, sf_smoke).collect()
+    assert {r.split for r in rows} == {"train", "test"}
+    for r in rows:
+        if r.split == "test":
+            assert r.leaked is False
+        else:
+            assert r.leaked == (r.n_shared_spans > 0)
