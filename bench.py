@@ -91,6 +91,7 @@ OPTIONAL = [
     "dedup_semantic_semdedup",
     "doc_chunk_overlap",
     "split_leakage_safe",
+    "text_quality_classifier",
 ]
 
 

@@ -1304,3 +1304,104 @@ def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_classifier
+# ---------------------------------------------------------------------------
+
+# Model-based quality filtering: the heuristic scores (text_quality_scores)
+# feed a TRAINED per-language linear model in production (fastText-style
+# keep/drop classifiers). The operator shape that matters at 100 TB is the
+# MODEL-TABLE JOIN: weights live in a tiny broadcastable table (language ->
+# coefficients), the corpus joins it once, and the score is a closed-form
+# integer expression — swapping models is a data change, not a code change.
+# Weights here are fixed literals (both engines embed the same VALUES
+# table); all arithmetic is integer micro-units, so the score is exact.
+
+_QC_MODEL = [
+    # lang, bias, w_tokens, w_stop, w_digit, threshold  (micro-units;
+    # thresholds sit near each language's median score at sf0.01, so the
+    # keep/drop decision is non-trivial on real data, not vacuously uniform)
+    ("en", 100_000, 900, 8_000, -2_500, 173_000),
+    ("zh", 200_000, 1_100, 2_000, -2_000, 265_000),
+    ("es", 120_000, 950, 7_000, -2_500, 195_000),
+    ("de", 120_000, 950, 6_500, -2_500, 190_000),
+    # fr falls through to the default row
+    ("*", 80_000, 800, 5_000, -3_000, 146_000),
+]
+
+_QC_STOPS = ["the", "a", "and", "of", "to", "in", "is", "for"]
+
+_QC_ORACLE = f"""
+WITH model(lang, bias, w_tokens, w_stop, w_digit, threshold) AS (
+  VALUES {", ".join(f"('{l}', {b}, {wt}, {ws}, {wd}, {th})" for l, b, wt, ws, wd, th in _QC_MODEL)}
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains({_QC_STOPS!r}, t))) AS BIGINT) AS stop_hits,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_chars
+  FROM documents
+),
+scored AS (
+  SELECT f.doc_id, f.lang,
+         CAST(m.bias + m.w_tokens * f.n_tokens + m.w_stop * f.stop_hits
+              + m.w_digit * f.digit_chars AS BIGINT) AS score_micro,
+         m.threshold
+  FROM feats f
+  JOIN model m
+    ON m.lang = CASE WHEN f.lang IN ({", ".join(f"'{l}'" for l, *_ in _QC_MODEL if l != "*")})
+                     THEN f.lang ELSE '*' END
+)
+SELECT doc_id, lang, score_micro, score_micro >= threshold AS keep
+FROM scored
+"""
+
+
+@register("text_quality_classifier", oracle=_QC_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language linear quality classifier over cheap lexical features,
+    with the model as a broadcast weight TABLE (language → coefficients,
+    unknown languages falling through to a ``*`` default row).
+
+    Scale: features are per-row JVM expressions (token count, stopword
+    hits with multiplicity, digit-character count) — zero shuffle; the
+    model join broadcasts a 5-row table; the score is one integer
+    multiply-add, order-free by construction. This is the production
+    filtering shape: retraining ships a new model table, the plan is
+    untouched, and the corpus is read exactly once.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = F.split("text", " ")
+    stops = F.array(*[F.lit(s) for s in _QC_STOPS])
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.filter(words, lambda t: F.array_contains(stops, t)))
+        .cast("long")
+        .alias("stop_hits"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("digit_chars"),
+    )
+    model = spark.createDataFrame(
+        _QC_MODEL, ["m_lang", "bias", "w_tokens", "w_stop", "w_digit", "threshold"]
+    )
+    known = [l for l, *_ in _QC_MODEL if l != "*"]
+    joined = feats.withColumn(
+        "m_key",
+        F.when(F.col("lang").isin(known), F.col("lang")).otherwise(F.lit("*")),
+    ).join(F.broadcast(model), F.col("m_key") == F.col("m_lang"))
+    score = (
+        F.col("bias")
+        + F.col("w_tokens") * F.col("n_tokens")
+        + F.col("w_stop") * F.col("stop_hits")
+        + F.col("w_digit") * F.col("digit_chars")
+    ).cast("long")
+    return joined.select(
+        "doc_id",
+        "lang",
+        score.alias("score_micro"),
+        (score >= F.col("threshold")).alias("keep"),
+    )

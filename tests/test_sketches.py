@@ -127,3 +127,34 @@ def test_approx_count_distinct_within_rsd(spark, sf_correctness):
         assert rel_err <= 0.06, (
             f"{r.l_returnflag}: approx={r.approx} exact={r.n} err={rel_err:.4f}"
         )
+
+
+def test_hll_sketch_columns_survive_parquet_roundtrip(spark, sf_correctness, tmp_path):
+    """The store-the-sketch pipeline shape end to end: per-month HLL sketch
+    COLUMNS written to parquet, read back in a different frame, and
+    union-merged — the merged estimate must be bit-identical to merging the
+    never-persisted sketches (binary sketch columns are plain bytes to the
+    writer). This is what lets a 100 TB pipeline answer distinct-count
+    questions at any grain without re-scanning raw data."""
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_correctness, "lineitem")
+    per_month = li.groupBy(
+        "l_returnflag", F.month("l_shipdate").alias("m")
+    ).agg(F.expr("hll_sketch_agg(l_orderkey, 12)").alias("sk"))
+    direct = {
+        r.l_returnflag: r.est
+        for r in per_month.groupBy("l_returnflag")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()
+    }
+    path = str(tmp_path / "sketches.parquet")
+    per_month.write.parquet(path)
+    reread = {
+        r.l_returnflag: r.est
+        for r in spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()
+    }
+    assert reread == direct
