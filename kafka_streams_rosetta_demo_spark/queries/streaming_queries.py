@@ -518,3 +518,48 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, deduped.schema)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+@register(
+    "streaming_cms_sketch",
+    oracle="""
+WITH depths AS (SELECT unnest(range(0, 4)) AS d)
+SELECT d,
+       CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15)
+            AS BIGINT) % 2048 AS bucket,
+       count(*) AS c
+FROM events CROSS JOIN depths
+GROUP BY 1, 2
+""",
+)
+def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained AS STREAMING STATE: the per-key hot-key /
+    heavy-hitter monitor a 100 TB ingest runs continuously. The cell grid
+    (4×2048) is the aggregation key space, so the state store is bounded BY
+    CONSTRUCTION no matter how many events or distinct keys flow through —
+    the reason sketches, not exact count tables, are the streaming
+    frequency primitive (an exact per-key count in update mode grows with
+    key cardinality; this never exceeds depth×width rows). No watermark is
+    needed: nothing is ever evicted because nothing ever grows. Update-mode
+    emission + checkpointed foreachBatch changelog merge, and the final
+    sketch must hash-match the batch-built cells over the same events
+    (the oracle replays the identical md5 bucket hash)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_bucket
+
+    stream = _events_stream(spark, sf_dir)
+    cells = (
+        stream.select(
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+            F.col("user_id").cast("string").alias("item"),
+        )
+        .select(
+            "d", cms_bucket(F.col("item"), F.col("d"), CMS_WIDTH).alias("bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_cms_") as ckpt:
+        state = run_update_query_to_pandas_state(cells, ["d", "bucket"], ckpt)
+    return pandas_state_to_df(spark, state, cells.schema)

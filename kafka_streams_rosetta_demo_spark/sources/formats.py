@@ -204,3 +204,44 @@ def write_partitioned_parquet(
     out = df.repartition(*[F.col(c) for c in partition_cols])
     out = out.sortWithinPartitions(*partition_cols, *(sort_within or []))
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the lakehouse maintenance pass every
+    streaming/incremental sink needs (micro-batches and per-task writers
+    leave thousands of KB-sized files; scan parallelism then degrades into
+    open/seek overhead and NameNode/listing pressure).
+
+    Sizes the output by the INPUT'S actual bytes: one listing pass sums
+    file sizes (driver-side metadata, not data), the rewrite round-robins
+    into ``ceil(total/target)`` files of ~``target_file_bytes`` each.
+    Round-robin (``repartition(n)``) rather than ``coalesce``: coalesce
+    glues existing partitions without a shuffle, which preserves skew —
+    a compaction that inherits one fat file defeats its purpose. The
+    rewrite is a plain scan → exchange → write; at 100 TB it runs
+    per-partition-directory (compact yesterday's partition, not the
+    table). Returns the output file count.
+    """
+    import math
+
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    hpath = jvm.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(hpath)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
+        out_path
+    )
+    return n_files

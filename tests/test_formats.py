@@ -278,3 +278,32 @@ def test_zorder_layout_prunes_box_predicates_on_both_dims(spark, sf_smoke, tmp_p
     u_skip = _rowgroup_prune_fraction(upath, "user_id", lo_u, hi_u, "value", lo_v, hi_v)
     assert z_skip > u_skip, (z_skip, u_skip)
     assert z_skip >= 0.5, f"z-order skipped only {z_skip:.0%} of row groups"
+
+
+def test_compact_parquet_collapses_small_files(spark, sf_smoke, tmp_path):
+    """A 64-file micro-batch-style layout must compact to the byte-sized
+    target file count with identical content. Target is set to half the
+    input bytes so the expected count (2) is size-derived, not hardcoded
+    behavior."""
+    from kafka_streams_rosetta_demo_spark.sources.formats import compact_parquet
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    docs = load_table(spark, sf_smoke, "documents")
+    docs.repartition(64).write.parquet(src)
+    import os
+
+    n_small = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_small == 64
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    n = compact_parquet(spark, src, out, target_file_bytes=total // 2 + 1)
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n == n_out == 2
+    a = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    b = sorted(r.doc_id for r in docs.collect())
+    assert a == b
