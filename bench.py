@@ -92,6 +92,9 @@ OPTIONAL = [
     "doc_chunk_overlap",
     "split_leakage_safe",
     "text_quality_classifier",
+    "events_outliers_mad",
+    "timeseries_ewma",
+    "text_collocations_pmi",
 ]
 
 

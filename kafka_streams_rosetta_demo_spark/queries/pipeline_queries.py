@@ -1405,3 +1405,94 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score_micro"),
         (score >= F.col("threshold")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_collocations_pmi
+# ---------------------------------------------------------------------------
+
+# Collocation / phrase mining: bigrams whose joint frequency far exceeds
+# what their unigram frequencies predict — the statistic (pointwise mutual
+# information) behind phrase detectors and tokenizer-merge candidates.
+# The score is the PMI *lift ratio* in integer micro-units rather than its
+# log: same ranking, but exact integer arithmetic both engines agree on
+# (log's last-ulp rounding is not a cross-engine contract).
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+_PMI_ORACLE = f"""
+WITH w AS (
+  SELECT string_split(lower(text), ' ') AS words
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+toks AS (SELECT unnest(words) AS tok FROM w),
+uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS t FROM toks),
+grams AS (
+  SELECT words[i] AS a, words[i+1] AS b
+  FROM (SELECT words, unnest(range(1, len(words))) AS i FROM w)
+),
+bg AS (
+  SELECT a, b, count(*) AS n_ab FROM grams GROUP BY a, b
+  HAVING count(*) >= {_PMI_MIN_COUNT}
+)
+SELECT bg.a || ' ' || bg.b AS bigram,
+       bg.n_ab,
+       (1000000 * bg.n_ab * tot.t) // (ua.n * ub.n) AS lift_micro
+FROM bg
+CROSS JOIN tot
+JOIN uni ua ON ua.tok = bg.a
+JOIN uni ub ON ub.tok = bg.b
+ORDER BY lift_micro DESC, bigram
+LIMIT {_PMI_TOPK}
+"""
+
+
+@register("text_collocations_pmi", oracle=_PMI_ORACLE)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by PMI lift: ``1e6 · n_ab · T / (n_a · n_b)``
+    over lowercase word bigrams with joint count ≥ 5.
+
+    Scale: unigram and bigram count tables are each ONE groupBy with
+    map-side combine (the Zipf head pre-aggregates per partition); the
+    min-count filter cuts the bigram table before the two unigram joins;
+    the corpus token total is a single collected scalar (bounded model
+    state, the BM25 N/avgdl pattern); top-k plans as
+    TakeOrderedAndProject. All integer arithmetic — at corpora where
+    ``1e6·n_ab·T`` approaches int64, switch the expression to
+    decimal(38,0); the ranking is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    w = docs.where(F.size(F.split("text", " ")) >= 2).select(
+        F.split(F.lower("text"), " ").alias("words")
+    ).localCheckpoint(eager=True)  # feeds unigrams AND bigrams
+    toks = w.select(F.explode("words").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    t_total = toks.count()
+    bigrams = F.expr(
+        "transform(sequence(1, size(words) - 1),"
+        " i -> struct(words[i-1] AS a, words[i] AS b))"
+    )
+    bg = (
+        w.select(F.explode(bigrams).alias("g"))
+        .select(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _PMI_MIN_COUNT)
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("n_b"))
+    return (
+        bg.join(ua, "a")
+        .join(ub, "b")
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "n_ab",
+            F.expr(f"(1000000 * n_ab * {t_total}L) div (n_a * n_b)").alias(
+                "lift_micro"
+            ),
+        )
+        .orderBy(F.col("lift_micro").desc(), "bigram")
+        .limit(_PMI_TOPK)
+    )

@@ -2073,3 +2073,156 @@ def source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.99).alias("p99"),
         F.max(F.when(F.col("rn") == F.col("n"), F.col("n_chars"))).alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH cents AS (
+  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+med AS (
+  SELECT event_type, v AS med_v FROM (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+           count(*)    OVER (PARTITION BY event_type)                       AS n
+    FROM cents
+  ) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+),
+dev AS (
+  SELECT c.event_id, c.event_type, c.v, m.med_v, abs(c.v - m.med_v) AS d
+  FROM cents c JOIN med m ON m.event_type = c.event_type
+),
+mad AS (
+  SELECT event_type, d AS mad_v FROM (
+    SELECT event_type, d,
+           row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn,
+           count(*)    OVER (PARTITION BY event_type)                       AS n
+    FROM dev
+  ) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+)
+SELECT d.event_id, d.event_type, d.v AS value_cents,
+       d.med_v AS median_cents, md.mad_v AS mad_cents,
+       d.d AS abs_dev_cents
+FROM dev d JOIN mad md ON md.event_type = d.event_type
+WHERE d.d > 3 * md.mad_v
+"""
+
+
+@register("events_outliers_mad", oracle=_MAD_ORACLE)
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: events whose value deviates from
+    the group median by more than 3× the median absolute deviation — the
+    monitoring screen that survives the skewed distributions mean/stddev
+    breaks on (one whale purchase inflates σ until nothing is an outlier;
+    the median/MAD pair is 50%-breakdown robust).
+
+    Scale: exact discrete medians via the rank-at-ceil idiom (one
+    sort+window pass per statistic over the same partitioning — Spark
+    reuses the hash partitioning between the two passes); values quantize
+    to integer cents so both medians and the 3×MAD comparison are
+    engine-exact. Per-group state is two scalars; the flagged subset
+    streams out with no further shuffle. At 100 TB swap the exact median
+    for the GK sketch (``agg_approx_percentile``'s contract) — the plan
+    shape is unchanged."""
+    cents = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.floor(F.col("value") * 100).cast("long").alias("v")
+    )
+    wv = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (
+        cents.withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where(F.col("rn") == F.ceil(F.col("n") * 0.5))
+        .select("event_type", F.col("v").alias("med_v"))
+    )
+    dev = cents.join(med, "event_type").select(
+        "event_id",
+        "event_type",
+        "v",
+        "med_v",
+        F.abs(F.col("v") - F.col("med_v")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where(F.col("rn") == F.ceil(F.col("n") * 0.5))
+        .select("event_type", F.col("d").alias("mad_v"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .where(F.col("d") > 3 * F.col("mad_v"))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("v").alias("value_cents"),
+            F.col("med_v").alias("median_cents"),
+            F.col("mad_v").alias("mad_cents"),
+            F.col("d").alias("abs_dev_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (integer dyadic weights)
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 10
+
+_EWMA_ORACLE = f"""
+WITH cents AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1000000) AS BIGINT) AS v
+  FROM events
+),
+lagged AS (
+  SELECT event_id, user_id,
+         {" + ".join(
+             f"COALESCE(lag(v, {k}) OVER "
+             f"(PARTITION BY user_id ORDER BY ts, event_id) // {2 ** k}, 0)"
+             for k in range(_EWMA_LAGS)
+         )} AS ewma_micro
+  FROM cents
+)
+SELECT event_id, user_id, ewma_micro FROM lagged
+"""
+
+
+@register("timeseries_ewma", oracle=_EWMA_ORACLE)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α = 1/2) over each
+    user's event-value history — trend smoothing with DYADIC weights: the
+    k-th lag contributes ``floor(v_micro / 2^k)``, so every term and the
+    sum are integers and the result is bit-identical across engines and
+    partitionings (a float EWMA recurrence is neither). Ten lags bound the
+    tail below one micro-unit — numerically identical to the infinite
+    recurrence at this quantization.
+
+    Scale: ONE shuffle+sort per user (all ten lags share the same window
+    spec, so Catalyst evaluates them in a single Window operator over a
+    single sort); everything else is per-row integer math. The streaming
+    twin of this shape is a ``transformWithState`` accumulator; batch-side
+    the window form wins because it needs no state store."""
+    cents = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # floor division of the lagged micro value by 2^k; lag() shares one
+    # window spec so all ten evaluate in a single sort
+    terms = [
+        F.coalesce(
+            F.floor(F.lag("v", k).over(w) / F.lit(2**k)).cast("long"), F.lit(0)
+        )
+        for k in range(_EWMA_LAGS)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return cents.select("event_id", "user_id", total.alias("ewma_micro"))
