@@ -95,6 +95,7 @@ OPTIONAL = [
     "events_outliers_mad",
     "timeseries_ewma",
     "text_collocations_pmi",
+    "agg_equidepth_bins",
 ]
 
 

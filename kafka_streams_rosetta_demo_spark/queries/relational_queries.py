@@ -2226,3 +2226,82 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in terms[1:]:
         total = total + t
     return cents.select("event_id", "user_id", total.alias("ewma_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth (quantile) binning without a global sort
+# ---------------------------------------------------------------------------
+
+_EQD_K = 8
+
+_EQD_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+),
+tot AS (SELECT count(*) AS n FROM cents),
+dist AS (SELECT c, count(*) AS k FROM cents GROUP BY c),
+cum AS (SELECT c, sum(k) OVER (ORDER BY c) AS cum FROM dist),
+bounds AS (
+  SELECT j.j, min(cum.c) AS b
+  FROM cum
+  CROSS JOIN (SELECT unnest(range(1, {_EQD_K})) AS j) j
+  CROSS JOIN tot
+  WHERE cum.cum >= CAST(ceil(j.j * tot.n / {_EQD_K}.0) AS BIGINT)
+  GROUP BY j.j
+),
+assigned AS (
+  SELECT c, 1 + (SELECT count(*) FROM bounds WHERE bounds.b < cents.c) AS bucket
+  FROM cents
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+       min(c) AS min_cents, max(c) AS max_cents
+FROM assigned GROUP BY bucket
+"""
+
+
+@register("agg_equidepth_bins", oracle=_EQD_ORACLE)
+def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning of prices into 8 buckets WITHOUT a
+    global sort: the naive ``ntile(8) OVER (ORDER BY price)`` funnels
+    100 TB through a single-partition window — the classic scale trap.
+    Instead: (1) one groupBy collapses rows to the VALUE DOMAIN (distinct
+    cents — bounded by price granularity, not data volume), (2) a running
+    sum over that domain-sized table locates the 7 exact rank boundaries,
+    (3) the boundaries collect as bounded model state (7 longs) and every
+    row buckets by a closed-form comparison against the literal array —
+    map-side, zero further shuffle. Ties at a boundary stay in the lower
+    bucket, deterministically. Integer cents make every statistic
+    engine-exact."""
+    cents = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    n = cents.count()
+    dist = cents.groupBy("c").agg(F.count(F.lit(1)).alias("k"))
+    # Window over the distinct-value domain (single partition by design:
+    # the table is value-domain-sized, not data-sized — see docstring)
+    cum = dist.withColumn(
+        "cum", F.sum("k").over(Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    import math
+
+    ranks = [math.ceil(j * n / _EQD_K) for j in range(1, _EQD_K)]
+    bounds_row = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= F.lit(r), F.col("c"))).alias(f"b{j}")
+            for j, r in enumerate(ranks, start=1)
+        ]
+    ).collect()[0]
+    bounds = [int(bounds_row[f"b{j}"]) for j in range(1, _EQD_K)]
+    barr = F.array(*[F.lit(b) for b in bounds])
+    bucket = (
+        F.size(F.filter(barr, lambda b: b < F.col("c"))) + 1
+    ).cast("long")
+    return (
+        cents.select("c", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+    )

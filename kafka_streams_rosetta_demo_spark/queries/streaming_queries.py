@@ -563,3 +563,31 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="ckpt_cms_") as ckpt:
         state = run_update_query_to_pandas_state(cells, ["d", "bucket"], ckpt)
     return pandas_state_to_df(spark, state, cells.schema)
+
+
+@register(
+    "streaming_stateful_totals",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator surface (Kafka Streams
+    ``transformValues``/``Processor`` analogue, SURVEY §2.7 /X19) run as a
+    gate query: an ``applyInPandasWithState`` per-key accumulator with
+    integer state (event count + cent total), update-mode emission,
+    checkpointed state store, final state hash-matching the batch
+    aggregate. Integer state is what makes the contract EXACT — a float
+    accumulator's result depends on arrival order; this one cannot.
+    State is two longs per key, Arrow-batched per micro-batch — the
+    bounded-keyed-state shape of every KTable-like operator here."""
+    from ..streaming.stateful import running_totals_cents
+
+    totals = running_totals_cents(_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory(prefix="ckpt_sst_") as ckpt:
+        state = run_update_query_to_pandas_state(totals, ["user_id"], ckpt)
+    return pandas_state_to_df(spark, state, totals.schema)

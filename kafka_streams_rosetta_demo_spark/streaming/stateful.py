@@ -54,3 +54,38 @@ def running_totals(
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def running_totals_cents(
+    stream: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Per-key running (event count, integer-cent total) — the same state
+    machine as :func:`running_totals` but with all-integer state, so the
+    final state is bit-identical to a batch aggregate regardless of
+    arrival order or partitioning (float accumulation is neither). This is
+    the variant the registered gate query runs: an oracle can assert exact
+    equality, not closeness."""
+    out_schema = f"{key_col} long, n_events long, total_cents long"
+    state_schema = "n long, total long"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            import numpy as np
+
+            total += int(np.floor(pdf[value_col].to_numpy() * 100).astype("int64").sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_cents": [total]}
+        )
+
+    return (
+        stream.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
