@@ -96,6 +96,7 @@ OPTIONAL = [
     "timeseries_ewma",
     "text_collocations_pmi",
     "agg_equidepth_bins",
+    "text_inverted_index",
 ]
 
 

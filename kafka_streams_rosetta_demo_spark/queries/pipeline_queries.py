@@ -1496,3 +1496,86 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_micro").desc(), "bigram")
         .limit(_PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_inverted_index
+# ---------------------------------------------------------------------------
+
+# The search-index BUILD as a materialized artifact: per-term document
+# frequency, total term frequency, and the head of the posting list —
+# what BM25/TF-IDF queries here derive on the fly, produced once and
+# written as the reusable index table a retrieval service loads.
+
+_IDX_TOPK_TERMS = 100
+_IDX_POSTINGS = 3
+
+_IDX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+stats AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY term
+),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+),
+top3 AS (
+  SELECT term,
+         array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY rn), ',') AS top_docs
+  FROM ranked WHERE rn <= {_IDX_POSTINGS} GROUP BY term
+)
+SELECT s.term, s.df, s.total_tf, t.top_docs
+FROM stats s JOIN top3 t USING (term)
+ORDER BY s.df DESC, s.term
+LIMIT {_IDX_TOPK_TERMS}
+"""
+
+
+@register("text_inverted_index", oracle=_IDX_ORACLE)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per-term df, total tf, and the top-3
+    posting-list head (tf desc, doc asc — deterministic), reported for the
+    100 highest-df terms.
+
+    Scale: one (term, doc) shuffle builds the tf table (map-side combine
+    absorbs within-partition repeats); the df aggregate and the posting
+    window then both partition by term — the executed plan shows one of
+    the two term exchanges reused — and the final top-100 plans as
+    TakeOrderedAndProject. At 100 TB the full artifact —
+    not the top-100 debug view — writes sharded by term hash
+    (``doc_shard_assign``'s layout), which is exactly how the BM25 query's
+    IN-filter finds its posting lists without touching the corpus."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    top3 = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _IDX_POSTINGS)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda s: s.getField("doc_id").cast("string"),
+                ),
+                ",",
+            ).alias("top_docs")
+        )
+    )
+    return (
+        stats.join(top3, "term")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_IDX_TOPK_TERMS)
+    )
