@@ -28,10 +28,13 @@ _PR_ITER = 5
 
 
 def _pagerank_oracle() -> str:
+    # Node encoding: customer c → 2c, supplier s → 2s+1 (disjoint longs).
+    # 8-byte keys on every shuffle instead of 'c123'-style strings — the
+    # standard web-graph trick (hash/encode URLs to ids before iterating).
     head = f"""
 WITH e0 AS (
-  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT)     AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
@@ -52,7 +55,11 @@ r{i} AS (
     GROUP BY e.dst
   ) s ON s.node = d.node
 )""")
-    return head + "".join(iters) + f"\nSELECT node, r AS rank_scaled FROM r{_PR_ITER}"
+    return head + "".join(iters) + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       node // 2 AS entity_key,
+       r AS rank_scaled
+FROM r{_PR_ITER}"""
 
 
 @register("graph_pagerank", oracle=_pagerank_oracle())
@@ -60,26 +67,37 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-iteration integer PageRank over the undirected customer↔supplier
     purchase graph (an edge per distinct customer/supplier trading pair).
 
-    Scale: the edge build is a fact-fact equi-join on the order key followed
-    by a distinct — both shuffle on keys Spark hash-partitions evenly. The
-    iteration itself shuffles only the 2-column rank table per round against
-    a once-partitioned, checkpointed adjacency (see the operator). The
+    Scale: nodes are ENCODED LONGS (customer c → 2c, supplier s → 2s+1 —
+    the id-encoding every web-graph pipeline applies before iterating, so
+    each shuffle moves 8-byte keys, not id strings); the edge build is a
+    fact-fact equi-join on the order key followed by a distinct — both
+    shuffle on keys Spark hash-partitions evenly. The iteration itself
+    shuffles only the 2-column rank table per round against a
+    once-partitioned, checkpointed adjacency (see the operator). The
     oracle unrolls the same 5 integer iterations as CTEs, so values
-    hash-match exactly."""
+    hash-match exactly; the readable (node_type, entity_key) pair is
+    decoded only at output."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
         )
         .distinct()
     )
     sym = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank(sym, iterations=_PR_ITER, scale=_PR_SCALE)
+    ranks = pagerank(sym, iterations=_PR_ITER, scale=_PR_SCALE)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_key"),
+        "rank_scaled",
+    )
 
 
 _TRIANGLE_ORACLE = """
