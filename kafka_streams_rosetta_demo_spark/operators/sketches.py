@@ -16,10 +16,18 @@ already runs. The only data-sized move is the ``depth×`` explode feeding
 the partial agg, which never leaves the mapper. Probing is a join of the
 (tiny) key set against the (bounded, ``depth·width``-row) sketch.
 
-Determinism: the bucket hash is the repo-wide ``md5_long`` (first 60 bits
-of md5), which DuckDB computes bit-identically — so a query's oracle can
-replay the *exact* sketch, making CMS estimates hash-checkable rather than
-merely tolerance-checkable.
+Determinism: the bucket hashes derive from the repo-wide ``md5_long``
+(first 60 bits of md5), which DuckDB computes bit-identically — so a
+query's oracle can replay the *exact* sketch, making CMS estimates
+hash-checkable rather than merely tolerance-checkable.
+
+Hash family: Kirsch–Mitzenmacher double hashing — ``h_d(x) = (h1(x) +
+d·h2(x)) mod width`` from two base hashes (md5 of the item and of the
+item reversed). KM preserves the CMS/Bloom error guarantees while hashing
+each item TWICE total instead of once per depth row — at 100 TB of
+tokens, that halves-or-better the dominant per-row cost (md5 of a salted
+string per depth) and explodes only small ints, not salted strings.
+``h1 + d·h2 ≤ 4·2^60 < 2^63`` — no int64 overflow at depth ≤ 7.
 """
 
 from __future__ import annotations
@@ -34,11 +42,11 @@ CMS_WIDTH = 2048
 
 
 def cms_bucket(item: Column, depth_idx: Column, width: int = CMS_WIDTH) -> Column:
-    """Bucket of ``item`` under hash row ``depth_idx``: salted md5_long mod
-    width. Non-negative (md5_long is 60-bit), so ``%`` agrees with DuckDB."""
-    return md5_long(
-        F.concat(depth_idx.cast("string"), F.lit(":"), item)
-    ) % F.lit(width)
+    """Bucket of ``item`` under hash row ``depth_idx`` via KM double
+    hashing. All terms non-negative, so ``%`` agrees with DuckDB."""
+    h1 = md5_long(item)
+    h2 = md5_long(F.reverse(item))
+    return (h1 + depth_idx.cast("long") * h2) % F.lit(width)
 
 
 def cms_build(
@@ -48,16 +56,26 @@ def cms_build(
     width: int = CMS_WIDTH,
 ) -> DataFrame:
     """Aggregate an item stream into CMS cells: (d, bucket, c) with at most
-    ``depth × width`` rows. The explode multiplies rows ``depth×`` BEFORE the
-    groupBy, but partial aggregation collapses each mapper's output to the
-    bounded cell grid, so the shuffle moves ≤ depth·width rows per task —
-    the whole point of sketching at 100 TB."""
+    ``depth × width`` rows. The two KM base hashes are computed ONCE per
+    item row, BEFORE the depth explode — the explode then fans out two
+    longs, not strings, and each fanned row is pure integer arithmetic.
+    Partial aggregation collapses each mapper's output to the bounded cell
+    grid, so the shuffle moves ≤ depth·width rows per task — the whole
+    point of sketching at 100 TB."""
+    hashed = items.select(
+        md5_long(F.col(col)).alias("h1"),
+        md5_long(F.reverse(F.col(col))).alias("h2"),
+    )
     return (
-        items.select(
-            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
-            F.col(col).alias("item"),
+        hashed.select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"), "h1", "h2"
         )
-        .select("d", cms_bucket(F.col("item"), F.col("d"), width).alias("bucket"))
+        .select(
+            "d",
+            ((F.col("h1") + F.col("d").cast("long") * F.col("h2")) % F.lit(width)).alias(
+                "bucket"
+            ),
+        )
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -32,22 +32,27 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_HASH1 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+_CMS_HASH2 = "CAST('0x' || substr(md5(reverse({x})), 1, 15) AS BIGINT)"
+
 _CMS_ORACLE = f"""
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS word FROM documents
 ),
 toks2 AS (SELECT word FROM toks WHERE word <> ''),
+hashed AS (
+  SELECT {_CMS_HASH1.format(x="word")} AS h1,
+         {_CMS_HASH2.format(x="word")} AS h2
+  FROM toks2
+),
 exact AS (SELECT word, count(*) AS exact_n FROM toks2 GROUP BY word),
 top AS (
   SELECT word, exact_n FROM exact ORDER BY exact_n DESC, word LIMIT 20
 ),
 depths AS (SELECT unnest(range(0, {CMS_DEPTH})) AS d),
 cells AS (
-  SELECT d,
-         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || word), 1, 15) AS BIGINT)
-           % {CMS_WIDTH} AS bucket,
-         count(*) AS c
-  FROM toks2 CROSS JOIN depths
+  SELECT d, (h1 + d * h2) % {CMS_WIDTH} AS bucket, count(*) AS c
+  FROM hashed CROSS JOIN depths
   GROUP BY 1, 2
 )
 SELECT t.word, t.exact_n, min(c.c) AS cms_est
@@ -55,8 +60,8 @@ FROM top t
 CROSS JOIN depths dd
 JOIN cells c
   ON c.d = dd.d
- AND c.bucket = CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || t.word), 1, 15) AS BIGINT)
-                % {CMS_WIDTH}
+ AND c.bucket = ({_CMS_HASH1.format(x="t.word")}
+                 + dd.d * {_CMS_HASH2.format(x="t.word")}) % {CMS_WIDTH}
 GROUP BY t.word, t.exact_n
 """
 

@@ -523,12 +523,14 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_cms_sketch",
     oracle="""
-WITH depths AS (SELECT unnest(range(0, 4)) AS d)
-SELECT d,
-       CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15)
-            AS BIGINT) % 2048 AS bucket,
-       count(*) AS c
-FROM events CROSS JOIN depths
+WITH depths AS (SELECT unnest(range(0, 4)) AS d),
+hashed AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(reverse(CAST(user_id AS VARCHAR))), 1, 15) AS BIGINT) AS h2
+  FROM events
+)
+SELECT d, (h1 + d * h2) % 2048 AS bucket, count(*) AS c
+FROM hashed CROSS JOIN depths
 GROUP BY 1, 2
 """,
 )
@@ -546,19 +548,14 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle replays the identical md5 bucket hash)."""
     from pyspark.sql import functions as F
 
-    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_bucket
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_build
 
     stream = _events_stream(spark, sf_dir)
-    cells = (
-        stream.select(
-            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
-            F.col("user_id").cast("string").alias("item"),
-        )
-        .select(
-            "d", cms_bucket(F.col("item"), F.col("d"), CMS_WIDTH).alias("bucket")
-        )
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+    cells = cms_build(
+        stream.select(F.col("user_id").cast("string").alias("item")),
+        "item",
+        CMS_DEPTH,
+        CMS_WIDTH,
     )
     with tempfile.TemporaryDirectory(prefix="ckpt_cms_") as ckpt:
         state = run_update_query_to_pandas_state(cells, ["d", "bucket"], ckpt)
