@@ -817,3 +817,61 @@ def test_append_mode_emits_each_window_once_final(spark, split_events_dir, tmp_p
             break
 
     assert got == expected, "append mode never finalized every closed window"
+
+
+def test_multibatch_cms_sketch_converges_to_batch(spark, split_events_dir, tmp_path):
+    """CMS cells accumulated across 3 micro-batches must equal the
+    batch-built sketch over the same events — the mergeability that makes
+    a sketch valid streaming state. Restarting the finished query must
+    change nothing (T4/T6 for sketch state)."""
+    from kafka_streams_rosetta_demo_spark.operators.sketches import cms_build
+
+    def topology():
+        stream = _stream(spark, split_events_dir, max_files_per_trigger=1)
+        return cms_build(
+            stream.select(F.col("user_id").cast("string").alias("item")), "item"
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    state = run_update_query_to_state(topology(), lambda r: (r.d, r.bucket), ckpt)
+    expected = {
+        (r.d, r.bucket): r.c
+        for r in cms_build(
+            spark.read.parquet(split_events_dir)
+            .select(F.col("user_id").cast("string").alias("item")),
+            "item",
+        ).collect()
+    }
+    got = {k: row.c for k, row in state.items()}
+    assert got == expected
+
+    # Restart on the same checkpoint: offsets are committed, so NO updates
+    # re-emit (at-least-once with no duplicate processing — the same pin as
+    # test_checkpoint_restart_replays_nothing).
+    state2 = run_update_query_to_state(topology(), lambda r: (r.d, r.bucket), ckpt)
+    assert state2 == {}
+
+
+def test_multibatch_integer_stateful_totals_exact(spark, split_events_dir, tmp_path):
+    """The integer-state accumulator (the gate query's operator) must match
+    the batch aggregate EXACTLY across micro-batches — no tolerance."""
+    from kafka_streams_rosetta_demo_spark.streaming.stateful import running_totals_cents
+
+    stream = _stream(spark, split_events_dir, max_files_per_trigger=1)
+    totals = running_totals_cents(stream)
+    state = run_update_query_to_state(
+        totals, lambda r: r.user_id, str(tmp_path / "ckpt")
+    )
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in spark.read.parquet(split_events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total"),
+        )
+        .collect()
+    }
+    assert state.keys() == expected.keys()
+    for k, row in state.items():
+        assert (row.n_events, row.total_cents) == expected[k]
