@@ -330,3 +330,87 @@ def test_resize_batches_match_twin(payloads):
         if (exp := expected_resize(p)) is not None
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: PageRank / triangles / CMS against pure-Python models
+# ---------------------------------------------------------------------------
+
+graph_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=8)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(pairs=graph_strategy)
+@SETTINGS
+def test_pagerank_matches_python_model(spark, pairs):
+    from kafka_streams_rosetta_demo_spark.operators.graph import pagerank
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    edges = und + [(b, a) for a, b in und]
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    ranks = {n: 1_000_000_000 for n in deg}
+    for _ in range(5):
+        summed = defaultdict(int)
+        for s, d in edges:
+            summed[d] += ranks[s] // deg[s]
+        ranks = {n: 150_000_000 + (85 * summed.get(n, 0)) // 100 for n in deg}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_scaled for r in pagerank(df).collect()}
+    assert got == ranks
+
+
+@given(pairs=graph_strategy)
+@SETTINGS
+def test_triangle_counts_match_python_model(spark, pairs):
+    from itertools import combinations
+
+    from kafka_streams_rosetta_demo_spark.operators.graph import triangle_counts
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    eset = set(und)
+    nodes = sorted({n for e in und for n in e})
+    expected = defaultdict(int)
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset:
+            expected[x] += 1
+            expected[y] += 1
+            expected[z] += 1
+
+    df = spark.createDataFrame(und, "a long, b long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == dict(expected)
+
+
+words_strategy = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=60
+)
+
+
+@given(words=words_strategy)
+@SETTINGS
+def test_cms_never_undercounts_property(spark, words):
+    from collections import Counter
+
+    from kafka_streams_rosetta_demo_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    items = spark.createDataFrame([(w,) for w in words], "word string")
+    sketch = cms_build(items, "word", depth=2, width=16)  # tiny: force collisions
+    keys = items.distinct()
+    est = {
+        r.word: r.cms_est for r in cms_estimate(sketch, keys, "word", depth=2, width=16).collect()
+    }
+    true = Counter(words)
+    assert est.keys() == set(true)
+    for w, n in true.items():
+        assert est[w] >= n, f"CMS undercounted {w!r}: {est[w]} < {n}"
