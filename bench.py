@@ -97,6 +97,7 @@ OPTIONAL = [
     "text_collocations_pmi",
     "agg_equidepth_bins",
     "text_inverted_index",
+    "pipeline_curation_summary",
 ]
 
 

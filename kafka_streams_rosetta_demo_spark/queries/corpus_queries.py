@@ -814,3 +814,135 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.col("is_test") & (F.coalesce("n_shared", F.lit(0)) > 0)).alias("leaked"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curation_summary
+# ---------------------------------------------------------------------------
+
+# The whole curation FUNNEL in one declarative plan: quality-classify →
+# drop rejects → collapse exact duplicates → count training chunks — the
+# per-source yield report a data-pipeline team reads daily. Each stage
+# reuses the exact semantics of its standalone query (the classifier's
+# model table, dedup_exact's md5 collapse, doc_chunk_overlap's stride
+# arithmetic), demonstrating that the registered operators COMPOSE into
+# one Catalyst plan rather than materializing between stages.
+
+_CURATION_ORACLE = """
+WITH all_docs AS (
+  SELECT doc_id, source, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, lang, text
+  FROM documents WHERE doc_id % 10 = 0
+),
+model(lang, bias, w_tokens, w_stop, w_digit, threshold) AS (
+  VALUES ('en', 100000, 900, 8000, -2500, 173000),
+         ('zh', 200000, 1100, 2000, -2000, 265000),
+         ('es', 120000, 950, 7000, -2500, 195000),
+         ('de', 120000, 950, 6500, -2500, 190000),
+         ('*', 80000, 800, 5000, -3000, 146000)
+),
+scored AS (
+  SELECT d.doc_id, d.source, d.text,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         (m.bias
+          + m.w_tokens * len(string_split(d.text, ' '))
+          + m.w_stop * len(list_filter(string_split(d.text, ' '),
+                                       t -> list_contains(['the','a','and','of','to','in','is','for'], t)))
+          + m.w_digit * length(regexp_replace(d.text, '[^0-9]', '', 'g'))
+         ) >= m.threshold AS keep
+  FROM all_docs d
+  JOIN model m ON m.lang = CASE WHEN d.lang IN ('en','zh','es','de')
+                                THEN d.lang ELSE '*' END
+),
+kept AS (SELECT * FROM scored WHERE keep),
+canon AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+surv AS (SELECT k.source, k.n_tokens FROM kept k JOIN canon c ON c.doc_id = k.doc_id)
+SELECT s.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN sc.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(sv.n_canonical, 0) AS n_canonical,
+       COALESCE(sv.n_chunks, 0)    AS n_chunks
+FROM (SELECT DISTINCT source FROM all_docs) s
+JOIN scored sc ON sc.source = s.source
+LEFT JOIN (
+  SELECT source, count(*) AS n_canonical,
+         CAST(sum((n_tokens - 1) // 96 + 1) AS BIGINT) AS n_chunks
+  FROM surv GROUP BY source
+) sv ON sv.source = s.source
+GROUP BY s.source, sv.n_canonical, sv.n_chunks
+"""
+
+
+@register("pipeline_curation_summary", oracle=_CURATION_ORACLE)
+def pipeline_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation-funnel yield: documents in → quality-kept →
+    exact-dedup canonical survivors → 128/96-stride training chunks, as
+    ONE composed plan (the standalone queries' semantics, fused).
+
+    Scale: the classifier stage is per-row + a broadcast model join (zero
+    shuffle); the dedup collapse is one md5 groupBy; chunk counts are
+    closed-form arithmetic on the token count — the funnel never explodes
+    chunks to count them. One corpus scan feeds everything; Catalyst
+    pipelines the stages instead of materializing intermediates, which is
+    the point of declaring curation stages as DataFrame transforms rather
+    than scripted passes over files."""
+    from .pipeline_queries import _QC_MODEL, _QC_STOPS
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    # dedup_exact's injection: every 10th doc re-keyed — byte-identical
+    # duplicates so the collapse stage of the funnel is observable
+    docs = base.unionByName(
+        base.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "source", "lang", "text"
+        )
+    )
+    words = F.split("text", " ")
+    stops = F.array(*[F.lit(s) for s in _QC_STOPS])
+    model = spark.createDataFrame(
+        _QC_MODEL, ["m_lang", "bias", "w_tokens", "w_stop", "w_digit", "threshold"]
+    )
+    known = [l for l, *_ in _QC_MODEL if l != "*"]
+    score = (
+        F.col("bias")
+        + F.col("w_tokens") * F.size(words)
+        + F.col("w_stop") * F.size(F.filter(words, lambda t: F.array_contains(stops, t)))
+        + F.col("w_digit") * F.length(F.regexp_replace("text", "[^0-9]", ""))
+    )
+    scored = (
+        docs.withColumn(
+            "m_key",
+            F.when(F.col("lang").isin(known), F.col("lang")).otherwise(F.lit("*")),
+        )
+        .join(F.broadcast(model), F.col("m_key") == F.col("m_lang"))
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(words).cast("long").alias("n_tokens"),
+            (score >= F.col("threshold")).alias("keep"),
+        )
+        .localCheckpoint(eager=True)  # feeds totals AND the survivor chain
+    )
+    kept = scored.where("keep")
+    canon = kept.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    surv = kept.join(canon.select("doc_id"), "doc_id").select("source", "n_tokens")
+    surv_stats = surv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum(F.expr("(n_tokens - 1) div 96 + 1")).alias("n_chunks"),
+    )
+    totals = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+    return totals.join(surv_stats, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_kept",
+        F.coalesce("n_canonical", F.lit(0)).cast("long").alias("n_canonical"),
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+    )
