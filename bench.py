@@ -98,6 +98,7 @@ OPTIONAL = [
     "agg_equidepth_bins",
     "text_inverted_index",
     "pipeline_curation_summary",
+    "multimodal_phash_dedup",
 ]
 
 

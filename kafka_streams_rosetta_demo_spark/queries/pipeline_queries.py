@@ -1579,3 +1579,148 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(_IDX_TOPK_TERMS)
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_dedup — perceptual-hash image dedup
+# ---------------------------------------------------------------------------
+
+# Image-level near-dup detection: the classic average-hash (aHash/pHash
+# family) over the 8x8 block-mean plane the resize stage already produces —
+# bit i = (pixel_i >= plane average), banded like SimHash (4x16 bits,
+# pigeonhole: Hamming <= 3 guarantees one equal band), Hamming verify on
+# candidates. This is the dedup family member for the MULTIMODAL column:
+# byte-identical payload copies (every 15th doc re-keyed) must surface at
+# Hamming 0. The average test uses 64*v >= sum (integer, no division), so
+# the signature is engine-exact.
+
+_PHASH_ORACLE = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, text FROM documents WHERE doc_id % 15 = 0
+),
+payload AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(hex(encode(text)), '..'),
+                        x -> CAST('0x' || x AS INTEGER)) AS bs,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM all_docs
+),
+sided AS (
+  SELECT doc_id, bs, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+  FROM payload
+),
+sq AS (
+  SELECT doc_id, bs,
+         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN 1 ELSE 0 END)
+            - (CASE WHEN s0 * s0 > n THEN 1 ELSE 0 END) AS side
+  FROM sided
+),
+blocks AS (
+  SELECT doc_id, side, bs, unnest(range(0, 64)) AS pixel_idx
+  FROM sq WHERE side >= 8
+),
+pooled AS (
+  SELECT doc_id, side, pixel_idx,
+         CAST(list_sum(list_transform(
+                range(((pixel_idx // 8) * side + 7) // 8,
+                      ((pixel_idx // 8 + 1) * side + 7) // 8),
+                i -> list_sum(
+                       bs[CAST(i * side + ((pixel_idx % 8) * side + 7) // 8 + 1 AS BIGINT)
+                          :CAST(i * side + ((pixel_idx % 8 + 1) * side + 7) // 8 AS BIGINT)])))
+              // ((((pixel_idx // 8 + 1) * side + 7) // 8
+                   - ((pixel_idx // 8) * side + 7) // 8)
+                  * (((pixel_idx % 8 + 1) * side + 7) // 8
+                     - ((pixel_idx % 8) * side + 7) // 8))
+              AS BIGINT) AS v
+  FROM blocks
+),
+bits AS (
+  SELECT doc_id, pixel_idx,
+         CASE WHEN 64 * v >= SUM(v) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS bit
+  FROM pooled
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM bits a JOIN bits b ON a.pixel_idx = b.pixel_idx AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+@register("multimodal_phash_dedup", oracle=_PHASH_ORACLE)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the multimodal payloads at
+    Hamming <= 3 on the 64-bit average-hash of the 8x8 block-mean plane.
+
+    Plan shape (the SimHash pattern applied to images): the Arrow-batched
+    resize stage computes each payload's 8x8 plane (zero shuffle); the
+    64-bit signature is per-row JVM integer math (bit = 64*pixel >= plane
+    sum — no division); candidates come from a 4x16-bit band equi-join
+    (pigeonhole-exact for Hamming <= 3, never all-pairs); exact Hamming
+    verifies candidates only. The oracle goes brute-force all-pairs on the
+    replayed plane, so recall of the banded plan is checked, not assumed.
+    At 100 TB the signature table is 8 bytes/image and the band join is
+    the only shuffle."""
+    from ..operators.multimodal import documents_as_binary, resize_images
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    allv = base.unionByName(
+        base.where(F.col("doc_id") % 15 == 0).select(
+            (F.col("doc_id") + 4000000).alias("doc_id"), "text"
+        )
+    )
+    px = resize_images(documents_as_binary(allv))
+    vals = F.expr(
+        "transform(sequence(0, 63),"
+        " i -> cast(conv(substr(hex(pixels), i*2+1, 2), 16, 10) as int))"
+    )
+    sig = (
+        px.select("doc_id", vals.alias("vals"))
+        .withColumn("total", F.expr("aggregate(vals, 0, (acc, x) -> acc + x)"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(vals, v -> case when 64 * v >= total then 1 else 0 end)"
+            ).alias("bits"),
+        )
+        .localCheckpoint(eager=True)  # feeds band keys AND both verify sides
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+        F.col("bits"),
+    ).select(
+        "doc_id",
+        "k",
+        F.expr(
+            "aggregate(sequence(0, 15), 0,"
+            " (acc, j) -> acc + element_at(bits, k * 16 + j + 1) * shiftleft(1, j))"
+        ).alias("band"),
+    )
+    a = banded.select(F.col("k"), F.col("band"), F.col("doc_id").alias("doc_a"))
+    b = banded.select(F.col("k"), F.col("band"), F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["k", "band"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("ba"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "cast(size(filter(zip_with(ba, bb, (x, y) -> x != y), p -> p)) as bigint)"
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )
