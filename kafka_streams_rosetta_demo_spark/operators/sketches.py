@@ -103,3 +103,96 @@ def cms_estimate(
         .groupBy(*others)
         .agg(F.min("c").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership sketch) — semi-join pruning
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16  # 65,536 bits = 1,024 packed longs = 8 KiB
+BLOOM_HASHES = 6
+
+
+def bloom_positions(
+    item: Column, n_hashes: int = BLOOM_HASHES, n_bits: int = BLOOM_BITS
+) -> Column:
+    """``n_hashes`` bit positions for ``item`` (``array<long>``), via the
+    same Kirsch-Mitzenmacher double hashing as the CMS above: two md5-based
+    base hashes per item TOTAL, then pure integer arithmetic per probe.
+    Deterministic and DuckDB-replayable (``md5_long``), so tests can mirror
+    the filter bit-for-bit."""
+    h1 = md5_long(item)
+    h2 = md5_long(F.reverse(item))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda d: (h1 + d.cast("long") * h2) % F.lit(n_bits),
+    )
+
+
+def bloom_build_words(
+    keys: DataFrame,
+    col: str,
+    n_hashes: int = BLOOM_HASHES,
+    n_bits: int = BLOOM_BITS,
+) -> list[int]:
+    """Build the packed filter driver-side: one distributed pass computes the
+    DISTINCT set bit positions (a partial-aggregated ``explode`` + group —
+    at most ``n_bits`` rows cross the shuffle regardless of key count), the
+    driver packs them into ``n_bits/64`` signed-64-bit words. Like the
+    kmeans centroid collect, this is O(sketch) model state, never O(rows) —
+    8 KiB here, ~128 MiB for a 1e9-key / 1% FP production filter, which is
+    exactly the regime where the key set itself is too big to broadcast as
+    a hash relation but its bloom still ships to every executor.
+    """
+    rows = (
+        keys.select(F.explode(bloom_positions(F.col(col), n_hashes, n_bits)).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("p")
+        .collect()
+    )
+    words = [0] * (n_bits // 64)
+    for r in rows:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    # two's-complement into signed range for a BIGINT SQL literal
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_words_literal(words: list[int]) -> Column:
+    """The packed filter as ONE parsed SQL array literal (the repo-wide
+    pattern for model-state literals — a per-element ``F.lit`` tree costs
+    driver seconds at this width)."""
+    return F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+
+
+def bloom_prune(
+    df: DataFrame,
+    key: Column,
+    words: list[int],
+    n_hashes: int = BLOOM_HASHES,
+    n_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Keep only rows whose ``key`` MIGHT be in the filter — all
+    ``n_hashes`` probed bits set. Pure JVM integer expressions inside
+    whole-stage codegen (no UDF): the two KM base hashes are materialized
+    ONCE per row, then each probe is modular arithmetic + a packed-word
+    ``element_at`` + a variable-amount ``shiftleft`` bit test (bit 63's
+    sign wrap is harmless — both sides of ``!= 0`` see the same two's
+    complement). False negatives are impossible by construction, so
+    pruning with this predicate before an exact join keeps the join's
+    result exact while cutting the shuffled probe volume to the matching
+    fraction plus the filter's false-positive rate. The predicate sits in
+    the scan stage, BEFORE the join exchange — that placement is the whole
+    point, and ``tests/test_plans.py`` pins it."""
+    probe = f"(_bloom_h1 + CAST(d AS BIGINT) * _bloom_h2) % {n_bits}"
+    bit_ok = (
+        f"(element_at(_bloom_words, CAST(({probe}) DIV 64 AS INT) + 1)"
+        f" & shiftleft(1L, CAST(({probe}) % 64 AS INT))) != 0"
+    )
+    return (
+        df.withColumn("_bloom_h1", md5_long(key))
+        .withColumn("_bloom_h2", md5_long(F.reverse(key)))
+        .withColumn("_bloom_words", bloom_words_literal(words))
+        .where(F.expr(f"forall(sequence(0, {n_hashes - 1}), d -> {bit_ok})"))
+        .drop("_bloom_h1", "_bloom_h2", "_bloom_words")
+    )

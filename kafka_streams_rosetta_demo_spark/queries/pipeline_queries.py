@@ -7,9 +7,10 @@ statistics, language-ID heuristics, document fingerprinting, and binary
 multimodal columns with an Arrow-batched featurizer.
 
 All hot-path math is JVM-side (``zip_with``/``aggregate``/``split``/
-``regexp_count``); Python appears only in the multimodal featurizer, as an
-Arrow-batched ``mapInPandas`` — exactly the escape hatch SURVEY §2.7
-promises.
+``regexp_count``); Python appears only in the multimodal featurizer
+(Arrow-batched ``mapInPandas``) and the grouped-map OLS fit
+(``applyInPandas``, integer-exact) — exactly the escape hatches SURVEY
+§2.7 promises.
 """
 
 from __future__ import annotations
@@ -1723,4 +1724,110 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_grouped_ols — grouped-map applyInPandas as a driver-green gate query
+# ---------------------------------------------------------------------------
+
+# HUGEINT keeps n*Sxy (~1e21 at sf0.1) exact; `//` truncates toward zero in
+# DuckDB while Python floors, so the oracle adds the explicit floor
+# correction for negative numerators (den > 0 always: it is n^2 * Var(x)).
+_OLS_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity      * 100) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(count(*) AS HUGEINT)               AS n,
+         CAST(sum(x) AS HUGEINT)                 AS sx,
+         CAST(sum(y) AS HUGEINT)                 AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM q GROUP BY 1, 2
+),
+d AS (
+  SELECT *,
+         1000000 * (n * sxy - sx * sy) AS num,
+         (n * sxx - sx * sx)           AS den
+  FROM s
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(n  AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS sum_x_cents,
+       CAST(sy AS BIGINT) AS sum_y_cents,
+       CAST(num // den
+            - CASE WHEN num % den <> 0 AND num < 0 THEN 1 ELSE 0 END
+         AS BIGINT) AS slope_ppm
+FROM d
+"""
+
+
+@register("agg_grouped_ols", oracle=_OLS_ORACLE)
+def agg_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS fit (price ~ quantity) via grouped-map
+    ``applyInPandas`` — the §2.7 grouped-map escape hatch promoted to a
+    driver-green gate query (until now it was pytest-pinned only). This is
+    the "fit a tiny model per group" shape (per-domain quality calibration,
+    per-source length regressions) where the per-group logic genuinely
+    wants numpy, not SQL.
+
+    Determinism across engines: inputs quantize to integer cents JVM-side
+    BEFORE crossing into Arrow; the pandas side reduces them with
+    arbitrary-precision Python ints (`int(np.sum)` per column, pairwise
+    products via int64 numpy then Python-int cross terms), and the slope is
+    emitted as an exact floor-divided ppm integer — no float ever enters
+    the result, so the oracle hash-matches bit-for-bit (DuckDB mirrors the
+    math in HUGEINT with an explicit floor correction).
+
+    Scale: one shuffle on the group key into `applyInPandas`; each group
+    reduces to six integers, so executor memory holds one group's Arrow
+    batch at a time (Spark splits oversized groups into multiple batches
+    only for mapInPandas — for grouped-map the group must fit, which is
+    the documented constraint of the surface; groups here are quarter-table
+    sized ONLY because the gate data is tiny — a production fit groups by
+    source/domain with millions of small groups, the shape this surface is
+    for). The sums are of course also expressible as built-ins — that is
+    exactly what the oracle does; the POINT of this query is pinning the
+    Arrow grouped-map path itself against it.
+    """
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(len(pdf))
+        x = pdf["x"].to_numpy()
+        y = pdf["y"].to_numpy()
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        sxy = int((x * y).sum())
+        num = 1_000_000 * (n * sxy - sx * sy)
+        den = n * sxx - sx * sx
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+                "n": [n],
+                "sum_x_cents": [sx],
+                "sum_y_cents": [sy],
+                "slope_ppm": [num // den],
+            }
+        )
+
+    return li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+        fit,
+        schema=(
+            "l_returnflag string, l_linestatus string, n long, "
+            "sum_x_cents long, sum_y_cents long, slope_ppm long"
+        ),
     )

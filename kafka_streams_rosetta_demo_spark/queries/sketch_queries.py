@@ -10,6 +10,10 @@ half of the sketch story (HLL covers cardinality, GK covers quantiles):
 - ``agg_approx_topk`` — Spark's built-in ``approx_top_k`` under the X80
   tolerance-contract pattern: capacity ≥ vocabulary ⇒ the space-saving
   sketch is exact, and the query proves it against its own exact counts.
+- ``join_bloom_prune`` — membership sketch: an explicit KM-hashed Bloom
+  filter built on the dim keys prunes the fact scan before the join
+  shuffle; the exact join afterwards removes false positives, so the
+  oracle is the plain join (the bloom is invisible in the answer).
 """
 
 from __future__ import annotations
@@ -17,7 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_build, cms_estimate
+from ..operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    bloom_build_words,
+    bloom_prune,
+    cms_build,
+    cms_estimate,
+)
 from ..sources.parquet import load_table
 from . import register
 
@@ -128,4 +139,65 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         "exact_n",
         (F.col("approx_n") == F.col("exact_n")).alias("within_tolerance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_bloom_prune
+# ---------------------------------------------------------------------------
+
+_BLOOM_PRICE = 450_000.0
+
+_BLOOM_ORACLE = f"""
+SELECT o.o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > {_BLOOM_PRICE}
+GROUP BY o.o_orderkey
+"""
+
+
+@register("join_bloom_prune", oracle=_BLOOM_ORACLE)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: revenue per high-value order, with the
+    fact side pre-filtered by a bloom filter built on the qualifying order
+    keys BEFORE the join shuffle.
+
+    This is the canonical 100 TB semi-join shape (the hand-rolled analogue
+    of Spark's runtime ``bloom_filter_agg`` injection): the build side is
+    too large to broadcast as a hash relation at scale (every qualifying
+    key + payload), but its ~1.44·n·log2(1/fp)-bit bloom still ships to
+    every executor as model state — here 8 KiB for ~1.5 k keys at fp ≈
+    4e-6, ~170 MiB for 1e8 keys at 1 %. The probe predicate is pure
+    integer codegen in the lineitem SCAN stage, so ~90 % of the fact rows
+    never reach the exchange; the exact equi-join afterwards removes the
+    bloom's false positives, keeping the result exact (false negatives are
+    impossible — same KM hash math on both sides). The DuckDB oracle is
+    therefore the PLAIN join: the bloom is a pure pruning optimization,
+    invisible in the answer. ``tests/test_sketches.py`` pins the prune
+    rate and zero-loss recall; ``tests/test_plans.py`` pins the predicate's
+    placement before the exchange.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.where(F.col("o_totalprice") > _BLOOM_PRICE).select("o_orderkey")
+    words = bloom_build_words(
+        build.select(F.col("o_orderkey").cast("string").alias("k")), "k"
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    pruned = bloom_prune(fact, F.col("l_orderkey").cast("string"), words)
+    return (
+        pruned.join(build, pruned.l_orderkey == build.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+        )
     )

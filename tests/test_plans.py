@@ -70,7 +70,7 @@ def test_arrow_python_only_in_multimodal(plans):
     arrow = [
         n
         for n, p in plans.items()
-        if ("ArrowEvalPython" in p or "MapInPandas" in p)
+        if ("ArrowEvalPython" in p or "MapInPandas" in p or "GroupsInPandas" in p)
     ]
     assert set(arrow) <= {
         "multimodal_features",
@@ -81,6 +81,9 @@ def test_arrow_python_only_in_multimodal(plans):
         # (streaming/avro_codec.py); the JVM from_avro/to_avro expressions
         # replace them wherever spark-avro ships (kafka_io.resolved_serde)
         "kafka_avro_roundtrip",
+        # grouped-map applyInPandas surface, deliberately driver-green
+        # (FlatMapGroupsInPandas — integer-exact per-group OLS)
+        "agg_grouped_ols",
     }, f"unexpected Python stage in: {arrow}"
 
 
@@ -169,3 +172,21 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_explicit_bloom_predicate_sits_in_fact_scan_stage(plans):
+    """join_bloom_prune's whole point is WHERE the membership predicate
+    runs: the `forall(sequence(...))` bit-test filter must sit in the
+    lineitem scan stage, BEFORE any exchange — pruning after the shuffle
+    would move the bytes it exists to avoid."""
+    p = plans["join_bloom_prune"]
+    lines = p.splitlines()
+    fi = next(i for i, ln in enumerate(lines) if "forall" in ln)
+    si = next(
+        i for i, ln in enumerate(lines) if "lineitem" in ln and "Scan" in ln
+    )
+    assert fi < si, "bloom filter not above the lineitem scan"
+    between = lines[fi:si]
+    assert not any("Exchange" in ln for ln in between), (
+        "exchange between bloom predicate and fact scan:\n" + "\n".join(between)
+    )

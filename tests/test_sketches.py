@@ -158,3 +158,69 @@ def test_hll_sketch_columns_survive_parquet_roundtrip(spark, sf_correctness, tmp
         .collect()
     }
     assert reread == direct
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (join_bloom_prune)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prune_lossless_and_effective(spark, sf_correctness):
+    """The two properties that make bloom pruning usable at 100 TB:
+    (a) ZERO false negatives — every fact row whose key is genuinely in the
+    build set survives the prune (same KM hash math on both sides makes
+    this definitional, but a width/hash-count refactor could break it);
+    (b) the prune actually prunes — non-matching rows mostly vanish before
+    the join shuffle (matching fraction ~10% here, fp ~4e-6)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_rosetta_demo_spark.operators.sketches import (
+        bloom_build_words,
+        bloom_prune,
+    )
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_correctness, "orders")
+    build = orders.where(F.col("o_totalprice") > 450_000.0).select("o_orderkey")
+    words = bloom_build_words(
+        build.select(F.col("o_orderkey").cast("string").alias("k")), "k"
+    )
+    fact = load_table(spark, sf_correctness, "lineitem").select("l_orderkey")
+    total = fact.count()
+    pruned = bloom_prune(fact, F.col("l_orderkey").cast("string"), words)
+    n_pruned = pruned.count()
+    n_true = fact.join(
+        build.hint("broadcast"), fact.l_orderkey == build.o_orderkey, "left_semi"
+    ).count()
+    n_survive_true = pruned.join(
+        build.hint("broadcast"), pruned.l_orderkey == build.o_orderkey, "left_semi"
+    ).count()
+    assert n_survive_true == n_true, "bloom dropped a true match (false negative)"
+    assert n_pruned < 0.3 * total, (
+        f"bloom barely pruned: {n_pruned}/{total} rows survived"
+    )
+
+
+def test_bloom_false_positive_rate_bounded(spark, sf_correctness):
+    """Probing 20k keys that are definitely NOT in the filter must pass a
+    vanishing fraction — pins the m/k parameterization (65,536 bits x 6
+    hashes ~ 4e-6 at 1.5k keys; a silent width regression to e.g. 2^10
+    would blow straight past 1%)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_rosetta_demo_spark.operators.sketches import (
+        bloom_build_words,
+        bloom_prune,
+    )
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_correctness, "orders")
+    build = orders.where(F.col("o_totalprice") > 450_000.0).select("o_orderkey")
+    words = bloom_build_words(
+        build.select(F.col("o_orderkey").cast("string").alias("k")), "k"
+    )
+    absent = spark.range(20_000).select(
+        F.concat(F.lit("absent-"), F.col("id")).alias("k")
+    )
+    n_fp = bloom_prune(absent, F.col("k"), words).count()
+    assert n_fp / 20_000 < 0.01, f"false-positive rate too high: {n_fp}/20000"
