@@ -99,6 +99,10 @@ OPTIONAL = [
     "text_inverted_index",
     "pipeline_curation_summary",
     "multimodal_phash_dedup",
+    "join_bloom_prune",
+    "agg_grouped_ols",
+    "scalar_pandas_wordstats",
+    "agg_pandas_trimmed",
 ]
 
 

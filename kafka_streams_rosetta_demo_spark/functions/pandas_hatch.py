@@ -93,3 +93,58 @@ def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame
 
 def with_vocab_affinity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("vocab_affinity", vocab_affinity(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Driver-green gate-query UDFs (scalar_pandas_wordstats / agg_pandas_trimmed)
+# — defined at module level so `pd` is a resolvable global for the type-hint
+# inference (`from __future__ import annotations` stringifies hints; a
+# function-local pandas import would make them unresolvable).
+# ---------------------------------------------------------------------------
+
+_WORDSTATS_T = T.StructType(
+    [
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("longest_len", T.LongType()),
+        T.StructField("sum_token_len", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(_WORDSTATS_T)
+def wordstats(text: pd.Series) -> pd.DataFrame:
+    """Struct-returning scalar Pandas UDF: integer word statistics per
+    document — one Arrow exchange and one Python call per batch, and
+    integer-exact so a SQL oracle hash-matches it."""
+    rows = []
+    for t in text:
+        toks = [w for w in t.split(" ") if w]
+        lens = [len(w) for w in toks]
+        rows.append((len(toks), max(lens, default=0), sum(lens)))
+    return pd.DataFrame(rows, columns=["n_tokens", "longest_len", "sum_token_len"])
+
+
+def _trim_ends(v: pd.Series) -> pd.Series:
+    """Drop the 2 lowest / 2 highest VALUES when the group has >= 5 rows
+    (else keep all) — value-wise, so tie order can't change the result."""
+    n = len(v)
+    if n < 5:
+        return v
+    s = v.sort_values()
+    return s.iloc[2 : n - 2]
+
+
+@pandas_udf(T.LongType())
+def trimmed_n_kept(v: pd.Series) -> int:
+    return int(len(_trim_ends(v)))
+
+
+@pandas_udf(T.LongType())
+def trimmed_sum_kept(v: pd.Series) -> int:
+    return int(_trim_ends(v).sum())
+
+
+@pandas_udf(T.LongType())
+def trimmed_mean_millis(v: pd.Series) -> int:
+    t = _trim_ends(v)
+    return (1000 * int(t.sum())) // int(len(t))

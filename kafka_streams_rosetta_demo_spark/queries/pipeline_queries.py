@@ -1831,3 +1831,99 @@ def agg_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_x_cents long, sum_y_cents long, slope_ppm long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar_pandas_wordstats / agg_pandas_trimmed — the other two §2.7 surfaces
+# (scalar pandas_udf, grouped-agg pandas_udf) as driver-green gate queries
+# ---------------------------------------------------------------------------
+
+_WORDSTATS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_max(list_transform(toks, w -> length(w))), 0)
+         AS BIGINT) AS longest_len,
+       CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+         AS BIGINT) AS sum_token_len
+FROM t
+"""
+
+
+@register("scalar_pandas_wordstats", oracle=_WORDSTATS_ORACLE)
+def scalar_pandas_wordstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``pandas_udf`` as a driver-green gate query — with
+    ``agg_grouped_ols`` (grouped-map) and ``agg_pandas_trimmed``
+    (grouped-agg) this makes every §2.7 Pandas surface oracle-checked, not
+    just pytest-pinned. The UDF is a struct-returning vectorized batch
+    function (one Arrow exchange per batch, one Python call per batch —
+    never per row), standing in for "a Python-only featurizer the JVM
+    can't express" while staying integer-exact so DuckDB hash-matches.
+
+    Scale: embarrassingly parallel, zero shuffle — the plan is scan →
+    ArrowEvalPython → project. The same stats ARE expressible JVM-side
+    (that is what the oracle mirrors and what ``text_token_count`` does in
+    production); the point of the query is pinning the Arrow scalar path.
+    """
+    from ..functions.pandas_hatch import wordstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", wordstats(F.col("text")).alias("s")).select(
+        "doc_id", "s.*"
+    )
+
+
+# Trim rule: drop the 2 lowest / 2 highest VALUES per group, but only when
+# the group has >= 5 rows (else keep all) — keeps every group present in
+# the output, with ties handled value-wise so any row_number tie order in
+# the oracle yields the same kept multiset.
+_TRIMMED_ORACLE = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         count(*)    OVER (PARTITION BY source)                   AS n
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)      AS n_kept,
+       CAST(sum(n_chars) AS BIGINT)  AS sum_kept,
+       CAST((1000 * sum(n_chars)) // count(*) AS BIGINT) AS trimmed_mean_millis
+FROM r
+WHERE n < 5 OR (rn > 2 AND rn <= n - 2)
+GROUP BY source
+"""
+
+
+@register("agg_pandas_trimmed", oracle=_TRIMMED_ORACLE)
+def agg_pandas_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate ``pandas_udf`` as a driver-green gate query: a
+    per-source 2-each-end trimmed mean of document length — an order
+    statistic built-in aggregates can't compose without a window sort,
+    and THE canonical use for the grouped-agg Pandas surface.
+
+    Determinism: lengths are ints; trimming drops values (not rows), so
+    tie order is irrelevant; the trimmed mean is emitted as an exact
+    floor-divided milli-unit integer. Each of the three output stats is
+    its own pandas UDAF over the same shuffled group — Spark evaluates
+    them in one ArrowAggregatePython pass.
+
+    Scale: one shuffle on the group key; per-group state is the group's
+    value vector (the same contract as any exact order statistic — for
+    heavy-hitter groups the GK sketch route in ``agg_approx_percentile``
+    is the bounded-state alternative).
+    """
+    from ..functions.pandas_hatch import (
+        trimmed_mean_millis,
+        trimmed_n_kept,
+        trimmed_sum_kept,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return docs.groupBy("source").agg(
+        trimmed_n_kept(F.col("n_chars")).alias("n_kept"),
+        trimmed_sum_kept(F.col("n_chars")).alias("sum_kept"),
+        trimmed_mean_millis(F.col("n_chars")).alias("trimmed_mean_millis"),
+    )

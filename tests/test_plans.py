@@ -70,7 +70,7 @@ def test_arrow_python_only_in_multimodal(plans):
     arrow = [
         n
         for n, p in plans.items()
-        if ("ArrowEvalPython" in p or "MapInPandas" in p or "GroupsInPandas" in p)
+        if ("ArrowEvalPython" in p or "InPandas" in p or "AggregatePython" in p)
     ]
     assert set(arrow) <= {
         "multimodal_features",
@@ -81,9 +81,12 @@ def test_arrow_python_only_in_multimodal(plans):
         # (streaming/avro_codec.py); the JVM from_avro/to_avro expressions
         # replace them wherever spark-avro ships (kafka_io.resolved_serde)
         "kafka_avro_roundtrip",
-        # grouped-map applyInPandas surface, deliberately driver-green
-        # (FlatMapGroupsInPandas — integer-exact per-group OLS)
+        # the three §2.7 Pandas surfaces, deliberately driver-green:
+        # grouped-map (FlatMapGroupsInPandas), scalar (ArrowEvalPython),
+        # grouped-agg (ArrowAggregatePython) — all integer-exact
         "agg_grouped_ols",
+        "scalar_pandas_wordstats",
+        "agg_pandas_trimmed",
     }, f"unexpected Python stage in: {arrow}"
 
 
