@@ -103,6 +103,7 @@ OPTIONAL = [
     "agg_grouped_ols",
     "scalar_pandas_wordstats",
     "agg_pandas_trimmed",
+    "streaming_interval_join_outer",
 ]
 
 

@@ -26,6 +26,7 @@ from ..operators.sketches import (
     CMS_WIDTH,
     bloom_build_words,
     bloom_prune,
+    bloom_size_bits,
     cms_build,
     cms_estimate,
 )
@@ -169,22 +170,29 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the canonical 100 TB semi-join shape (the hand-rolled analogue
     of Spark's runtime ``bloom_filter_agg`` injection): the build side is
     too large to broadcast as a hash relation at scale (every qualifying
-    key + payload), but its ~1.44·n·log2(1/fp)-bit bloom still ships to
-    every executor as model state — here 8 KiB for ~1.5 k keys at fp ≈
-    4e-6, ~170 MiB for 1e8 keys at 1 %. The probe predicate is pure
-    integer codegen in the lineitem SCAN stage, so ~90 % of the fact rows
-    never reach the exchange; the exact equi-join afterwards removes the
-    bloom's false positives, keeping the result exact (false negatives are
-    impossible — same KM hash math on both sides). The DuckDB oracle is
-    therefore the PLAIN join: the bloom is a pure pruning optimization,
-    invisible in the answer. ``tests/test_sketches.py`` pins the prune
-    rate and zero-loss recall; ``tests/test_plans.py`` pins the predicate's
+    key + payload), but its bloom — sized by the build-side count at
+    ~14 bits/key (fp ~0.2% at k=6) — still ships to every executor as
+    model state: tens of KiB here, ~170 MiB for 1e8 keys at 1%. The probe
+    predicate is pure integer whole-stage codegen (xxhash64 KM double
+    hashing, unrolled probes over a constant-folded word array) in the
+    lineitem SCAN stage, so ~90% of the fact rows never reach the
+    exchange; the exact equi-join afterwards removes the bloom's false
+    positives, keeping the result exact (false negatives are impossible —
+    same KM hash math on both sides). The DuckDB oracle is therefore the
+    PLAIN join: the bloom is a pure pruning optimization, invisible in
+    the answer. ``tests/test_sketches.py`` pins the prune rate and
+    zero-loss recall; ``tests/test_plans.py`` pins the predicate's
     placement before the exchange.
     """
     orders = load_table(spark, sf_dir, "orders")
-    build = orders.where(F.col("o_totalprice") > _BLOOM_PRICE).select("o_orderkey")
+    build = (
+        orders.where(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select("o_orderkey")
+        .localCheckpoint()  # reused 3x: count, bloom build, verify join
+    )
+    n_bits = bloom_size_bits(build.count())  # size-by-n: the production step
     words = bloom_build_words(
-        build.select(F.col("o_orderkey").cast("string").alias("k")), "k"
+        build.select(F.col("o_orderkey").cast("string").alias("k")), "k", n_bits=n_bits
     )
     fact = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -192,7 +200,9 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    pruned = bloom_prune(fact, F.col("l_orderkey").cast("string"), words)
+    pruned = bloom_prune(
+        fact, F.col("l_orderkey").cast("string"), words, n_bits=n_bits
+    )
     return (
         pruned.join(build, pruned.l_orderkey == build.o_orderkey)
         .groupBy("o_orderkey")

@@ -588,3 +588,111 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="ckpt_sst_") as ckpt:
         state = run_update_query_to_pandas_state(totals, ["user_id"], ckpt)
     return pandas_state_to_df(spark, state, totals.schema)
+
+
+@register(
+    "streaming_interval_join_outer",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         date_trunc('microseconds', ts) AS ts
+  FROM events
+),
+c AS (
+  SELECT event_id AS event_a, user_id, ts AS cts
+  FROM ev WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS event_b, user_id AS k2, ts AS pts
+  FROM ev WHERE event_type = 'purchase'
+),
+cut AS (
+  SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+         - INTERVAL 10 MINUTE - INTERVAL 300 SECOND - INTERVAL 2 SECOND
+         AS cutoff
+),
+closed AS (
+  SELECT * FROM c WHERE cts <= (SELECT cutoff FROM cut)
+)
+SELECT closed.user_id,
+       closed.event_a,
+       p.event_b,
+       CASE WHEN p.event_b IS NULL THEN NULL
+            ELSE abs(epoch_us(p.pts) - epoch_us(closed.cts)) END AS diff_us
+FROM closed
+LEFT JOIN p
+  ON p.k2 = closed.user_id
+ AND abs(epoch_us(p.pts) - epoch_us(closed.cts)) <= 300000000
+""",
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KS ``leftJoin(JoinWindows)`` shape driver-green: clicks
+    LEFT-OUTER interval-joined to purchases (same user, ±5 min) as a real
+    checkpointed append-mode stream — an unmatched click emits exactly
+    once, null-padded, only after the watermark PROVES no partner can
+    still arrive (nothing emits early to be retracted later; state evicts
+    at the same boundary, so outer-ness costs no extra retention).
+
+    Determinism vs the batch oracle: the tail of any finite stream is
+    never provably closed (the global watermark is min over both sides'
+    event-time maxima minus the 10-min delay), so the query restricts BOTH
+    engines to the provably-closed region — rows at most
+    ``min(max_click, max_purchase) - delay - tolerance - 2s slack`` (the
+    watermark is millisecond-truncated and the close condition strict;
+    the slack stays strictly inside the closed region on both sides of
+    the comparison, so boundary rounding can't flip a row). The cutoff is
+    computed from the same parquet the stream reads — pure data, no clock.
+    ``tests/test_streaming.py`` pins the raw emission contract itself
+    (matched == batch inner join, null rows genuinely unmatched, closed
+    rows all emitted); this query is the oracle-checked composition.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.parquet import load_table
+
+    ev_b = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    maxes = (
+        ev_b.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    )
+    wm_base = min(r.m for r in maxes)
+    from datetime import timedelta
+
+    cutoff = wm_base - timedelta(minutes=10) - timedelta(seconds=300 + 2)
+
+    from ..streaming.runner import run_append_query_to_rows
+    from ..streaming.transforms import streaming_interval_join
+
+    ev = _events_stream(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = streaming_interval_join(
+        clicks,
+        purchases,
+        key="k",
+        left_ts="ts",
+        right_ts="p_ts",
+        tolerance_seconds=300,
+        watermark="10 minutes",
+        how="left_outer",
+    ).select(
+        F.col("l.k").alias("user_id"),
+        F.col("l.event_id").alias("event_a"),
+        F.col("r.p_event_id").alias("event_b"),
+        (
+            F.abs(F.unix_micros(F.col("r.p_ts")) - F.unix_micros(F.col("l.ts")))
+        ).alias("diff_us"),
+        F.col("l.ts").alias("_cts"),
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_sijo_") as ckpt:
+        rows = run_append_query_to_rows(joined, ckpt)
+    out = spark.createDataFrame(rows, joined.schema)
+    return out.where(F.col("_cts") <= F.lit(cutoff)).drop("_cts")

@@ -179,12 +179,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke):
 
 def test_explicit_bloom_predicate_sits_in_fact_scan_stage(plans):
     """join_bloom_prune's whole point is WHERE the membership predicate
-    runs: the `forall(sequence(...))` bit-test filter must sit in the
-    lineitem scan stage, BEFORE any exchange — pruning after the shuffle
-    would move the bytes it exists to avoid."""
+    runs: the xxhash64 bit-test filter must sit in the lineitem scan
+    stage, BEFORE any exchange — pruning after the shuffle would move the
+    bytes it exists to avoid. Also pins that the predicate stays codegen:
+    the word array must be a folded literal (no per-row CreateArray) and
+    no interpreted higher-order `forall` (the 9x-slower first cut)."""
     p = plans["join_bloom_prune"]
     lines = p.splitlines()
-    fi = next(i for i, ln in enumerate(lines) if "forall" in ln)
+    fi = next(i for i, ln in enumerate(lines) if "xxhash64" in ln and "Filter" in ln)
     si = next(
         i for i, ln in enumerate(lines) if "lineitem" in ln and "Scan" in ln
     )
@@ -193,3 +195,6 @@ def test_explicit_bloom_predicate_sits_in_fact_scan_stage(plans):
     assert not any("Exchange" in ln for ln in between), (
         "exchange between bloom predicate and fact scan:\n" + "\n".join(between)
     )
+    assert "forall" not in p, "bloom predicate regressed to interpreted HOF"
+    # folded literal prints as [..]; an unfolded CreateArray prints array(..)
+    assert "array(" not in lines[fi], "bloom words literal not constant-folded"
