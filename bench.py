@@ -104,6 +104,7 @@ OPTIONAL = [
     "scalar_pandas_wordstats",
     "agg_pandas_trimmed",
     "streaming_interval_join_outer",
+    "join_scd2_point_in_time",
 ]
 
 

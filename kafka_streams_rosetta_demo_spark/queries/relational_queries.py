@@ -2305,3 +2305,93 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").alias("max_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join_scd2_point_in_time
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         date_trunc('microseconds', ts) AS ts
+  FROM events
+),
+dim AS (
+  SELECT user_id,
+         event_id   AS status_id,
+         event_type AS status,
+         ts         AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS valid_to
+  FROM ev WHERE event_type IN ('signup', 'error')
+),
+fact AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT f.user_id,
+       f.purchase_id,
+       d.status_id,
+       d.status,
+       epoch_us(d.valid_from) AS status_since_us
+FROM fact f
+LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+@register("join_scd2_point_in_time", oracle=_SCD2_ORACLE)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join — the warehouse pattern the as-of join's
+    carry-forward window can't express directly: a slowly-changing
+    dimension is VERSIONED into half-open validity intervals
+    ``[valid_from, valid_to)`` (``lead`` over the change stream, open-ended
+    current version), and facts join the version valid AT their event time.
+    Here the change stream is each user's signup/error events and the facts
+    are their purchases; purchases before any version keep a null-padded
+    row (the "unknown member" SCD2 contract).
+
+    Semantics pins: intervals per user are disjoint by construction, so
+    every fact matches at most one version; equal-timestamp version ties
+    order by (ts, event_id) in BOTH engines, giving the earlier tie an
+    empty [ts, ts) interval deterministically.
+
+    Scale: one window shuffle builds the version table (dimension-sized,
+    not fact-sized); the join is an equi-join on the member key with the
+    interval check as a residual predicate — the fact side shuffles once
+    on user_id (or not at all when the versioned dim broadcasts, as AQE
+    chooses here). Never a time-expansion join: the residual prunes to
+    <= 1 row, the same bound ``join_range`` documents.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.where(F.col("event_type").isin("signup", "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("status_id"),
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(
+            Window.partitionBy("user_id").orderBy("valid_from", "status_id")
+        ))
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    cond = (
+        (dim["user_id"] == fact["user_id"])
+        & (fact["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (fact["ts"] < dim["valid_to"]))
+    )
+    return fact.join(dim, cond, "left").select(
+        fact["user_id"],
+        "purchase_id",
+        "status_id",
+        "status",
+        F.unix_micros("valid_from").alias("status_since_us"),
+    )

@@ -307,3 +307,30 @@ def test_compact_parquet_collapses_small_files(spark, sf_smoke, tmp_path):
     a = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     b = sorted(r.doc_id for r in docs.collect())
     assert a == b
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Lakehouse schema evolution: a later ingest batch adds a column; a
+    mergeSchema read must surface the union schema with nulls for the old
+    files — the behavior a 100 TB append-only corpus relies on when a new
+    metadata field lands mid-history. Also pins the default (no-merge)
+    read serving the FIRST footer's schema, which is why the engine's
+    sources always pass an explicit schema or opt into merging."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    ).write.mode("overwrite").parquet(p)
+    spark.range(5, 8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("de").alias("lang"),
+        F.lit(0.9).alias("quality"),
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"doc_id", "lang", "quality"}
+    assert merged.count() == 8
+    assert merged.where(F.col("quality").isNull()).count() == 5
+    rows = {r.doc_id: r.quality for r in merged.collect()}
+    assert rows[6] == 0.9 and rows[1] is None

@@ -414,3 +414,39 @@ def test_cms_never_undercounts_property(spark, words):
     assert est.keys() == set(true)
     for w, n in true.items():
         assert est[w] >= n, f"CMS undercounted {w!r}: {est[w]} < {n}"
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: no false negatives, ever
+# ---------------------------------------------------------------------------
+
+keys_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(keys=keys_strategy)
+@SETTINGS
+def test_bloom_prune_never_drops_a_member(spark, keys):
+    """The property bloom pruning's exactness rests on: every key that went
+    into the filter MUST pass the probe (false negatives impossible —
+    including empty strings, unicode-boundary ASCII, duplicate keys). A
+    hash-mismatch between build and probe sides (different seed, mask, or
+    modulus) is exactly the bug class this catches."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_rosetta_demo_spark.operators.sketches import (
+        bloom_build_words,
+        bloom_prune,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    words = bloom_build_words(df, "k")
+    kept = bloom_prune(df, F.col("k"), words).count()
+    assert kept == len(keys), "bloom dropped a member key"
