@@ -105,6 +105,7 @@ OPTIONAL = [
     "agg_pandas_trimmed",
     "streaming_interval_join_outer",
     "join_scd2_point_in_time",
+    "agg_key_skew_profile",
 ]
 
 

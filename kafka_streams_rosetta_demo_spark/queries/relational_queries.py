@@ -2395,3 +2395,60 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         F.unix_micros("valid_from").alias("status_since_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_key_skew_profile
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH per_key AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(sum(c) AS BIGINT)              AS n_rows,
+       CAST(count(*) AS BIGINT)            AS n_keys,
+       CAST(sum(c * c) AS BIGINT)          AS hhi,
+       CAST((1000000 * max(c)) // sum(c) AS BIGINT) AS top1_share_ppm
+FROM per_key
+GROUP BY event_type
+"""
+
+
+@register("agg_key_skew_profile", oracle=_SKEW_ORACLE)
+def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic — the pre-flight a 100 TB pipeline runs on a join
+    or groupBy key BEFORE choosing a strategy (plain shuffle vs salting vs
+    AQE skew splitting, see ``join_skew_salted``): per key-space, row and
+    key cardinality, the Herfindahl concentration index (sum of squared
+    per-key counts — the integer-exact skew statistic; uniform keys give
+    hhi ~ n_rows²/n_keys, a single hot key drives it toward n_rows²), and
+    the hottest key's traffic share in ppm.
+
+    Plan: ONE shuffle on (event_type, user_id) with map-side partials for
+    the per-key counts, then a second tiny aggregation over the key-grain
+    table (key-space-sized, not row-sized). All outputs integers —
+    floor-divided ppm, no float entropy — so the oracle hash-matches
+    exactly.
+    """
+    per_key = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_key.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("c") * F.col("c")).alias("hhi"),
+            F.max("c").alias("_max_c"),
+        )
+        # integer DIV, not floor(double /): keeps the ppm exact (and
+        # engine-identical) even where the double quotient rounds
+        .withColumn(
+            "top1_share_ppm", F.expr("CAST((1000000L * _max_c) DIV n_rows AS BIGINT)")
+        )
+        .drop("_max_c")
+    )
