@@ -106,6 +106,7 @@ OPTIONAL = [
     "streaming_interval_join_outer",
     "join_scd2_point_in_time",
     "agg_key_skew_profile",
+    "sort_global_rank",
 ]
 
 

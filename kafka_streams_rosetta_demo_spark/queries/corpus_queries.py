@@ -946,3 +946,44 @@ def pipeline_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_canonical", F.lit(0)).cast("long").alias("n_canonical"),
         F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sort_global_rank — scalable total order + sorted batch assignment
+# ---------------------------------------------------------------------------
+
+_BATCH_SIZE = 64
+
+_GLOBAL_RANK_ORACLE = f"""
+SELECT doc_id,
+       n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+         AS global_rank,
+       CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+            // {_BATCH_SIZE} AS BIGINT) AS batch_id
+FROM documents
+"""
+
+
+@register("sort_global_rank", oracle=_GLOBAL_RANK_ORACLE)
+def sort_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact rank by document length + sorted-batch assignment
+    (length-bucketed batching — the standard trick that minimizes padding
+    waste when batching variable-length sequences for training).
+
+    The POINT is the plan shape: a bare ``row_number() OVER (ORDER BY ...)``
+    — what the oracle SQL says — would plan a single-partition exchange
+    (one task sorts the corpus: the guaranteed 100 TB failure). This query
+    computes the IDENTICAL answer with :func:`operators.ordering.global_rank`:
+    range repartition -> per-partition local ranks -> P-long offset
+    literal. ``tests/test_plans.py`` pins that no single-partition sort
+    exchange appears; the oracle pins that the distributed rank equals the
+    naive total order bit-for-bit.
+    """
+    from ..operators.ordering import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_rank(docs, [F.col("n_chars"), F.col("doc_id")])
+    return ranked.withColumn(
+        "batch_id", F.expr(f"CAST((global_rank - 1) DIV {_BATCH_SIZE} AS BIGINT)")
+    )

@@ -198,3 +198,29 @@ def test_explicit_bloom_predicate_sits_in_fact_scan_stage(plans):
     assert "forall" not in p, "bloom predicate regressed to interpreted HOF"
     # folded literal prints as [..]; an unfolded CreateArray prints array(..)
     assert "array(" not in lines[fi], "bloom words literal not constant-folded"
+
+
+def test_global_rank_avoids_single_partition_sort(plans, spark, sf_smoke):
+    """sort_global_rank exists to dodge the one guaranteed 100 TB failure:
+    a bare row_number() OVER (ORDER BY ...) plans Exchange SinglePartition
+    (one task sorts everything). Pin both directions: the naive spelling
+    really does plan a single-partition exchange (so the contrast is
+    real), and the registered query's plan never does — its window is
+    partitioned by the range-partition id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    naive = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("n_chars", "doc_id"))
+        )
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in naive_plan, "naive contrast no longer single-partition"
+
+    p = plans["sort_global_rank"]
+    assert "SinglePartition" not in p, "global rank regressed to a global sort"

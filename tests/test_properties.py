@@ -450,3 +450,38 @@ def test_bloom_prune_never_drops_a_member(spark, keys):
     words = bloom_build_words(df, "k")
     kept = bloom_prune(df, F.col("k"), words).count()
     assert kept == len(keys), "bloom dropped a member key"
+
+
+# ---------------------------------------------------------------------------
+# Distributed global rank == naive total order
+# ---------------------------------------------------------------------------
+
+vals_strategy = st.lists(
+    st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=50
+)
+
+
+@given(vals=vals_strategy)
+@SETTINGS
+def test_global_rank_matches_sorted_order(spark, vals):
+    """The offset-composition rank must equal the naive single-task total
+    order for ANY input — duplicates (tiebreaker column), negatives,
+    all-equal values, single rows. Catches off-by-one in the prefix-sum
+    offsets and any rank/count layout mismatch (the bug class the internal
+    localCheckpoint exists to prevent)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_rosetta_demo_spark.operators.ordering import global_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r.id: r.global_rank
+        for r in global_rank(df, [F.col("v"), F.col("id")], n_partitions=4).collect()
+    }
+    expected = {
+        i: rank + 1
+        for rank, (v, i) in enumerate(sorted((v, i) for i, v in enumerate(vals)))
+    }
+    assert got == expected
