@@ -485,3 +485,89 @@ def test_global_rank_matches_sorted_order(spark, vals):
         for rank, (v, i) in enumerate(sorted((v, i) for i, v in enumerate(vals)))
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+scd2_events = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2"]),
+        st.integers(min_value=0, max_value=120),  # minutes offset
+        st.sampled_from(["status", "purchase"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evs=scd2_events)
+@SETTINGS
+def test_scd2_point_in_time_matches_python_model(spark, evs):
+    """Half-open-interval semantics under adversarial inputs hypothesis
+    likes: equal-timestamp version ties (earlier id gets the empty
+    [ts, ts) window), purchases exactly ON a version boundary (belong to
+    the NEW version), purchases before any version (null match), users
+    with no versions at all."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, u, BASE + dt.timedelta(minutes=m), typ)
+        for i, (u, m, typ) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp, event_type string")
+
+    dim = (
+        df.where(F.col("event_type") == "status")
+        .select(
+            "user_id",
+            F.col("event_id").alias("status_id"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("user_id").orderBy("valid_from", "status_id")
+            ),
+        )
+    )
+    fact = df.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    cond = (
+        (dim["user_id"] == fact["user_id"])
+        & (fact["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (fact["ts"] < dim["valid_to"]))
+    )
+    got = {
+        r.purchase_id: r.status_id
+        for r in fact.join(dim, cond, "left")
+        .select("purchase_id", "status_id")
+        .collect()
+    }
+
+    # python model: versions sorted by (ts, id); purchase matches the last
+    # version with valid_from <= ts whose successor (if any) is > ts
+    versions: dict = {}
+    for i, (u, m, typ) in enumerate(evs):
+        if typ == "status":
+            versions.setdefault(u, []).append((BASE + dt.timedelta(minutes=m), i))
+    for u in versions:
+        versions[u].sort()
+    expected = {}
+    for i, (u, m, typ) in enumerate(evs):
+        if typ != "purchase":
+            continue
+        ts = BASE + dt.timedelta(minutes=m)
+        match = None
+        vs = versions.get(u, [])
+        for j, (vf, vid) in enumerate(vs):
+            vt = vs[j + 1][0] if j + 1 < len(vs) else None
+            if ts >= vf and (vt is None or ts < vt):
+                match = vid
+        expected[i] = match
+    assert got == expected
