@@ -172,6 +172,8 @@ def bloom_build_words(
     broadcast as a hash relation but its bloom still ships to every
     executor.
     """
+    if n_hashes > 8:  # see bloom_prune: ANSI overflow bound on the KM probes
+        raise ValueError("bloom n_hashes > 8 would overflow the 60-bit KM probes")
     c = F.col(col)
     h1, h2 = _bloom_h1(c), _bloom_h2(c)
     probes = [
@@ -219,6 +221,10 @@ def bloom_prune(
     filter's false-positive rate. The predicate sits in the scan stage,
     BEFORE the join exchange — that placement is the whole point, and
     ``tests/test_plans.py`` pins it."""
+    # h1 + (k-1)*h2 <= k * (2^60 - 1): safe under ANSI long arithmetic only
+    # for k <= 8 (9 * 2^60 > 2^63). Fail loudly instead of overflowing.
+    if n_hashes > 8:
+        raise ValueError("bloom n_hashes > 8 would overflow the 60-bit KM probes")
     # ONE parsed SQL literal, not F.lit(list): the latter materializes the
     # array via one py4j lit() call per element (~2.4 s of pure driver time
     # at 4096 words, measured); the parsed text costs ~0.1 s and folds to
