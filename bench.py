@@ -107,6 +107,16 @@ OPTIONAL = [
     "join_scd2_point_in_time",
     "agg_key_skew_profile",
     "sort_global_rank",
+    # TPC-H decision-support suite (adapted) — multi-join planner stress
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q22_sales_opportunity",
 ]
 
 

@@ -192,6 +192,7 @@ def load_all() -> dict[str, Query]:
         rosetta_queries,
         sketch_queries,
         streaming_queries,
+        tpch_queries,
     )
 
     priority = _staleness_order() or [

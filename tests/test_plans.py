@@ -17,8 +17,11 @@ import pytest
 
 # knn_brute_force deliberately broadcasts the 8-vector query set against the
 # corpus scan — a BroadcastNestedLoopJoin over |Q| x N with a constant-size
-# broadcast side IS the exact-kNN plan (see its docstring).
-BNLJ_ALLOWED = {"knn_brute_force"}
+# broadcast side IS the exact-kNN plan (see its docstring). tpch_q22's
+# scalar above-average gate joins a ONE-row aggregate on a constant key;
+# Catalyst constant-folds the key away and plans the same shape — a 1-row
+# IdentityBroadcastMode side with the inequality as the join residual.
+BNLJ_ALLOWED = {"knn_brute_force", "tpch_q22_sales_opportunity"}
 
 # Queries whose parquet scan must carry pushed filters: each has a selective
 # predicate on a stored column that Catalyst should deliver to the reader.
@@ -29,6 +32,8 @@ PUSHDOWN_REQUIRED = (
     "join_three_way_topk",  # segment filter before the join
     "unnest_tokens",  # doc_id cap below the Generate
     "sample_stratified_hash",  # hash-bucket predicate
+    "tpch_q10_returned_items",  # returnflag + quarter filters
+    "tpch_q14_promo_revenue",  # ship-month range
 )
 
 
@@ -126,6 +131,29 @@ def test_keep_best_broadcasts_labels_not_corpus(plans):
     p = plans["dedup_cluster_keep_best"]
     assert p.count("BroadcastExchange") == 1, p
     assert "BuildRight" in p and "BuildLeft" not in p, p
+
+
+def test_tpch_topk_plans_as_take_ordered(plans):
+    # Q10/Q18's ORDER BY ... LIMIT must plan as TakeOrderedAndProject —
+    # a global Sort + Limit would materialize a total order of the grouped
+    # stream, which at 100 TB is the difference between a per-partition
+    # heap and a single-partition sort.
+    for name in ("tpch_q10_returned_items", "tpch_q18_large_volume"):
+        p = plans[name]
+        assert "TakeOrderedAndProject" in p, f"{name} lost its top-k plan:\n{p}"
+
+
+def test_tpch_q22_anti_join_and_bounded_scalar_gate(plans):
+    # The lapsed-customer check must be a hash ANTI join (a nested-loop anti
+    # join would re-probe orders per customer), and every broadcast build
+    # side must be the right side — the scalar gate's one-row aggregate and
+    # the filtered orders keys — never the customer table itself.
+    p = plans["tpch_q22_sales_opportunity"]
+    assert "LeftAnti, BuildRight" in p, p
+    assert "BuildLeft" not in p, p
+    # The only nested-loop join allowed is the scalar gate's 1-row
+    # IdentityBroadcastMode side (see BNLJ_ALLOWED).
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke):
