@@ -662,7 +662,6 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 
     cutoff = wm_base - timedelta(minutes=10) - timedelta(seconds=300 + 2)
 
-    from ..streaming.runner import run_append_query_to_rows
     from ..streaming.transforms import streaming_interval_join
 
     ev = _events_stream(spark, sf_dir)
@@ -692,7 +691,12 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("diff_us"),
         F.col("l.ts").alias("_cts"),
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_sijo_") as ckpt:
-        rows = run_append_query_to_rows(joined, ckpt)
-    out = spark.createDataFrame(rows, joined.schema)
+    from ..streaming.runner import run_append_query_to_df
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_sijo_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_sijo_")
+    ) as sink_dir:
+        # Production sink shape: the parquet streaming sink receives the
+        # finalized rows executor-side; nothing moves through the driver.
+        out = run_append_query_to_df(joined, ckpt, sink_dir)
     return out.where(F.col("_cts") <= F.lit(cutoff)).drop("_cts")

@@ -212,3 +212,35 @@ def run_append_query_to_rows(
         .awaitTermination()
     )
     return out
+
+
+def run_append_query_to_df(
+    result: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> DataFrame:
+    """Append-mode run through the PRODUCTION sink shape: the native
+    parquet streaming sink writes each micro-batch's finalized rows
+    entirely executor-side (no foreachBatch, no driver collect, no Python
+    row round-trip — the lakehouse analogue of a Kafka producer), then the
+    result reads back and pins to executor memory with an eager
+    ``localCheckpoint`` so the caller may delete ``out_dir`` immediately.
+    At scale the read-back never happens — downstream consumers read the
+    sink directly; here it turns the finished stream into the gate query's
+    return value. Scales to outputs the driver could never hold, where
+    :func:`run_append_query_to_rows` (the in-memory adapter) cannot."""
+    (
+        result.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    spark = result.sparkSession
+    import os
+
+    if not any(n.endswith(".parquet") for n in os.listdir(out_dir)):
+        return spark.createDataFrame([], result.schema)
+    return spark.read.schema(result.schema).parquet(out_dir).localCheckpoint(eager=True)
