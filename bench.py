@@ -117,6 +117,9 @@ OPTIONAL = [
     "tpch_q17_small_quantity",
     "tpch_q18_large_volume",
     "tpch_q22_sales_opportunity",
+    # corpus governance
+    "privacy_k_anonymity",
+    "corpus_source_similarity",
 ]
 
 

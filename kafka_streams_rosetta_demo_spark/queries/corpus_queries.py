@@ -987,3 +987,175 @@ def sort_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn(
         "batch_id", F.expr(f"CAST((global_rank - 1) DIV {_BATCH_SIZE} AS BIGINT)")
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy QA: k-anonymity profile over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+SELECT lang AS qi_lang,
+       source AS qi_source,
+       CAST(CAST(n_chars AS BIGINT) // 100 AS BIGINT) AS qi_len_bucket,
+       CAST(count(*) AS BIGINT) AS group_size,
+       count(*) < {_K_ANON} AS at_risk
+FROM documents
+GROUP BY lang, source, CAST(n_chars AS BIGINT) // 100
+""",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity profile: how many documents share each quasi-identifier
+    combination (language, source, length bucket), and which combinations
+    fall below k=5 — the release-safety audit run before publishing a
+    training corpus or its metadata (a doc whose QI combo has <k peers is
+    re-identifiable from metadata alone; Sweeney's k-anonymity criterion).
+
+    Scale: ONE groupBy on the QI tuple with map-side partial counts — the
+    output is QI-space-sized, not corpus-sized, and the flagged subset is
+    what a suppression/generalization pass consumes. 100 TB cost = one scan
+    + one bounded shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.col("lang").alias("qi_lang"),
+            F.col("source").alias("qi_source"),
+            F.expr("CAST(CAST(n_chars AS BIGINT) DIV 100 AS BIGINT)").alias(
+                "qi_len_bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("at_risk", F.col("group_size") < _K_ANON)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level source-similarity matrix (shingle -> source-bitmask rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_similarity",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS words
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+ss AS (
+  SELECT DISTINCT array_to_string(words[i:i+2], ' ') AS shingle, source
+  FROM (SELECT doc_id, source, words,
+               unnest(range(1, len(words) - 1)) AS i FROM w)
+),
+src AS (
+  SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT source FROM documents)
+),
+m AS (
+  SELECT shingle, bit_or(CAST(1 AS BIGINT) << idx) AS mask
+  FROM ss JOIN src USING (source)
+  GROUP BY shingle
+),
+masks AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY mask),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         (CAST(1 AS BIGINT) << a.idx) | (CAST(1 AS BIGINT) << b.idx) AS bits
+  FROM src a JOIN src b ON a.idx < b.idx
+)
+SELECT source_a, source_b,
+       CAST(sum(CASE WHEN (mask & bits) = bits THEN c ELSE 0 END) AS BIGINT)
+         AS inter_shingles,
+       CAST(sum(CASE WHEN (mask & bits) <> 0 THEN c ELSE 0 END) AS BIGINT)
+         AS union_shingles,
+       CAST((CAST(sum(CASE WHEN (mask & bits) = bits THEN c ELSE 0 END) AS BIGINT)
+             * 1000000)
+            // CAST(sum(CASE WHEN (mask & bits) <> 0 THEN c ELSE 0 END) AS BIGINT)
+         AS BIGINT) AS jaccard_ppm
+FROM pairs, masks
+GROUP BY source_a, source_b
+HAVING sum(CASE WHEN (mask & bits) <> 0 THEN c ELSE 0 END) > 0
+""",
+)
+def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-Jaccard between SOURCES (not documents) — the
+    corpus-composition audit that finds mirrored/overlapping crawl sources
+    before they skew the training mix (two sources with high Jaccard are
+    the same content counted twice).
+
+    Plan shape — the whole matrix WITHOUT any doc-level pair join: distinct
+    (shingle, source) rows aggregate per shingle into a SOURCE BITMASK
+    (``bit_or(1 << idx)``, one shuffle on the shingle key), the bitmask
+    table collapses to ≤2^|sources| counted rows, and every source pair's
+    intersection/union is a popcount-style conditional sum over that tiny
+    table fanned out via a literal pair array (no join at all after the
+    shingle rollup — pairs × masks never touches doc data). Exact integer
+    shingle counts; similarity as integer ppm. Holds to 64 sources (the
+    bitmask width); past that the rollup becomes a (shingle, source-pair)
+    co-occurrence count with the same one-shuffle skeleton.
+
+    The source-index map is a ≤64-row collect — bounded model state, like
+    the kMeans centroids."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = sorted(
+        r.source for r in docs.select("source").distinct().collect()
+    )
+    idx = {s: i for i, s in enumerate(srcs)}
+
+    sh = (
+        with_shingles(rebalance(docs.select("source", "text")), k=3)
+        .select("source", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    # literal CASE over the bounded source map — no dim join needed; the
+    # shift is folded into the literal, so the row expression is a pure
+    # string-equality chain
+    mask_expr = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(1 << i).cast("long"))
+            for s, i in idx.items()
+        ]
+    )
+    masks = (
+        sh.select(mask_expr.alias("bit"), "shingle")
+        .groupBy("shingle")
+        .agg(F.bit_or("bit").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs_lit = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("source_a"),
+                F.lit(b).alias("source_b"),
+                F.lit((1 << idx[a]) | (1 << idx[b])).cast("long").alias("bits"),
+            )
+            for i, a in enumerate(srcs)
+            for b in srcs[i + 1 :]
+        ]
+    )
+    fanned = masks.select("mask", "c", F.explode(pairs_lit).alias("p"))
+    return (
+        fanned.groupBy("p.source_a", "p.source_b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("mask").bitwiseAND(F.col("p.bits")) == F.col("p.bits"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            ).alias("inter_shingles"),
+            F.sum(
+                F.when(
+                    F.col("mask").bitwiseAND(F.col("p.bits")) != 0, F.col("c")
+                ).otherwise(F.lit(0))
+            ).alias("union_shingles"),
+        )
+        .where(F.col("union_shingles") > 0)
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("inter_shingles * 1000000L DIV union_shingles"),
+        )
+    )
