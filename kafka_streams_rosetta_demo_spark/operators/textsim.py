@@ -449,3 +449,100 @@ def simhash_near_pairs(
 def prefix_length(n: int, threshold: float) -> int:
     """Python twin of the prefix-filter length (for tests)."""
     return n - math.ceil(threshold * n) + 1
+
+
+def source_similarity_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise distinct-shingle Jaccard between SOURCES via a per-shingle
+    source-bitmask rollup — no doc-level pair join anywhere.
+
+    Plan: distinct (shingle, source) rows aggregate per shingle into a
+    source bitmask (``bit_or(1 << idx)``, one shuffle on the shingle key);
+    the counted mask table is bounded by ``2^|sources|`` rows; every
+    pair's intersection (``mask & bits == bits``) and union
+    (``mask & bits != 0``) is a conditional sum over that tiny table
+    fanned out through a literal pair array. Exact integer counts,
+    similarity as integer ppm (``inter * 1e6 DIV union``).
+
+    The source-index map is a ≤64-row collect — bounded model state, like
+    the kMeans centroids. Holds to 64 sources (bitmask width); past that
+    the same one-shuffle skeleton runs on (shingle, source-pair)
+    co-occurrence counts instead.
+
+    Returns ``(source_a, source_b, inter_shingles, union_shingles,
+    jaccard_ppm)`` for every unordered pair with a non-empty union.
+    """
+    srcs = sorted(
+        r[0] for r in docs.select(source_col).distinct().collect()
+    )
+    if len(srcs) > 63:
+        raise ValueError(
+            f"bitmask rollup holds to 63 sources, got {len(srcs)}; "
+            "use a (shingle, source-pair) co-occurrence rollup instead"
+        )
+    idx = {s: i for i, s in enumerate(srcs)}
+    if len(srcs) < 2:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [],
+            "source_a string, source_b string, inter_shingles long, "
+            "union_shingles long, jaccard_ppm long",
+        )
+
+    sh = (
+        with_shingles(docs.select(source_col, text_col), k=k, text_col=text_col)
+        .select(source_col, F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    # literal CASE over the bounded source map — no dim join; the shift is
+    # folded into the literal so the row expression is pure string equality
+    bit = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(1 << i).cast("long"))
+            for s, i in idx.items()
+        ]
+    )
+    masks = (
+        sh.select(bit.alias("bit"), "shingle")
+        .groupBy("shingle")
+        .agg(F.bit_or("bit").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs_lit = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("source_a"),
+                F.lit(b).alias("source_b"),
+                F.lit((1 << idx[a]) | (1 << idx[b])).cast("long").alias("bits"),
+            )
+            for i, a in enumerate(srcs)
+            for b in srcs[i + 1 :]
+        ]
+    )
+    fanned = masks.select("mask", "c", F.explode(pairs_lit).alias("p"))
+    return (
+        fanned.groupBy("p.source_a", "p.source_b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("mask").bitwiseAND(F.col("p.bits")) == F.col("p.bits"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            ).alias("inter_shingles"),
+            F.sum(
+                F.when(
+                    F.col("mask").bitwiseAND(F.col("p.bits")) != 0, F.col("c")
+                ).otherwise(F.lit(0))
+            ).alias("union_shingles"),
+        )
+        .where(F.col("union_shingles") > 0)
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("inter_shingles * 1000000L DIV union_shingles"),
+        )
+    )

@@ -1098,64 +1098,10 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence count with the same one-shuffle skeleton.
 
     The source-index map is a ≤64-row collect — bounded model state, like
-    the kMeans centroids."""
-    docs = load_table(spark, sf_dir, "documents")
-    srcs = sorted(
-        r.source for r in docs.select("source").distinct().collect()
-    )
-    idx = {s: i for i, s in enumerate(srcs)}
+    the kMeans centroids. Implementation:
+    :func:`..operators.textsim.source_similarity_matrix` (property-tested
+    against a pure-Python set model in ``tests/test_properties.py``)."""
+    from ..operators.textsim import source_similarity_matrix
 
-    sh = (
-        with_shingles(rebalance(docs.select("source", "text")), k=3)
-        .select("source", F.explode("shingles").alias("shingle"))
-        .distinct()
-    )
-    # literal CASE over the bounded source map — no dim join needed; the
-    # shift is folded into the literal, so the row expression is a pure
-    # string-equality chain
-    mask_expr = F.coalesce(
-        *[
-            F.when(F.col("source") == s, F.lit(1 << i).cast("long"))
-            for s, i in idx.items()
-        ]
-    )
-    masks = (
-        sh.select(mask_expr.alias("bit"), "shingle")
-        .groupBy("shingle")
-        .agg(F.bit_or("bit").alias("mask"))
-        .groupBy("mask")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    pairs_lit = F.array(
-        *[
-            F.struct(
-                F.lit(a).alias("source_a"),
-                F.lit(b).alias("source_b"),
-                F.lit((1 << idx[a]) | (1 << idx[b])).cast("long").alias("bits"),
-            )
-            for i, a in enumerate(srcs)
-            for b in srcs[i + 1 :]
-        ]
-    )
-    fanned = masks.select("mask", "c", F.explode(pairs_lit).alias("p"))
-    return (
-        fanned.groupBy("p.source_a", "p.source_b")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("mask").bitwiseAND(F.col("p.bits")) == F.col("p.bits"),
-                    F.col("c"),
-                ).otherwise(F.lit(0))
-            ).alias("inter_shingles"),
-            F.sum(
-                F.when(
-                    F.col("mask").bitwiseAND(F.col("p.bits")) != 0, F.col("c")
-                ).otherwise(F.lit(0))
-            ).alias("union_shingles"),
-        )
-        .where(F.col("union_shingles") > 0)
-        .withColumn(
-            "jaccard_ppm",
-            F.expr("inter_shingles * 1000000L DIV union_shingles"),
-        )
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    return source_similarity_matrix(rebalance(docs.select("source", "text")), k=3)

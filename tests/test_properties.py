@@ -571,3 +571,47 @@ def test_scd2_point_in_time_matches_python_model(spark, evs):
                 match = vid
         expected[i] = match
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.lists(st.sampled_from("abcd"), min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_source_similarity_matches_python_set_model(spark, docs):
+    """The source-bitmask Jaccard rollup must equal the naive per-source
+    distinct-shingle set model on arbitrary tiny corpora — including docs
+    too short to shingle, sources with empty shingle sets (they must not
+    emit pairs with union 0), and fully-mirrored sources (ppm exactly
+    1_000_000)."""
+    from kafka_streams_rosetta_demo_spark.operators.textsim import (
+        source_similarity_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(s, " ".join(ws)) for s, ws in docs], "source string, text string"
+    )
+    got = {
+        (r.source_a, r.source_b): (r.inter_shingles, r.union_shingles, r.jaccard_ppm)
+        for r in source_similarity_matrix(df, k=3).collect()
+    }
+
+    sets: defaultdict[str, set] = defaultdict(set)
+    for s, ws in docs:
+        if len(ws) >= 3:
+            sets[s] |= {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+    srcs = sorted({s for s, _ in docs})
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union:
+                want[(a, b)] = (inter, union, inter * 1_000_000 // union)
+    assert got == want
