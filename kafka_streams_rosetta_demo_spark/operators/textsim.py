@@ -493,10 +493,18 @@ def source_similarity_matrix(
             "union_shingles long, jaccard_ppm long",
         )
 
-    sh = (
-        with_shingles(docs.select(source_col, text_col), k=k, text_col=text_col)
-        .select(source_col, F.explode("shingles").alias("shingle"))
-        .distinct()
+    # Shingles roll up by their 60-bit md5_long, hashed per-row INSIDE the
+    # array (JVM transform, zero shuffle) — the 8-byte key, not a 20+-char
+    # string, is what shuffles, and the oracle replays the same hash so
+    # parity stays definitional (collision-merge is shared, and negligible
+    # at 2^60). No distinct before the groupBy: bit_or is idempotent over
+    # duplicate rows and the per-hash groupBy already collapses, so a
+    # pre-dedup would compute the identical mask table one exchange slower.
+    sh = with_shingles(
+        docs.select(source_col, text_col), k=k, text_col=text_col
+    ).select(
+        source_col,
+        F.explode(F.transform("shingles", lambda s: md5_long(s))).alias("shingle"),
     )
     # literal CASE over the bounded source map — no dim join; the shift is
     # folded into the literal so the row expression is pure string equality

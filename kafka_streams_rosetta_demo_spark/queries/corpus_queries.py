@@ -1047,7 +1047,10 @@ WITH w AS (
   WHERE len(string_split(text, ' ')) >= 3
 ),
 ss AS (
-  SELECT DISTINCT array_to_string(words[i:i+2], ' ') AS shingle, source
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(array_to_string(words[i:i+2], ' ')), 1, 15)
+              AS BIGINT) AS shingle,
+         source
   FROM (SELECT doc_id, source, words,
                unnest(range(1, len(words) - 1)) AS i FROM w)
 ),

@@ -589,10 +589,16 @@ def test_source_similarity_matches_python_set_model(spark, docs):
     distinct-shingle set model on arbitrary tiny corpora — including docs
     too short to shingle, sources with empty shingle sets (they must not
     emit pairs with union 0), and fully-mirrored sources (ppm exactly
-    1_000_000)."""
+    1_000_000). The model hashes shingles with the same md5_long the
+    engine ships on the wire, so the comparison is definitional."""
+    import hashlib
+
     from kafka_streams_rosetta_demo_spark.operators.textsim import (
         source_similarity_matrix,
     )
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     df = spark.createDataFrame(
         [(s, " ".join(ws)) for s, ws in docs], "source string, text string"
@@ -605,7 +611,7 @@ def test_source_similarity_matches_python_set_model(spark, docs):
     sets: defaultdict[str, set] = defaultdict(set)
     for s, ws in docs:
         if len(ws) >= 3:
-            sets[s] |= {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+            sets[s] |= {h(" ".join(ws[j : j + 3])) for j in range(len(ws) - 2)}
     srcs = sorted({s for s, _ in docs})
     want = {}
     for i, a in enumerate(srcs):
