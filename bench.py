@@ -116,6 +116,7 @@ OPTIONAL = [
     "tpch_q14_promo_revenue",
     "tpch_q17_small_quantity",
     "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
     "tpch_q22_sales_opportunity",
     # corpus governance
     "privacy_k_anonymity",

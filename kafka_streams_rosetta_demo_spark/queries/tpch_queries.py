@@ -580,3 +580,65 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").alias("totacctbal_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunctive multi-attribute join predicate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+SELECT CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35
+        AND l_quantity BETWEEN 20 AND 30))
+""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three OR-ed (brand, size-range,
+    quantity-range) branches — the disjunctive join-predicate shape that
+    punishes planners which can't separate the common equi-key from the
+    per-branch residuals (a naive evaluation becomes a cartesian filter).
+
+    Written as one declared disjunction, NOT pre-split unions: Catalyst
+    extracts ``p_partkey = l_partkey`` as the hash-join key, derives the
+    implied single-side constraints (brand IN-list + size bound on the
+    part scan, quantity bound on the lineitem scan — constraint
+    propagation through the OR), and evaluates the three-branch residual
+    in the join stage. Filtered part broadcasts; lineitem never shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            F.sum(_rev_cents()).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

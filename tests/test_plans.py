@@ -143,6 +143,20 @@ def test_tpch_topk_plans_as_take_ordered(plans):
         assert "TakeOrderedAndProject" in p, f"{name} lost its top-k plan:\n{p}"
 
 
+def test_tpch_q19_disjunction_splits_per_side(plans):
+    # The famous Q19 planner behavior: from ONE declared three-branch OR,
+    # Catalyst must extract the partkey equi-join (hash join, no nested
+    # loop / cartesian) AND derive the lineitem-only implication of the
+    # disjunction (the OR of quantity ranges) pushed into the fact scan —
+    # a planner that can't split the OR reads every lineitem row.
+    p = plans["tpch_q19_disjunctive_revenue"]
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+    assert "LessThanOrEqual(l_quantity" in p, (
+        "quantity disjunction not pushed to the lineitem scan:\n" + p
+    )
+
+
 def test_tpch_q22_anti_join_and_bounded_scalar_gate(plans):
     # The lapsed-customer check must be a hash ANTI join (a nested-loop anti
     # join would re-probe orders per customer), and every broadcast build
