@@ -204,6 +204,14 @@ def main() -> None:
         "reps": REPS,
         "sf": sf_from_dir(SF_DIR),
     }
+    # Truncation-proof artifact: the driver keeps only the stdout TAIL, and
+    # the per-query stderr lines can push the summary's head out of the
+    # capture window — so the same JSON also lands in a committed file.
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as fh:
+            fh.write(json.dumps(out) + "\n")
+    except OSError:
+        pass  # read-only checkout must not break the stdout contract
     print(json.dumps(out))
 
 

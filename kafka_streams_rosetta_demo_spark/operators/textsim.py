@@ -468,17 +468,25 @@ def source_similarity_matrix(
     fanned out through a literal pair array. Exact integer counts,
     similarity as integer ppm (``inter * 1e6 DIV union``).
 
-    The source-index map is a ≤64-row collect — bounded model state, like
-    the kMeans centroids. Holds to 64 sources (bitmask width); past that
-    the same one-shuffle skeleton runs on (shingle, source-pair)
-    co-occurrence counts instead.
+    The source-index map is a ≤63-row collect — bounded model state, like
+    the kMeans centroids. Holds to 63 sources, not 64: the mask is a
+    signed long and index 63 would need ``1 << 63``, which overflows the
+    sign bit. Past 63 the same one-shuffle skeleton runs on
+    (shingle, source-pair) co-occurrence counts instead. NULL sources are
+    rejected up front (a NULL would otherwise break the index sort and
+    silently vanish from every mask via ``bit_or``'s null-absorption).
 
     Returns ``(source_a, source_b, inter_shingles, union_shingles,
     jaccard_ppm)`` for every unordered pair with a non-empty union.
     """
-    srcs = sorted(
-        r[0] for r in docs.select(source_col).distinct().collect()
-    )
+    raw = [r[0] for r in docs.select(source_col).distinct().collect()]
+    if any(s is None for s in raw):
+        raise ValueError(
+            f"NULL values in source column {source_col!r}: filter or "
+            "impute them before the bitmask rollup (a NULL source has no "
+            "bit and would be silently absorbed by bit_or)"
+        )
+    srcs = sorted(raw)
     if len(srcs) > 63:
         raise ValueError(
             f"bitmask rollup holds to 63 sources, got {len(srcs)}; "

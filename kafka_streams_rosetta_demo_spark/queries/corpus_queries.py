@@ -1096,11 +1096,12 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection/union is a popcount-style conditional sum over that tiny
     table fanned out via a literal pair array (no join at all after the
     shingle rollup — pairs × masks never touches doc data). Exact integer
-    shingle counts; similarity as integer ppm. Holds to 64 sources (the
-    bitmask width); past that the rollup becomes a (shingle, source-pair)
-    co-occurrence count with the same one-shuffle skeleton.
+    shingle counts; similarity as integer ppm. Holds to 63 sources (a
+    signed-long mask: bit 63 is the sign bit, so index 63 would overflow);
+    past that the rollup becomes a (shingle, source-pair) co-occurrence
+    count with the same one-shuffle skeleton.
 
-    The source-index map is a ≤64-row collect — bounded model state, like
+    The source-index map is a ≤63-row collect — bounded model state, like
     the kMeans centroids. Implementation:
     :func:`..operators.textsim.source_similarity_matrix` (property-tested
     against a pure-Python set model in ``tests/test_properties.py``)."""

@@ -1,13 +1,17 @@
 """Streaming topologies run end to end under the batch correctness gate.
 
 Each query here executes a *real Structured Streaming query* — file source,
-watermark, update-mode emission, checkpointed state, ``foreachBatch`` sink —
-to completion with ``availableNow``, merges the update stream into final
-keyed state (the compacted-output-topic read), and returns that state as a
-DataFrame. The DuckDB oracle is the *same SQL* as the batch twin, so the
-gate proves the streaming execution path computes identical state — the
-strongest brokerless check available for SURVEY §2.1/§2.6 (S1 file form,
-S2, J1, T1–T4).
+watermark, update- or append-mode emission, checkpointed state — to
+completion with ``availableNow`` through the PRODUCTION sink shape:
+append-mode queries write through the native parquet streaming sink
+(executor-side, ``_spark_metadata``-committed), update-mode queries append
+their changed rows to an executor-side parquet changelog that is then
+compacted last-write-per-key (the compacted-output-topic read). Nothing
+moves through the driver — no ``collect``, no ``toPandas`` — so every
+registered streaming path here is the one that scales. The DuckDB oracle is
+the *same SQL* as the batch twin, so the gate proves the streaming execution
+path computes identical state — the strongest brokerless check available for
+SURVEY §2.1/§2.6 (S1 file form, S2, J1, T1–T4).
 
 Single-file sources mean one micro-batch here; multi-batch incremental
 updates, late-data watermark drops, and checkpoint restart-without-replay
@@ -30,8 +34,8 @@ from ..sources.parquet import (
 )
 from ..streaming.runner import (
     file_stream,
-    pandas_state_to_df,
-    run_update_query_to_pandas_state,
+    run_append_query_to_df,
+    run_update_query_to_df,
 )
 from ..streaming.transforms import (
     enrich_calls_with_customers,
@@ -73,11 +77,12 @@ def streaming_calls_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match the same oracle as the batch twin (rosetta_calls_window_agg)
     — one plan, two execution modes, one answer."""
     agg = streaming_windowed_call_agg(events_to_calls(_events_stream(spark, sf_dir)))
-    with tempfile.TemporaryDirectory(prefix="ckpt_swa_") as ckpt:
-        state = run_update_query_to_pandas_state(
-            agg, ["id_telef_origen", "window_start"], ckpt
+    with tempfile.TemporaryDirectory(prefix="ckpt_swa_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_swa_")
+    ) as out_dir:
+        return run_update_query_to_df(
+            agg, ["id_telef_origen", "window_start"], ckpt, out_dir
         )
-    return pandas_state_to_df(spark, state, agg.schema)
 
 
 @register(
@@ -107,9 +112,10 @@ def streaming_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_col="event_id",
         value_cols=["ts", "event_id", "event_type", "value"],
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_skt_") as ckpt:
-        state = run_update_query_to_pandas_state(latest, ["user_id"], ckpt)
-    return pandas_state_to_df(spark, state, latest.schema)
+    with tempfile.TemporaryDirectory(prefix="ckpt_skt_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_skt_")
+    ) as out_dir:
+        return run_update_query_to_df(latest, ["user_id"], ckpt, out_dir)
 
 
 @register(
@@ -142,19 +148,19 @@ def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = streaming_windowed_call_agg(events_to_calls(_events_stream(spark, sf_dir)))
     customers = rosetta_customers(spark, sf_dir)
 
-    schema_cell: list[T.StructType] = []
-
     def enrich(batch_df: DataFrame) -> DataFrame:
-        enriched = enrich_calls_with_customers(batch_df, customers)
-        if not schema_cell:
-            schema_cell.append(enriched.schema)
-        return enriched
+        return enrich_calls_with_customers(batch_df, customers)
 
-    with tempfile.TemporaryDirectory(prefix="ckpt_enr_") as ckpt:
-        state = run_update_query_to_pandas_state(
-            agg, ["id_telef_origen", "window_start_ts"], ckpt, batch_fn=enrich
+    with tempfile.TemporaryDirectory(prefix="ckpt_enr_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_enr_")
+    ) as out_dir:
+        return run_update_query_to_df(
+            agg,
+            ["id_telef_origen", "window_start_ts"],
+            ckpt,
+            out_dir,
+            batch_fn=enrich,
         )
-    return pandas_state_to_df(spark, state, schema_cell[0])
 
 
 @register(
@@ -185,7 +191,6 @@ def streaming_suppress_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     State story: append mode evicts a window's state at emission, so
     suppression costs no second buffer (unlike KS, which stacks a
     suppression store on the window store)."""
-    from ..streaming.runner import run_append_query_to_rows
     from ..streaming.transforms import streaming_final_windowed_agg
 
     final = streaming_final_windowed_agg(
@@ -198,9 +203,10 @@ def streaming_suppress_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_duracion_origen",
         "avg_duracion_origen",
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_ssf_") as ckpt:
-        rows = run_append_query_to_rows(final, ckpt)
-    return spark.createDataFrame(rows, final.schema)
+    with tempfile.TemporaryDirectory(prefix="ckpt_ssf_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_ssf_")
+    ) as out_dir:
+        return run_append_query_to_df(final, ckpt, out_dir)
 
 
 @register(
@@ -231,7 +237,6 @@ def streaming_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     from pyspark.sql import functions as F
 
-    from ..streaming.runner import run_append_query_to_rows
     from ..streaming.transforms import streaming_interval_join
 
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
@@ -249,9 +254,10 @@ def streaming_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("diff_us"),
         )
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_sij_") as ckpt:
-        rows = run_append_query_to_rows(out, ckpt)
-    return spark.createDataFrame(rows, out.schema)
+    with tempfile.TemporaryDirectory(prefix="ckpt_sij_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_sij_")
+    ) as out_dir:
+        return run_append_query_to_df(out, ckpt, out_dir)
 
 
 @register(
@@ -309,8 +315,6 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract KS session stores share."""
     from pyspark.sql import functions as F
 
-    from ..streaming.runner import run_append_query_to_rows
-
     ev = _events_stream(spark, sf_dir).withWatermark("ts", "24 hours")
     agg = (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -326,9 +330,10 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_ssw_") as ckpt:
-        rows = run_append_query_to_rows(agg, ckpt)
-    return spark.createDataFrame(rows, agg.schema)
+    with tempfile.TemporaryDirectory(prefix="ckpt_ssw_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_ssw_")
+    ) as out_dir:
+        return run_append_query_to_df(agg, ckpt, out_dir)
 
 
 @register(
@@ -391,9 +396,10 @@ def streaming_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v.event_id").alias("sum_event_id"),
         )
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_swr_") as ckpt:
-        state = run_update_query_to_pandas_state(agg, ["event_type"], ckpt)
-    return pandas_state_to_df(spark, state, agg.schema)
+    with tempfile.TemporaryDirectory(prefix="ckpt_swr_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_swr_")
+    ) as out_dir:
+        return run_update_query_to_df(agg, ["event_type"], ckpt, out_dir)
 
 
 @register(
@@ -462,9 +468,10 @@ def streaming_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_sar_") as ckpt:
-        state = run_update_query_to_pandas_state(agg, ["event_type"], ckpt)
-    return pandas_state_to_df(spark, state, agg.schema)
+    with tempfile.TemporaryDirectory(prefix="ckpt_sar_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_sar_")
+    ) as out_dir:
+        return run_update_query_to_df(agg, ["event_type"], ckpt, out_dir)
 
 
 @register(
@@ -491,7 +498,6 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..streaming.transforms import streaming_dedup_within_watermark
-    from ..streaming.runner import run_append_query_to_rows
 
     # same T7 state-partition pin as _events_stream — a plain (driver)
     # session would otherwise create the checkpoint with 200 state stores
@@ -513,9 +519,10 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = streaming_dedup_within_watermark(
             stream, keys=["event_id"], ts_col="ts"
         ).select("event_id", "user_id", "event_type", "value")
-        with tempfile.TemporaryDirectory(prefix="ckpt_sde_") as ckpt:
-            rows = run_append_query_to_rows(deduped, ckpt)
-        return spark.createDataFrame(rows, deduped.schema)
+        with tempfile.TemporaryDirectory(prefix="ckpt_sde_") as ckpt, (
+            tempfile.TemporaryDirectory(prefix="sink_sde_")
+        ) as out_dir:
+            return run_append_query_to_df(deduped, ckpt, out_dir)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
 
@@ -557,9 +564,10 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         CMS_DEPTH,
         CMS_WIDTH,
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_cms_") as ckpt:
-        state = run_update_query_to_pandas_state(cells, ["d", "bucket"], ckpt)
-    return pandas_state_to_df(spark, state, cells.schema)
+    with tempfile.TemporaryDirectory(prefix="ckpt_cms_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_cms_")
+    ) as out_dir:
+        return run_update_query_to_df(cells, ["d", "bucket"], ckpt, out_dir)
 
 
 @register(
@@ -585,9 +593,10 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_totals_cents
 
     totals = running_totals_cents(_events_stream(spark, sf_dir))
-    with tempfile.TemporaryDirectory(prefix="ckpt_sst_") as ckpt:
-        state = run_update_query_to_pandas_state(totals, ["user_id"], ckpt)
-    return pandas_state_to_df(spark, state, totals.schema)
+    with tempfile.TemporaryDirectory(prefix="ckpt_sst_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_sst_")
+    ) as out_dir:
+        return run_update_query_to_df(totals, ["user_id"], ckpt, out_dir)
 
 
 @register(

@@ -513,7 +513,7 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH pos AS (
   SELECT CAST(count(*) AS BIGINT) AS n_pos,
          CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
-  FROM customer WHERE c_acctbal > 0.0
+  FROM customer WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > 0
 ),
 elig AS (
   SELECT c_custkey, c_nationkey,
@@ -541,7 +541,9 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The above-average test runs in exact cents via cross-multiplication
     (``bal_cents·n > Σcents``), so no float-average boundary can disagree
-    between engines.
+    between engines. The positive-balance gate is the SAME cents
+    expression on both sides (``floor(bal*100+0.5) > 0``) — definitional
+    parity, not dependent on the generator emitting 2-decimal balances.
 
     Scale: the positive-balance average is ONE scalar row broadcast into the
     customer scan (bounded model state, no collect of data rows); the

@@ -85,56 +85,11 @@ def state_to_df(spark: SparkSession, state: dict, schema: T.StructType) -> DataF
     return spark.createDataFrame(list(state.values()), schema)
 
 
-def run_update_query_to_pandas_state(
-    result: DataFrame,
-    key_cols: list[str],
-    checkpoint_dir: str,
-    batch_fn: Callable[[DataFrame], DataFrame] | None = None,
-):
-    """Arrow fast path of :func:`run_update_query_to_state` for the
-    registered streaming queries, whose final state at sf0.1 is ~100k rows:
-    each micro-batch moves driver-ward as ONE Arrow table (``toPandas``)
-    instead of 100k pickled Row objects, and the changelog compaction is a
-    vectorized ``drop_duplicates(key_cols, keep="last")`` over batches in
-    arrival order — the same last-write-wins contract. ``batch_fn`` lets a
-    per-batch transform (e.g. the broadcast enrichment join) run inside
-    ``foreachBatch`` before collection. Returns a pandas DataFrame.
-    """
-    import pandas as pd
-
-    batches: list = []
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_fn(batch_df) if batch_fn is not None else batch_df
-        pdf = out.toPandas()
-        if len(pdf):
-            batches.append(pdf)
-
-    (
-        result.writeStream.outputMode("update")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    if not batches:
-        return pd.DataFrame()
-    merged = pd.concat(batches, ignore_index=True)
-    return merged.drop_duplicates(subset=key_cols, keep="last")
-
-
-def pandas_state_to_df(spark: SparkSession, pdf, schema: T.StructType) -> DataFrame:
-    """Compacted pandas state → DataFrame (Arrow-path createDataFrame)."""
-    if len(pdf) == 0:
-        return spark.createDataFrame([], schema)
-    return spark.createDataFrame(pdf, schema)
-
-
 def run_update_query_to_parquet_changelog(
     result: DataFrame,
     checkpoint_dir: str,
     out_dir: str,
+    batch_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> None:
     """The PRODUCTION-shaped sink the ``run_update_query_to_*state``
     helpers stand in for: each update-mode micro-batch appends its changed
@@ -146,12 +101,17 @@ def run_update_query_to_parquet_changelog(
     ``tests/test_streaming.py`` pins this sink equal to the driver-merged
     state, proving the in-memory merge is an optional adapter, not
     load-bearing.
+
+    ``batch_fn`` lets a per-batch transform (e.g. the broadcast enrichment
+    join — the reference's stream–table leftJoin run inside
+    ``foreachBatch``) execute on the executors before the append.
     """
     from pyspark.sql import functions as F
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_fn(batch_df) if batch_fn is not None else batch_df
         (
-            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            out.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(out_dir)
         )
@@ -184,6 +144,96 @@ def parquet_changelog_snapshot(
         .where(F.col("_rn") == 1)
         .drop("_batch_id", "_rn")
     )
+
+
+def run_update_query_to_df(
+    result: DataFrame,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    out_dir: str,
+    batch_fn: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """Update-mode run through the production sink shape, end to end: the
+    executor-side parquet changelog (:func:`run_update_query_to_parquet_changelog`)
+    followed by the last-write-per-key compaction
+    (:func:`parquet_changelog_snapshot`). Nothing moves through the driver —
+    no ``collect``, no ``toPandas`` — so the path holds at key cardinalities
+    the in-memory adapters cannot; this is what the registered
+    ``streaming_*`` gate queries call.
+
+    LOCAL-MODE ADAPTER NOTE (same contract as :func:`run_append_query_to_df`):
+    the returned snapshot pins to executor memory with an eager
+    ``localCheckpoint`` so the caller may delete ``out_dir`` (the gate
+    queries sink into a TemporaryDirectory). ``localCheckpoint`` blocks are
+    not fault-tolerant — on a multi-executor cluster an executor loss after
+    the source files are gone truncates lineage unrecoverably. In production
+    the read-back never happens (downstream consumers read the changelog /
+    compacted topic directly), so keep the sink directory when running
+    beyond local mode.
+    """
+    run_update_query_to_parquet_changelog(
+        result, checkpoint_dir, out_dir, batch_fn=batch_fn
+    )
+    spark = result.sparkSession
+    if not _changelog_has_files(out_dir):
+        # schema of the post-batch_fn frame, derived without running a batch:
+        # batch_fn is pure DataFrame composition, so applying it to an empty
+        # frame of the pre-sink schema yields the sink schema
+        schema = (
+            result.schema
+            if batch_fn is None
+            else batch_fn(spark.createDataFrame([], result.schema)).schema
+        )
+        return spark.createDataFrame([], schema)
+    snap = parquet_changelog_snapshot(spark, out_dir, key_cols)
+    return snap.localCheckpoint(eager=True)
+
+
+def _changelog_has_files(out_dir: str) -> bool:
+    """Emptiness probe for the plain-append changelog sink (which has no
+    ``_spark_metadata`` commit log — writes happen through the batch writer
+    inside ``foreachBatch``, committed by the streaming checkpoint)."""
+    import os
+
+    return os.path.isdir(out_dir) and any(
+        n.endswith(".parquet") for n in os.listdir(out_dir)
+    )
+
+
+def _file_sink_has_commits(out_dir: str) -> bool:
+    """Emptiness probe for the NATIVE parquet streaming sink: consult the
+    sink's own ``_spark_metadata`` commit log (the source of truth for what
+    the sink has committed — a directory listing would also see orphaned
+    files from failed tasks, and misses nothing the log has). Each commit
+    file is a ``v1`` header followed by one JSON ``SinkFileStatus`` per
+    written file; any ``add`` action means the sink holds data."""
+    import json
+    import os
+
+    meta = os.path.join(out_dir, "_spark_metadata")
+    if not os.path.isdir(meta):
+        return False
+    for name in os.listdir(meta):
+        if name.startswith(".") or name.endswith((".tmp", ".crc")):
+            continue
+        path = os.path.join(meta, name)
+        if not os.path.isfile(path):
+            continue
+        try:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or line.startswith("v"):
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if rec.get("action", "add") == "add":
+                        return True
+        except OSError:
+            continue
+    return False
 
 
 def run_append_query_to_rows(
@@ -228,7 +278,16 @@ def run_append_query_to_df(
     At scale the read-back never happens — downstream consumers read the
     sink directly; here it turns the finished stream into the gate query's
     return value. Scales to outputs the driver could never hold, where
-    :func:`run_append_query_to_rows` (the in-memory adapter) cannot."""
+    :func:`run_append_query_to_rows` (the in-memory adapter) cannot.
+
+    LOCAL-MODE ADAPTER NOTE: ``localCheckpoint`` blocks live in executor
+    memory and are NOT fault-tolerant — on a multi-executor cluster, losing
+    an executor after the caller deletes ``out_dir`` truncates lineage
+    unrecoverably. Fine for the local gate (one JVM, no executor loss
+    mode); beyond local mode, keep the sink directory and read it lazily,
+    or ``persist``+materialize to a durable store before deleting. The
+    emptiness probe consults the sink's ``_spark_metadata`` commit log —
+    the sink's source of truth — not a directory listing."""
     (
         result.writeStream.outputMode("append")
         .format("parquet")
@@ -239,8 +298,6 @@ def run_append_query_to_df(
         .awaitTermination()
     )
     spark = result.sparkSession
-    import os
-
-    if not any(n.endswith(".parquet") for n in os.listdir(out_dir)):
+    if not _file_sink_has_commits(out_dir):
         return spark.createDataFrame([], result.schema)
     return spark.read.schema(result.schema).parquet(out_dir).localCheckpoint(eager=True)
