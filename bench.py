@@ -41,6 +41,10 @@ HEADLINE = [
 # Extension ops are added to the headline set as they land.
 OPTIONAL = [
     "dedup_minhash_lsh",
+    # round 6: the PPJoin family members that build / ride the shared
+    # verified-pair artifact (see the cost-policy comment below)
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "knn_brute_force",
     "text_quality_scores",
     "dedup_exact",
@@ -170,12 +174,34 @@ def main() -> None:
         q = registry[name]
         reps = []
         for _ in range(REPS):
+            # Artifact cost policy (mirrors a real pipeline's amortization):
+            # each memoized artifact's BUILD cost is charged to exactly one
+            # query — the family's first member — by clearing its cache
+            # before that query's every timed rep; later family members time
+            # against the warm artifact (the incremental cost a pipeline
+            # pays, since it materializes each artifact once per corpus
+            # snapshot).
+            if name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+                # dedup_minhash_lsh charges the corpus shingle-table build
+                # (plus its own LSH path); dedup_ngram_jaccard charges the
+                # FULL family artifact build — shingles + df-ordered prefix
+                # + verified-pair set. Later family members then ride the
+                # warm artifacts left by ngram's final rep: dedup_simhash
+                # (warm shingles), dedup_cluster_cc (label propagation on
+                # the warm pair set — its own cache cleared below),
+                # dedup_cluster_keep_best (warm labels),
+                # dedup_incremental_screen (a slice of the warm pair set) —
+                # the incremental costs a pipeline running the whole family
+                # actually pays.
+                from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+                    clear_shingle_artifacts,
+                )
+
+                clear_shingle_artifacts()
             if name == "dedup_cluster_cc":
-                # The CC label frame is memoized per (app, sf_dir) because
-                # dedup_cluster_keep_best consumes the same artifact. Clear
-                # it here so THIS number stays the honest artifact-build
-                # cost; keep_best (later in the list) then times against
-                # the warm artifact — the incremental cost a pipeline pays.
+                # charges the CC label propagation itself (its pair
+                # generation rides the warm shingle/prefix artifacts);
+                # dedup_cluster_keep_best then consumes the warm labels
                 from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
                     clear_cc_labels_cache,
                 )

@@ -18,6 +18,8 @@ with skew splitting instead of OOMing.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -174,6 +176,127 @@ def asof_join(
     return matched.where(F.col("_tag") == 1).select(
         *[F.col(c) for c in probe.columns], F.col("_m.*")
     )
+
+
+@dataclass(frozen=True)
+class KeySkewProfile:
+    """One key-space's skew statistics (the ``agg_key_skew_profile``
+    diagnostic, collapsed to a single row): produced by
+    :func:`key_skew_profile`, consumed by :func:`choose_join_strategy`.
+    Bounded model state — four longs — like the centroid matrices."""
+
+    n_rows: int
+    n_keys: int
+    hhi: int  # Herfindahl: sum of squared per-key counts (integer-exact)
+    top1_share_ppm: int
+
+    @property
+    def effective_keys(self) -> float:
+        """n_rows²/hhi — the number of EQUALLY-LOADED keys this distribution
+        behaves like (uniform → n_keys; one dominant key → toward 1)."""
+        return (self.n_rows * self.n_rows) / self.hhi if self.hhi else 0.0
+
+
+def key_skew_profile(df: DataFrame, key_cols: list[str]) -> KeySkewProfile:
+    """Measure a join/groupBy key's skew in one pass: a single map-side-
+    partial shuffle on the key producing the per-key counts, then a scalar
+    rollup. Only the key columns are scanned (column pruning reaches the
+    parquet reader), and only FOUR LONGS reach the driver.
+
+    At 100 TB this pre-flight costs one pass over one column — amortize it
+    like table statistics: compute per ingest/snapshot, feed the stored
+    profile back via ``choose_join_strategy(profile=...)``.
+    """
+    per_key = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    row = per_key.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).alias("hhi"),
+        F.expr("CAST((1000000L * max(c)) DIV sum(c) AS BIGINT)").alias(
+            "top1_share_ppm"
+        ),
+    ).collect()[0]
+    return KeySkewProfile(
+        n_rows=row.n_rows or 0,
+        n_keys=row.n_keys or 0,
+        hhi=row.hhi or 0,
+        top1_share_ppm=row.top1_share_ppm or 0,
+    )
+
+
+def choose_join_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    profile: KeySkewProfile | None = None,
+    hot_key_factor: int = 4,
+) -> tuple[str, KeySkewProfile | None]:
+    """Pick plain / broadcast / salted for ``left ⋈ right`` on ``key`` from
+    MEASURED facts instead of hand-tuning — the decision rule
+    ``agg_key_skew_profile`` exists to feed:
+
+    1. **broadcast** — the build side's Catalyst size estimate fits the
+       session's ``autoBroadcastJoinThreshold``. A broadcast join never
+       shuffles the probe side, so probe-key skew is irrelevant; this
+       dominates every other strategy when legal.
+    2. Otherwise profile the PROBE side's key (or take a precomputed
+       ``profile`` — stats-refresh amortization at scale):
+       **salted** when the hottest key carries ≥ ``hot_key_factor`` × the
+       uniform per-reducer share (1/P of traffic for P shuffle partitions)
+       or the effective key count (n²/hhi) is below P — both mean at least
+       one reducer is structurally overloaded no matter how hashing lands,
+       which AQE's sort-merge skew splitting only partially covers
+       (shuffle-hash joins and agg-feeding exchanges are outside it).
+       **plain** otherwise — let Catalyst/AQE plan it.
+
+    Returns ``(strategy, profile_used)`` so callers can log the decision.
+    """
+    est = estimated_size_bytes(right)
+    if est is not None and est <= _broadcast_threshold_bytes(right):
+        return "broadcast", None
+    if profile is None:
+        profile = key_skew_profile(left, [key])
+    try:
+        partitions = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        partitions = 200
+    if profile.n_rows == 0:
+        return "plain", profile
+    uniform_ppm = 1_000_000 // max(partitions, 1)
+    if (
+        profile.top1_share_ppm >= hot_key_factor * uniform_ppm
+        or profile.effective_keys < partitions
+    ):
+        return "salted", profile
+    return "plain", profile
+
+
+def skew_adaptive_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 8,
+    profile: KeySkewProfile | None = None,
+) -> DataFrame:
+    """The one call a user makes instead of hand-choosing between
+    ``join(broadcast_right=...)``, plain ``join`` and ``salted_equi_join``:
+    measures (or accepts) the probe key's skew profile and routes to the
+    strategy :func:`choose_join_strategy` picks. All three routes are
+    semantically identical equi-joins — the choice only moves work.
+
+    ``how`` is limited to inner/left for the salted route (the replicated
+    build side makes right/full-outer null-row accounting wrong); those
+    shapes fall back to plain+AQE with the profile still logged.
+    """
+    strategy, _ = choose_join_strategy(left, right, key, profile=profile)
+    if strategy == "broadcast":
+        return left.join(F.broadcast(right), key, how)
+    if strategy == "salted" and how in ("inner", "left"):
+        return salted_equi_join(left, right, key, salt=salt, how=how)
+    return left.join(right, key, how)
 
 
 def salted_equi_join(

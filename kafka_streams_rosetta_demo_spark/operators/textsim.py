@@ -147,15 +147,53 @@ def band_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFr
     )
 
 
+def df_ordered_shingles(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The PPJoin preprocessing artifact: each doc's distinct shingles as an
+    array sorted by *global document frequency* (rarest first, ties broken
+    by the shingle string — any total order preserves the prefix guarantee;
+    df order is what makes the filter effective).
+
+    THRESHOLD-INDEPENDENT by construction — the threshold only picks how
+    much of each sorted array the prefix slice takes — so this is the
+    materialize-once artifact a pipeline running Jaccard-pairs +
+    incremental-screen + cluster-collapse builds a single time
+    (``queries/artifacts.py`` memoizes it per (application, sf_dir), the
+    same policy as the CC label cache). Cost: one df aggregation + one
+    annotate join + one per-doc groupBy — the standard PPJoin preprocessing
+    pass, paid once instead of per query.
+    """
+    ex = shingled.select(id_col, F.explode("shingles").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(freq, "s")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+    )
+
+
+def prefix_tokens(
+    ordered: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Slice the df-ordered arrays to the PPJoin prefix for ``threshold``:
+    the first ``|S| - ceil(t*|S|) + 1`` tokens of each doc. Pure per-row
+    slice + explode over the (cached) ordered artifact — no shuffle."""
+    n = F.size("ordered")
+    prefix_len = (n - F.ceil(n * F.lit(threshold)) + F.lit(1)).cast("int")
+    return ordered.select(
+        id_col, F.explode(F.slice("ordered", 1, prefix_len)).alias("tok")
+    ).select(id_col, F.col("tok.s").alias("s"))
+
+
 def prefix_filter_pairs(
-    shingled: DataFrame, threshold: float, id_col: str = "doc_id"
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    ordered: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-recall candidate pairs via prefix filtering (AllPairs/PPJoin).
 
-    Each doc indexes only its first ``|S| - ceil(t*|S|) + 1`` shingles under
-    a *global document-frequency order* (rarest first, ties broken by the
-    shingle string — any total order preserves the guarantee; df order is
-    what makes the filter effective). If ``J(A,B) >= t`` the prefixes must
+    Each doc indexes only its df-ordered prefix (see
+    :func:`df_ordered_shingles`). If ``J(A,B) >= t`` the prefixes must
     intersect, so unlike LSH banding this candidate set provably contains
     every qualifying pair.
 
@@ -163,21 +201,12 @@ def prefix_filter_pairs(
     prefixes of a skewed corpus fill with stopword-like shingles and the
     index join degenerates toward all-pairs (measured 55 s vs ~2 s at sf0.1
     on this corpus's tiny vocabulary); rarest-first keeps per-token posting
-    lists short. Cost: one df aggregation + one annotate join — the standard
-    PPJoin preprocessing pass.
+    lists short. Pass a precomputed ``ordered`` artifact to skip the
+    preprocessing pass entirely (the cross-query reuse path).
     """
-    ex = shingled.select(id_col, F.explode("shingles").alias("s"))
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
-        ex.join(freq, "s")
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"))
-    )
-    n = F.size("ordered")
-    prefix_len = (n - F.ceil(n * F.lit(threshold)) + F.lit(1)).cast("int")
-    prefix = ordered.select(
-        id_col, F.explode(F.slice("ordered", 1, prefix_len)).alias("tok")
-    ).select(id_col, F.col("tok.s").alias("s"))
+    if ordered is None:
+        ordered = df_ordered_shingles(shingled, id_col)
+    prefix = prefix_tokens(ordered, threshold, id_col)
     a = prefix.alias("a")
     b = prefix.alias("b")
     return (
@@ -193,6 +222,7 @@ def prefix_filter_pairs_cross(
     corpus: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
+    ordered: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-recall candidate pairs BETWEEN two shingled sets (probe x
     corpus) — the incremental-dedup shape: a new crawl batch screens against
@@ -204,10 +234,25 @@ def prefix_filter_pairs_cross(
     the document-frequency order computed over the UNION of both sides so the
     order IS shared and the rarest-first skew argument still holds. At
     cluster scale the corpus prefix index is the artifact to materialize once
-    and reuse across batches (it only changes when the corpus does); here it
-    rebuilds per call because the gate queries are self-contained. Output:
+    and reuse across batches (it only changes when the corpus does). Output:
     (id_a from probe, id_b from corpus), distinct.
+
+    Reuse path: pass ``ordered`` — a df-ordered artifact covering
+    ``probe ∪ corpus`` (so the total order is shared by construction) — and
+    the whole preprocessing pass is skipped; the prefix table splits back
+    into sides by an id semi-join (cheap: prefix rows carry only (id,
+    token)). This is how ``dedup_incremental_screen`` rides the same cached
+    artifact as the Jaccard-pairs and cluster-collapse queries.
     """
+    if ordered is not None:
+        prefix = prefix_tokens(ordered, threshold, id_col)
+        a = prefix.join(
+            probe.select(id_col).distinct(), id_col, "left_semi"
+        ).select(F.col(id_col).alias("id_a"), "s")
+        b = prefix.join(
+            corpus.select(id_col).distinct(), id_col, "left_semi"
+        ).select(F.col(id_col).alias("id_b"), "s")
+        return a.join(b, "s").select("id_a", "id_b").distinct()
     # One tagged build instead of two: the sides union with a marker, the
     # df aggregation and the per-doc ordered-prefix groupBy each run ONCE
     # over the union, and the prefix table splits back by tag — halving the
@@ -257,17 +302,10 @@ def containment_filter_pairs(
     contained-candidate, id_b container), a != b, distinct.
     """
     ex = shingled.select(id_col, F.explode("shingles").alias("s"))
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
-        ex.join(freq, "s")
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+    ordered = df_ordered_shingles(shingled, id_col)
+    a = prefix_tokens(ordered, threshold, id_col).select(
+        F.col(id_col).alias("id_a"), "s"
     )
-    n = F.size("ordered")
-    prefix_len = (n - F.ceil(n * F.lit(threshold)) + F.lit(1)).cast("int")
-    a = ordered.select(
-        id_col, F.explode(F.slice("ordered", 1, prefix_len)).alias("tok")
-    ).select(F.col(id_col).alias("id_a"), F.col("tok.s").alias("s"))
     b = ex.select(F.col(id_col).alias("id_b"), "s")
     return (
         a.join(b, "s")

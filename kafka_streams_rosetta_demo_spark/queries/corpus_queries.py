@@ -113,10 +113,13 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _CC_LABELS_CACHE.get(key)
     if got is not None:
         return got
-    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    # materialized once: feeds the df-order index (2x) and verify (2x)
-    sh = with_shingles(docs, k=3).localCheckpoint(eager=True)
-    pairs = jaccard_verify(prefix_filter_pairs(sh, threshold=0.75), sh, threshold=0.75)
+    # the edge list IS the family's shared verified-pair artifact
+    # (queries/artifacts.py) — the same frame dedup_ngram_jaccard returns
+    # and dedup_incremental_screen slices, so on a warm session the CC pass
+    # starts straight at label propagation
+    from .artifacts import jaccard_pairs_075
+
+    pairs = jaccard_pairs_075(spark, sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     _CC_LABELS_CACHE[key] = comp
     return comp

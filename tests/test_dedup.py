@@ -180,3 +180,94 @@ def test_semdedup_injected_pairs_detected(spark, sf_smoke):
             # in-cell pair: copy (higher id) dominated, source keeps
             assert r.keep is False
             assert src.n_cell_dups > 0
+
+
+def test_shared_pair_artifact_forms_agree(spark, sf_correctness):
+    """The family's shared verified-pair artifact must be interchangeable
+    with the standalone builds it replaced:
+
+    - ``prefix_filter_pairs`` with the cached ``ordered`` artifact equals
+      the self-contained build (the preprocessing pass is a pure
+      factorization);
+    - the incremental screen's slice of the pair artifact (pairs with one
+      foot in the batch) equals the cross-set prefix-filter form it
+      replaced (``prefix_filter_pairs_cross`` + verify + count).
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_streams_rosetta_demo_spark.operators.textsim import (
+        jaccard_verify,
+        prefix_filter_pairs,
+        prefix_filter_pairs_cross,
+    )
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+        clear_shingle_artifacts,
+        ordered_shingles,
+        shingled_documents,
+    )
+
+    clear_shingle_artifacts()
+    sh = shingled_documents(spark, sf_correctness)
+    ordered = ordered_shingles(spark, sf_correctness)
+
+    with_artifact = {
+        tuple(r)
+        for r in prefix_filter_pairs(sh, 0.75, ordered=ordered)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    standalone = {
+        tuple(r)
+        for r in prefix_filter_pairs(sh, 0.75).select("id_a", "id_b").collect()
+    }
+    # candidate supersets may differ only in pairs verification discards;
+    # the exact-recall guarantee is what must be shared — compare verified
+    va = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_verify(
+            spark.createDataFrame(
+                [(a, b) for a, b in with_artifact], "id_a long, id_b long"
+            ),
+            sh,
+            0.75,
+        ).collect()
+    }
+    vs = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_verify(
+            spark.createDataFrame(
+                [(a, b) for a, b in standalone], "id_a long, id_b long"
+            ),
+            sh,
+            0.75,
+        ).collect()
+    }
+    assert va == vs
+
+    # screen: artifact-slice form (the registered query) == cross-prefix form
+    batch = sh.where(F.col("doc_id") % 5 == 0)
+    corpus = sh.where(F.col("doc_id") % 5 != 0)
+    cand = prefix_filter_pairs_cross(batch, corpus, threshold=0.75, ordered=ordered)
+    ver = jaccard_verify(cand, sh, threshold=0.75)
+    dups = ver.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_dups")
+    )
+    legacy = {
+        (r.doc_id, r.n_corpus_dups, r.keep)
+        for r in batch.select("doc_id")
+        .join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dups", F.lit(0)).alias("n_corpus_dups"),
+            (F.coalesce("n_dups", F.lit(0)) == 0).alias("keep"),
+        )
+        .collect()
+    }
+    registered = {
+        (r.doc_id, r.n_corpus_dups, r.keep)
+        for r in load_all()["dedup_incremental_screen"]
+        .fn(spark, sf_correctness)
+        .collect()
+    }
+    assert registered == legacy

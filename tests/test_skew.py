@@ -140,3 +140,119 @@ def test_containment_prefix_join_splits_hot_shingle(spark):
     # exact recall by the pigeonhole argument: the excerpt's prefix token
     # must hit its source doc's full index
     assert [(r.doc_in, r.doc_out) for r in hits] == [(9000, 7)]
+
+
+# ---------------------------------------------------------------------------
+# skew-adaptive join selection (choose_join_strategy / skew_adaptive_join)
+# ---------------------------------------------------------------------------
+
+
+def _skewed_left(spark, hot_rows=5000, uniform_keys=20, rows_per_key=50):
+    """One pathological key carrying ~hot_rows/total traffic + a uniform
+    background — the shape the Herfindahl pre-flight exists to catch."""
+    hot = spark.range(hot_rows).select(
+        F.lit("HOT").alias("k"), F.col("id").alias("payload")
+    )
+    cold = spark.range(uniform_keys * rows_per_key).select(
+        F.concat(F.lit("k"), (F.col("id") % uniform_keys).cast("string")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    return hot.unionByName(cold)
+
+
+def _uniform_left(spark, keys=2000, rows_per_key=5):
+    return spark.range(keys * rows_per_key).select(
+        F.concat(F.lit("k"), (F.col("id") % keys).cast("string")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+
+
+def test_key_skew_profile_statistics(spark):
+    from kafka_streams_rosetta_demo_spark.operators.joins import key_skew_profile
+
+    prof = key_skew_profile(_skewed_left(spark), ["k"])
+    assert prof.n_rows == 5000 + 20 * 50
+    assert prof.n_keys == 21
+    assert prof.top1_share_ppm == (1_000_000 * 5000) // prof.n_rows
+    # effective keys collapse toward 1 under the hot key
+    assert prof.effective_keys < 3
+
+    uni = key_skew_profile(_uniform_left(spark), ["k"])
+    assert uni.n_keys == 2000
+    assert abs(uni.effective_keys - 2000) < 1e-6  # exactly uniform
+
+
+def test_choose_join_strategy_routes(spark):
+    from kafka_streams_rosetta_demo_spark.operators.joins import (
+        choose_join_strategy,
+    )
+
+    dim = spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        F.col("id").alias("dim_val"),
+    )
+    big = spark.range(300_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 50_000).cast("string")).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad1"),
+        F.sha2((F.col("id") + 1).cast("string"), 256).alias("pad2"),
+    )
+
+    # 1) small build side -> broadcast, regardless of probe skew
+    strat, prof = choose_join_strategy(_skewed_left(spark), dim, "k")
+    assert strat == "broadcast" and prof is None
+
+    with _confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        # 2) hot probe key + non-broadcastable build -> salted
+        strat, prof = choose_join_strategy(_skewed_left(spark), big, "k")
+        assert strat == "salted"
+        assert prof is not None and prof.top1_share_ppm > 500_000
+        # 3) uniform probe key -> plain (AQE owns the residue)
+        strat, prof = choose_join_strategy(_uniform_left(spark), big, "k")
+        assert strat == "plain"
+        # 4) a precomputed profile (the stats-refresh amortization path)
+        #    is honored without re-measuring
+        from kafka_streams_rosetta_demo_spark.operators.joins import KeySkewProfile
+
+        stored = KeySkewProfile(
+            n_rows=10**9, n_keys=10**6, hhi=10**14, top1_share_ppm=900_000
+        )
+        strat, used = choose_join_strategy(
+            _uniform_left(spark), big, "k", profile=stored
+        )
+        assert strat == "salted" and used is stored
+
+
+def test_skew_adaptive_join_matches_plain_join(spark):
+    """All three routes are the SAME join: results must be row-identical to
+    the plain join on both the skewed (salted route) and uniform (plain
+    route) fixtures, inner and left."""
+    from kafka_streams_rosetta_demo_spark.operators.joins import skew_adaptive_join
+
+    right = spark.range(15).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        (F.col("id") * 10).alias("dim_val"),
+    )
+    # add the HOT key to the dim for a real match; k15..k19 unmatched (left)
+    right = right.unionByName(
+        spark.createDataFrame([("HOT", -1)], "k string, dim_val long")
+    )
+    with _confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        for left in (_skewed_left(spark, hot_rows=500), _uniform_left(spark, keys=30)):
+            for how in ("inner", "left"):
+                got = sorted(
+                    map(tuple, skew_adaptive_join(left, right, "k", how=how).collect())
+                )
+                want = sorted(map(tuple, left.join(right, "k", how).collect()))
+                assert got == want, how

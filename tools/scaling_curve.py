@@ -1,42 +1,73 @@
 """Scale-factor sweep: how query wall-time grows as the data grows.
 
-Runs a representative query basket at sf0.001 / sf0.01 / sf0.1 (100x data
-range) in ONE session and reports, per query, the wall-time at each SF and
-the 0.01→0.1 growth ratio against the 10x data growth. A ratio well under
-10 means fixed overhead still dominates (the query has scale headroom); a
-ratio near or above 10 is the first place to look when projecting to
-cluster scale. Also checks plan-shape stability: the hash-exchange count
-at sf0.1 vs sf0.01 (AQE may legitimately swap broadcast decisions; a
-SHUFFLE-count change is worth reading).
+Runs the HEAVY basket — the 10 most expensive bench queries, i.e. exactly
+the plans whose 100 TB story needs empirical backing — plus a cross-family
+representative set, at every available scale factor in ONE session. Reports
+per query the wall-time at each SF, the growth ratio across the last leg
+against its data-growth ratio, and plan-shape stability (hash/range
+exchange count per SF; AQE may legitimately swap broadcast decisions — a
+SHUFFLE-count change is the thing worth reading).
 
-Usage: python tools/scaling_curve.py   (writes a markdown table to stdout;
-SCALING.md embeds the result — regenerate after plan-affecting changes).
+Legs: the driver's sf0.001/0.01/0.1, plus ``.scale_test/sf0.5`` when
+present — generate it with ``python tools/gen_scaled_sf.py`` (5 disjoint
+sf0.1 shards; see that tool's docstring for why verbatim replication would
+distort dedup/vector pair counts). Override legs with
+``SPARK_GRAFT_SCALE_SFS=/path/a,/path/b``.
+
+Honest-cost policy: every memoized artifact cache (shingle/prefix/pair,
+CC labels) is CLEARED before each (query, sf) cell, so each cell is the
+query's full self-contained cost — the scaling signal, uncontaminated by
+cross-query reuse (bench.py measures the warm-reuse story separately).
+
+Usage: ``python tools/scaling_curve.py`` — writes the markdown table to
+stdout (plus per-cell progress on stderr); SCALING_CURVE.md embeds the
+result — regenerate after plan-affecting changes.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
-REPS = 3
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_DEFAULT_SFS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+_SF05 = os.path.join(_REPO, ".scale_test", "sf0.5")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-# Cross-family representatives: scan-agg, broadcast join, window, dedup
-# (LSH + exact), vector search, text ranking, curation, streaming-adjacent
-# batch twins, and the two round-5 scale operators.
-BASKET = [
+# The 10 most expensive queries of the r5 bench (BENCH_r05) — the heavy
+# basket whose growth curves carry the 100 TB argument…
+HEAVY = [
+    "streaming_interval_join_outer",
+    "graph_pagerank",
+    "dedup_incremental_screen",
+    "corpus_source_similarity",
+    "streaming_calls_window_agg",
+    "kmeans_inertia",
+    "dedup_containment",
+    "dedup_semantic_semdedup",
+    "multimodal_phash_dedup",
+    "join_bloom_prune",
+]
+# …plus cross-family representatives (scan-agg, joins, window, dedup,
+# vectors, text ranking, curation) for breadth.
+REPRESENTATIVE = [
     "agg_pricing_summary",
     "rosetta_enriched",
     "join_three_way_topk",
-    "join_bloom_prune",
     "join_scd2_point_in_time",
     "window_moving_sum",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "knn_brute_force",
     "text_tfidf_topk",
     "sample_stratified_hash",
@@ -44,21 +75,47 @@ BASKET = [
 ]
 
 
+def sf_value(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def clear_caches() -> None:
+    from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+        clear_shingle_artifacts,
+    )
+    from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+        clear_cc_labels_cache,
+    )
+
+    clear_shingle_artifacts()
+    clear_cc_labels_cache()
+
+
 def main() -> None:
     from kafka_streams_rosetta_demo_spark.queries import load_all
     from kafka_streams_rosetta_demo_spark.session import get_spark
     from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
 
+    env_sfs = os.environ.get("SPARK_GRAFT_SCALE_SFS")
+    if env_sfs:
+        sfs = env_sfs.split(",")
+    else:
+        sfs = list(_DEFAULT_SFS)
+        if os.path.isdir(_SF05):
+            sfs.append(_SF05)
+
     registry = load_all()
+    basket = [n for n in HEAVY + REPRESENTATIVE if n in registry]
     spark = get_spark(app_name="rosetta-scaling")
     spark.range(1000).selectExpr("sum(id)").collect()
 
     rows = []
-    for name in BASKET:
+    for name in basket:
         q = registry[name]
         per_sf: list[float] = []
         shuffles: list[int] = []
-        for sf_dir in SFS:
+        for sf_dir in sfs:
             for t in ("events", "customer", "orders", "lineitem", "documents",
                       "embeddings"):
                 try:
@@ -67,31 +124,48 @@ def main() -> None:
                     pass
             reps = []
             for _ in range(REPS):
+                clear_caches()
                 t0 = time.perf_counter()
                 q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 reps.append(time.perf_counter() - t0)
             per_sf.append(statistics.median(reps))
-            plan = (
-                q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-            )
-            shuffles.append(
-                plan.count("Exchange hashpartitioning")
-                + plan.count("Exchange rangepartitioning")
-            )
-        growth = per_sf[2] / per_sf[1] if per_sf[1] > 0 else float("inf")
-        rows.append((name, per_sf, growth, shuffles))
+            try:
+                plan = (
+                    q.fn(spark, sf_dir)
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+                shuffles.append(
+                    plan.count("Exchange hashpartitioning")
+                    + plan.count("Exchange rangepartitioning")
+                )
+            except Exception:
+                shuffles.append(-1)
+            # long sessions age (GC-driven ContextCleaner) — collect between
+            # cells, never inside a timed region
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        data_ratio = sf_value(sfs[-1]) / sf_value(sfs[-2])
+        growth = per_sf[-1] / per_sf[-2] if per_sf[-2] > 0 else float("inf")
+        rows.append((name, per_sf, growth, data_ratio, shuffles))
         print(
             f"  {name}: {' '.join(f'{t:.2f}s' for t in per_sf)} "
-            f"growth(0.01->0.1)={growth:.1f}x shuffles={shuffles}",
+            f"last-leg growth={growth:.1f}x (data {data_ratio:.0f}x) "
+            f"shuffles={shuffles}",
             file=sys.stderr,
         )
 
-    print("| query | sf0.001 | sf0.01 | sf0.1 | 10x-data growth | shuffles (by sf) |")
-    print("|---|---|---|---|---|---|")
-    for name, per_sf, growth, shuffles in rows:
+    hdr_sfs = " | ".join(f"sf{sf_value(d):g}" for d in sfs)
+    print(f"| query | {hdr_sfs} | last-leg growth (data x) | shuffles (by sf) |")
+    print("|---|" + "---|" * (len(sfs) + 2))
+    for name, per_sf, growth, data_ratio, shuffles in rows:
+        cells = " | ".join(f"{t:.2f}s" for t in per_sf)
         print(
-            f"| {name} | {per_sf[0]:.2f}s | {per_sf[1]:.2f}s | {per_sf[2]:.2f}s "
-            f"| {growth:.1f}x | {'/'.join(map(str, shuffles))} |"
+            f"| {name} | {cells} | {growth:.1f}x ({data_ratio:.0f}x) "
+            f"| {'/'.join(map(str, shuffles))} |"
         )
 
 
