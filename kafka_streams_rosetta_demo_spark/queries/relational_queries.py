@@ -1180,6 +1180,67 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# join_skew_adaptive
+# ---------------------------------------------------------------------------
+
+_ADAPTIVE_ORACLE = """
+WITH probe AS (
+  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey END AS k,
+         l_quantity
+  FROM lineitem
+)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'unmatched' ELSE o.o_orderstatus END
+         AS o_status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(probe.l_quantity), 6) AS total_qty
+FROM probe LEFT JOIN orders o ON probe.k = o.o_orderkey
+GROUP BY 1
+"""
+
+
+@register("join_skew_adaptive", oracle=_ADAPTIVE_ORACLE)
+def join_skew_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111 query-shaped: the MEASURED join-strategy pre-flight end to end.
+    The probe side collapses every 4th lineitem order key onto one hot key
+    (a deterministic 25%-of-traffic pathology, replayed identically by the
+    oracle), then :func:`..operators.joins.skew_adaptive_join` profiles the
+    key (one key-column pass, four longs to the driver), and routes:
+
+    - at gate scale (sf0.01) the orders build side fits the broadcast
+      threshold → **broadcast** (probe skew is irrelevant when the probe
+      never shuffles);
+    - at bench scale (sf0.1+) orders outgrows it and the 250000-ppm hot
+      key trips the 4x-uniform-share rule → **salted** (the hot key's rows
+      spread over 8 reducers instead of one).
+
+    Same answer either way — the oracle is the plain left join — which is
+    the contract: adaptivity moves WORK, never results. The hot key has no
+    build-side partner (order keys start at 1), so the left join's
+    null path is exercised under skew too.
+    """
+    from ..operators.joins import skew_adaptive_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = skew_adaptive_join(
+        li, orders.withColumnRenamed("o_orderkey", "k"), "k", how="left"
+    )
+    return joined.groupBy(
+        F.when(F.col("o_orderstatus").isNull(), F.lit("unmatched"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # agg_stats_moments
 # ---------------------------------------------------------------------------
 
