@@ -5,12 +5,27 @@ absent") has no multi-way join planner, no decorrelated subqueries, no
 outer-join distributions. Spark has them all natively, so the engine declares
 the classic TPC-H decision-support suite — adapted to the generator's schema
 (no partsupp table, no comment/phone/container columns) — as first-class
-oracle-backed queries. Each one exercises a distinct optimizer path the rest
-of the registry doesn't cover at this composition depth: snowflake join
-chains with residual cross-dimension equality (Q5), disjunctive join-pair
-predicates (Q7), ratio-of-conditional-sums market share (Q8), left-outer
-count distributions (Q13), decorrelated per-group averages (Q17), having-sum
-semi-joins (Q18), and anti-join + scalar-aggregate gating (Q22).
+oracle-backed queries. The suite is COMPLETE: all 22 classic shapes are
+registered (Q1 lives in relational_queries.py as ``agg_pricing_summary``;
+the other 21 are here). Each one exercises a distinct optimizer path the
+rest of the registry doesn't cover at this composition depth: correlated-min
+decorrelation (Q2), deterministic top-k over a 3-way join (Q3), correlated
+EXISTS with a cross-side date residual (Q4), snowflake join chains with
+residual cross-dimension equality (Q5), the minimal pushdown scan-aggregate
+(Q6), disjunctive join-pair predicates (Q7), ratio-of-conditional-sums
+market share (Q8), three-table profit expressions under a LIKE dim filter
+(Q9), scalar-threshold HAVING over a grouped agg (Q11), fact–fact join with
+cross-side residual + conditional counts (Q12), left-outer count
+distributions (Q13), scalar-max join-back (Q15), NOT-IN as broadcast anti
+join (Q16), decorrelated per-group averages (Q17), having-sum semi-joins
+(Q18), per-side disjunction splitting (Q19), nested two-grain aggregation
+thresholds (Q20), EXISTS + NOT EXISTS self-joins (Q21), and anti-join +
+scalar-aggregate gating (Q22). Schema adaptations (no partsupp, no
+commit/receipt dates, no shipmode/phone/comment): the part–supplier
+relation derives from lineitem, supply cost proxies from s_acctbal (Q2) or
+60%-of-retail (Q9), lateness is ship-lag beyond a fixed day count
+(Q4/Q12/Q21), and availqty share becomes shipped-volume share (Q20) — each
+docstring states its adaptation.
 
 Float discipline (stricter than round()): every money aggregate quantizes to
 integer CENTS per row — ``floor(x * 100 + 0.5)`` as BIGINT — *before* the
@@ -643,4 +658,651 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_rev_cents()).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated-min subquery, decorrelated)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eursup AS (
+  SELECT s_suppkey, s_name, n_name,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'),
+cand AS (
+  SELECT p_partkey, p_brand, s_name, n_name, bal_cents
+  FROM ps
+  JOIN part ON l_partkey = p_partkey
+  JOIN eursup ON l_suppkey = s_suppkey
+  WHERE p_type = 'STANDARD' AND p_size <= 5),
+mn AS (SELECT p_partkey AS pk, min(bal_cents) AS min_bal
+       FROM cand GROUP BY p_partkey)
+SELECT p_partkey, p_brand, s_name, n_name, bal_cents
+FROM cand JOIN mn ON p_partkey = pk AND bal_cents = min_bal
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted: cheapest qualifying supplier per part — the
+    correlated ``= (SELECT min(..) .. WHERE correlated)`` pattern,
+    decorrelated into a grouped min joined back on equality. The generator
+    has no partsupp table, so the part–supplier relation derives from
+    lineitem (``DISTINCT (l_partkey, l_suppkey)``) and supplier account
+    balance stands in for supply cost; ties at the minimum return every
+    tied supplier, exactly like the original.
+
+    Scale: the pair-derivation distinct is ONE shuffle on a two-long key;
+    the region-filtered supplier dim and the size/type-filtered part dim
+    both broadcast; the grouped min and the join-back reuse the same
+    partkey partitioning (AQE coalesces); the min table is keys+one long,
+    never wide rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eursup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", _cents(F.col("s_acctbal")).alias("bal_cents"))
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 5))
+        .select("p_partkey", "p_brand")
+    )
+    cand = pairs.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(eursup), F.col("l_suppkey") == F.col("s_suppkey"))
+    mn = cand.groupBy(F.col("p_partkey").alias("pk")).agg(
+        F.min("bal_cents").alias("min_bal")
+    )
+    return cand.join(
+        mn, (F.col("p_partkey") == F.col("pk")) & (F.col("bal_cents") == F.col("min_bal"))
+    ).select("p_partkey", "p_brand", "s_name", "n_name", "bal_cents")
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority (deterministic top-10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped-revenue top-10 per order for one market segment
+    (o_shippriority is absent from the generator; o_orderpriority carries
+    the same role in the output). The LIMIT boundary is made deterministic
+    by the (revenue DESC, orderkey ASC) total order — both engines return
+    the identical 10 rows, not an arbitrary tie cut.
+
+    Scale: segment-filtered customer broadcasts into the orders scan (both
+    date filters push to parquet); the only big shuffle is
+    lineitem⋈orders on orderkey; the top-10 runs as
+    TakeOrderedAndProject — per-partition heaps, 10 rows to the driver,
+    never a global sort."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (correlated EXISTS → semi join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: order-priority distribution of orders with at least one
+    late line — a correlated EXISTS whose predicate references BOTH sides
+    (l_shipdate vs o_orderdate + 90 days; the generator lacks
+    commit/receipt dates, so ship-lag beyond 90 days is the lateness
+    test). Spark plans it as a left-semi join with the cross-side residual
+    in the join condition, deduplicating matches for free.
+
+    Scale: semi join shuffles only (orderkey, orderdate) against
+    (orderkey, shipdate) — two columns a side; the half-year filter pushes
+    into the orders scan before its shuffle; the final agg is 5 groups
+    with map-side partials."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    waiting = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return waiting.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change (pure scan-aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
+         AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: discount-revenue forecast — the canonical pure
+    scan-aggregate, zero joins. Exists to pin the *minimal* plan: all four
+    predicates and both referenced columns must reach the parquet scan
+    (PushedFilters + 4-column ReadSchema), one whole-stage-codegen span,
+    one exchange carrying exactly one partial-agg row per task. If this
+    query ever shuffles data rows, scan pushdown broke.
+
+    The discount band compares the stored double against the same literals
+    in both engines — no epsilon, no rounding ambiguity — and revenue
+    quantizes to integer cents per row before the order-free sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit (name-LIKE dim filter, 4-way join, year rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum({_REV_CENTS_SQL}
+                - CAST(l_quantity AS BIGINT)
+                  * CAST(floor(p_retailprice * 60 + 0.5) AS BIGINT))
+         AS BIGINT) AS profit_cents
+FROM part, lineitem, supplier, orders, nation
+WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit on a product line, by supplier nation and order
+    year. The generator has no partsupp, so unit supply cost is modeled as
+    60% of the part's retail price quantized to cents — keeping Q9's
+    defining feature: the profit expression mixes columns from THREE
+    tables (lineitem price/discount/quantity, part cost, via the join),
+    so no single-table pre-aggregation is possible and the optimizer must
+    order a 4-way join under a non-selective LIKE dim filter.
+
+    Scale: the LIKE-filtered part and the supplier→nation chain broadcast;
+    lineitem⋈orders on orderkey is the one big shuffle (orders prunes to
+    two columns); per-(nation, year) partial aggregation collapses
+    everything map-side after the joins."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select(
+            "p_partkey",
+            # exactly the oracle's expression (p*60, NOT p*0.6*100 — those
+            # differ in the last ulp and can flip the floor at .5 boundaries)
+            F.floor(F.col("p_retailprice") * 60 + F.lit(0.5))
+            .cast("long")
+            .alias("cost_unit_cents"),
+        )
+    )
+    nation = _t(spark, sf_dir, "nation")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = _rev_cents() - F.col("l_quantity").cast("long") * F.col("cost_unit_cents")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("profit_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important part values (scalar-aggregate threshold over a grouped agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle=f"""
+WITH v AS (
+  SELECT l_partkey, CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS value_cents
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_7'
+  GROUP BY l_partkey),
+t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM v)
+SELECT l_partkey, value_cents
+FROM v, t
+WHERE value_cents * 1000 > total_cents
+""",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts representing a significant share of one nation's
+    traded value — a HAVING threshold computed by an uncorrelated scalar
+    subquery over the SAME grouped aggregate. No partsupp in this
+    generator, so value is discounted lineitem revenue through that
+    nation's suppliers. The share test is integer cross-multiplication
+    (``value·1000 > total``), never a float fraction.
+
+    Scale: the nation-filtered supplier dim broadcasts into the lineitem
+    scan; ONE shuffle groups by partkey; the grouped result is computed
+    once, its grand total reduces to a single row broadcast back via a
+    literal key (bounded model state — Q22's pattern), so the threshold
+    probe is map-side over the already-materialized aggregate, not a
+    recompute."""
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    v = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_cents()).alias("value_cents"))
+    )
+    total = v.agg(F.sum("value_cents").alias("total_cents")).withColumn("k", F.lit(1))
+    return (
+        v.withColumn("k", F.lit(1))
+        .join(F.broadcast(total), "k")
+        .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — late-shipment priority split (join + conditional counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q12_late_priority",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+""",
+)
+def tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: how many critical- vs normal-priority orders ride on late
+    lines (the generator has no shipmode/commit/receipt columns, so the
+    3-value l_returnflag is the line-grain category and ship-lag > 60 days
+    the lateness test — the shape Q12 exercises survives: a fact–fact join
+    whose residual compares columns across the join, feeding paired
+    conditional counts).
+
+    Scale: both l_shipdate range filters push to parquet before the one
+    orderkey shuffle; orders prunes to three columns; the conditional
+    counts are map-side partials into 3 groups."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (scalar max over a derived revenue view)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey),
+m AS (SELECT max(total_revenue_cents) AS mx FROM rev)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM supplier, rev, m
+WHERE s_suppkey = supplier_no AND total_revenue_cents = mx
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the quarter's top revenue supplier — the original's
+    CREATE VIEW + scalar max + join-back, expressed as one plan. Integer
+    cents make the max unambiguous; ties (impossible to rule out) return
+    every tied supplier, as the original does.
+
+    Scale: ONE shuffle groups lineitem by suppkey (the quarter filter
+    pushes to parquet first); the max reduces the grouped result to a
+    single broadcast row (Q22's literal-key pattern); supplier joins
+    broadcast. The revenue view is computed once — threshold probe and
+    join-back both run over the materialized aggregate."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_cents()).alias("total_revenue_cents")
+    )
+    mx = rev.agg(F.max("total_revenue_cents").alias("mx")).withColumn("k", F.lit(1))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.withColumn("k", F.lit(1))
+        .join(F.broadcast(mx), "k")
+        .where(F.col("total_revenue_cents") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier counts by part attributes (NOT-IN → broadcast anti join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q16_part_supplier_counts",
+    oracle="""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: how many suppliers can provide parts of given
+    brand/type/size combos, excluding a blacklist — the NOT-IN subquery
+    planned as an anti join (safe here: s_suppkey is never NULL, so NOT-IN
+    and anti-join semantics coincide; the original's complaint-comment
+    blacklist is adapted to negative account balance). Part–supplier
+    pairs derive from lineitem, as in Q2.
+
+    Scale: the blacklist is a handful of keys — broadcast anti join, no
+    shuffle for the exclusion; the pair-distinct and the count-distinct
+    share the (partkey, suppkey) grain, so Catalyst plans one exchange for
+    both; the 8-value size IN and the two <> filters push into the
+    broadcast part dim before it ships."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant-share suppliers (nested aggregation → threshold join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q20_dominant_suppliers",
+    oracle="""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_ps
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey),
+tot AS (SELECT l_partkey AS pk, CAST(sum(qty_ps) AS BIGINT) AS qty_p
+        FROM shipped GROUP BY l_partkey)
+SELECT DISTINCT s_suppkey, s_name, n_name
+FROM shipped
+JOIN tot ON l_partkey = pk
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE qty_ps * 4 > qty_p
+""",
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers positioned to promote a product line — the
+    original's ``availqty > 0.5·shipped`` correlated threshold, adapted
+    (no partsupp/availqty) to "supplier shipped >25% of the part's yearly
+    volume": a nested aggregation at two grains of the SAME relation,
+    thresholded by integer cross-multiplication, then semi-deduplicated
+    into a supplier list.
+
+    Scale: the type-filtered part dim broadcasts into the year-pruned
+    lineitem scan; the (partkey, suppkey) rollup is the one data shuffle;
+    the per-part total regroups the already-collapsed rollup (tiny);
+    quantities are integral by generator contract — pinned by casting
+    BEFORE the sum so any future fractional row truncates identically in
+    both engines."""
+    part = (
+        _t(spark, sf_dir, "part").where(F.col("p_type") == "SMALL").select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_ps"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty_ps").alias("qty_p")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        shipped.join(tot, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("qty_ps") * 4 > F.col("qty_p"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self-joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 120 DAY)
+SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name, n_name
+""",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers solely responsible for late finished orders —
+    the suite's hardest shape: a fact joined against ITSELF twice, once as
+    a positive EXISTS (some other supplier contributed to the order) and
+    once as a negative NOT EXISTS (no other supplier was late), both with
+    the inequality correlation ``l2.suppkey <> l1.suppkey``. Lateness is
+    ship-lag > 120 days (no receipt/commit dates in this generator).
+
+    Scale: the late set is computed ONCE and reused for both the probe
+    side and the NOT-EXISTS side (the original scans lineitem three
+    times); the semi and anti joins shuffle only (orderkey, suppkey)
+    pairs, with the <> correlation as a join residual — never a
+    cartesian; supplier→nation broadcasts onto the final 100-group agg."""
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    solely_late = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    nation = _t(spark, sf_dir, "nation")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        solely_late.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -21,7 +21,11 @@ import pytest
 # scalar above-average gate joins a ONE-row aggregate on a constant key;
 # Catalyst constant-folds the key away and plans the same shape — a 1-row
 # IdentityBroadcastMode side with the inequality as the join residual.
-BNLJ_ALLOWED = {"knn_brute_force", "tpch_q22_sales_opportunity"}
+BNLJ_ALLOWED = {
+    "knn_brute_force",
+    "tpch_q22_sales_opportunity",
+    "tpch_q11_important_parts",  # value·1000 > total residual on a 1-row side
+}
 
 # Queries whose parquet scan must carry pushed filters: each has a selective
 # predicate on a stored column that Catalyst should deliver to the reader.
@@ -34,6 +38,7 @@ PUSHDOWN_REQUIRED = (
     "sample_stratified_hash",  # hash-bucket predicate
     "tpch_q10_returned_items",  # returnflag + quarter filters
     "tpch_q14_promo_revenue",  # ship-month range
+    "tpch_q6_forecast_revenue",  # all four predicates reach the scan
 )
 
 
