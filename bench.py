@@ -122,6 +122,22 @@ OPTIONAL = [
     "tpch_q18_large_volume",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_sales_opportunity",
+    # round 6: the suite completed — the remaining 11 shapes
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "join_skew_adaptive",
+    "join_range_keyless",
+    "cdc_snapshot_diff",
+    "profile_column_stats",
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",

@@ -2513,3 +2513,244 @@ def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_max_c")
     )
+
+
+# ---------------------------------------------------------------------------
+# join_range_keyless — interval join with NO shared key (bin-bucketed)
+# ---------------------------------------------------------------------------
+
+_RANGE_KEYLESS_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(date_trunc('microseconds', ts)) AS t_us
+  FROM events),
+w AS (
+  SELECT event_id AS win_id, t_us AS w_start, t_us + 120000000 AS w_end
+  FROM e WHERE event_type = 'error')
+SELECT win_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM w JOIN e
+  ON e.t_us >= w.w_start AND e.t_us < w.w_end AND e.event_id <> w.win_id
+GROUP BY win_id
+"""
+
+
+@register("join_range_keyless", oracle=_RANGE_KEYLESS_ORACLE)
+def join_range_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join, bin-bucketed — the scale primitive
+    ``join_range`` can't reach. There, user_id equality carries the join;
+    here the windows (every error event opens a 2-minute incident window)
+    must match events from ANY user, so a naive plan is a cross join with
+    a time residual — quadratic, and plan-banned in this repo.
+
+    The distributed shape: bucketize time into bins the size of the window
+    (120 s), explode each window into the 1–2 bins it covers, tag each
+    probe event with the single bin containing it, and hash-join on the
+    bin with the exact [start, end) check and the self-exclusion as
+    residuals. Every (window, event) pair shares exactly one bin — the
+    probe side keys by its OWN bin — so matches are produced exactly once,
+    no post-join dedup. The oracle states the naive quadratic formulation;
+    the engine's plan is linear in matches: shuffle volume is rows + (≤2×)
+    windows, never |w|·|e|.
+
+    Scale: bin width = window length bounds replication at 2× and makes
+    per-bin fan-in the events-per-2-minutes rate — the same bound the
+    streaming interval join's watermark state carries. Skewed bins (event
+    storms) ride the AQE skew-join split."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    bin_us = 120_000_000
+    w = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        F.col("t_us").alias("w_start"),
+        (F.col("t_us") + bin_us).alias("w_end"),
+    )
+    wb = w.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_start div {bin_us}"), F.expr(f"(w_end - 1) div {bin_us}")
+            )
+        ),
+    )
+    eb = e.withColumn("bin", F.expr(f"t_us div {bin_us}"))
+    return (
+        wb.join(
+            eb,
+            (wb["bin"] == eb["bin"])
+            & (F.col("t_us") >= F.col("w_start"))
+            & (F.col("t_us") < F.col("w_end"))
+            & (F.col("event_id") != F.col("win_id")),
+        )
+        .groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_snapshot_diff — diff two KTable snapshots (added/removed/changed)
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH a AS (
+  SELECT user_id, event_type AS state_a FROM events
+  WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-02 00:00:00'
+    AND date_trunc('microseconds', ts) <  TIMESTAMP '2024-01-03 00:00:00'
+  QUALIFY row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) = 1),
+b AS (
+  SELECT user_id, event_type AS state_b FROM events
+  WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-29 00:00:00'
+    AND date_trunc('microseconds', ts) <  TIMESTAMP '2024-01-30 00:00:00'
+  QUALIFY row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) = 1)
+SELECT user_id,
+       CASE WHEN state_a IS NULL THEN 'added'
+            WHEN state_b IS NULL THEN 'removed'
+            WHEN state_a = state_b THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       state_a, state_b
+FROM a FULL OUTER JOIN b USING (user_id)
+"""
+
+
+@register("cdc_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff of two KTable snapshots — the audit counterpart of
+    ``cdc_upsert_apply``. Each snapshot is latest-state-per-key
+    (S2 semantics: ``max_by`` over a (ts, event_id) total order, the same
+    deterministic tiebreak the KTable query pins) restricted to a 24-hour
+    activity window; the diff is one full-outer join classifying every key
+    as added / removed / changed / unchanged — what a pipeline publishes
+    as a changelog between two materializations, and all four classes are
+    live at gate scale (r6: 8/11/106/21 at sf0.01).
+
+    Scale: each snapshot is one groupBy(user_id) with map-side ``max_by``
+    partials (state = one row per key, never a sort); the full-outer join
+    can't broadcast by definition, so it's a single co-partitioned
+    shuffle on the key both snapshots already share — AQE reuses the
+    exchange when the two sides hash alike."""
+    e = _t(spark, sf_dir, "events")
+
+    def snap(lo: str, hi: str, alias: str) -> DataFrame:
+        return (
+            e.where(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("user_id")
+            .agg(
+                F.max_by("event_type", F.struct("ts", "event_id")).alias(alias)
+            )
+        )
+
+    a = snap("2024-01-02 00:00:00", "2024-01-03 00:00:00", "state_a")
+    b = snap("2024-01-29 00:00:00", "2024-01-30 00:00:00", "state_b")
+    return a.join(b, "user_id", "full_outer").select(
+        "user_id",
+        F.when(F.col("state_a").isNull(), "added")
+        .when(F.col("state_b").isNull(), "removed")
+        .when(F.col("state_a") == F.col("state_b"), "unchanged")
+        .otherwise("changed")
+        .alias("change_type"),
+        "state_a",
+        "state_b",
+    )
+
+
+# ---------------------------------------------------------------------------
+# profile_column_stats — single-pass multi-column table profiler
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT 'o_custkey' AS col_name,
+       CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_custkey) AS VARCHAR) AS min_repr,
+       CAST(max(o_custkey) AS VARCHAR) AS max_repr
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(count(*) FILTER (o_totalprice IS NULL) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       CAST(CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR),
+       CAST(CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(count(*) FILTER (o_orderstatus IS NULL) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+       CAST(count(*) FILTER (o_orderdate IS NULL) AS BIGINT),
+       CAST(count(DISTINCT o_orderdate) AS BIGINT),
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+FROM orders
+"""
+
+
+@register("profile_column_stats", oracle=_PROFILE_ORACLE)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiler: null count, exact distinct count, and
+    canonical min/max per column — the validation step a training
+    pipeline runs before pointing 100 TB at a tokenizer. The oracle
+    states it as four UNION'd scans; the engine computes every metric in
+    ONE aggregation over one scan, then pivots the single wide row into
+    per-column rows with ``stack`` (map-side, 4 rows total).
+
+    Extremes render engine-portably: numerics quantize to integer cents
+    (then int→string, which both engines print identically — raw
+    double→string is NOT portable), timestamps through an explicit
+    format string.
+
+    Scale: exact multi-column distincts make Catalyst Expand the input
+    ×N-columns before the partial aggs — the honest cost of exactness,
+    linear not quadratic. At 100 TB the production variant swaps
+    ``approx_count_distinct`` (HLL, one pass, no Expand) — the mergeable
+    sketch that ``agg_hll_mergeable`` already pins; exactness is kept
+    here because the gate hashes values."""
+    o = _t(spark, sf_dir, "orders")
+    row = o.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("ck_nulls"),
+        F.countDistinct("o_custkey").alias("ck_dist"),
+        F.min("o_custkey").cast("string").alias("ck_min"),
+        F.max("o_custkey").cast("string").alias("ck_max"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("tp_nulls"),
+        F.countDistinct("o_totalprice").alias("tp_dist"),
+        F.floor(F.min("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string")
+        .alias("tp_min"),
+        F.floor(F.max("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string")
+        .alias("tp_max"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("st_nulls"),
+        F.countDistinct("o_orderstatus").alias("st_dist"),
+        F.min("o_orderstatus").alias("st_min"),
+        F.max("o_orderstatus").alias("st_max"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("dt_nulls"),
+        F.countDistinct("o_orderdate").alias("dt_dist"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("dt_min"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("dt_max"),
+    )
+    return row.select(
+        F.expr(
+            "stack(4, "
+            "'o_custkey', ck_nulls, ck_dist, ck_min, ck_max, "
+            "'o_totalprice', tp_nulls, tp_dist, tp_min, tp_max, "
+            "'o_orderstatus', st_nulls, st_dist, st_min, st_max, "
+            "'o_orderdate', dt_nulls, dt_dist, dt_min, dt_max) "
+            "AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        )
+    )
