@@ -138,6 +138,7 @@ OPTIONAL = [
     "join_range_keyless",
     "cdc_snapshot_diff",
     "profile_column_stats",
+    "streaming_range_join_keyless",
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",

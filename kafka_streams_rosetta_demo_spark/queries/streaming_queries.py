@@ -709,3 +709,88 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         # finalized rows executor-side; nothing moves through the driver.
         out = run_append_query_to_df(joined, ckpt, sink_dir)
     return out.where(F.col("_cts") <= F.lit(cutoff)).drop("_cts")
+
+
+@register(
+    "streaming_range_join_keyless",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(date_trunc('microseconds', ts)) AS t_us
+  FROM events),
+w AS (
+  SELECT event_id AS win_id, t_us AS w_start FROM e WHERE event_type = 'error')
+SELECT win_id,
+       e.event_id AS matched_event,
+       e.user_id,
+       CAST(e.t_us - w.w_start AS BIGINT) AS lag_us
+FROM w JOIN e
+  ON e.t_us >= w.w_start
+ AND e.t_us <  w.w_start + 120000000
+ AND e.event_id <> w.win_id
+""",
+)
+def streaming_range_join_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``join_range_keyless`` (X114): a stream-stream join
+    with NO natural equi key — 2-minute incident windows opened by error
+    events matched against events from ANY user. The batch trick carries
+    over unchanged: both sides key by the derived 120-second time BIN
+    (window side exploded into the 1-2 bins it covers, probe side tagged
+    with its single containing bin), so the StreamingSymmetricHashJoin has
+    a real hash key, and the exact ``[w_ts, w_ts+120s)`` band rides as the
+    join residual. The band is ALSO the state bound: a probe row evicts
+    once the window side's watermark passes ``e_ts``, a window row once the
+    probe watermark passes ``w_ts + 120 s`` — state never exceeds one
+    watermark's worth of either stream per bin, precisely the bound the
+    batch plan's bin fan-in analysis gives.
+
+    Emitted at pair grain (streaming aggregation after a stream-stream
+    join cannot carry countDistinct; the batch twin does the rollup) in
+    append mode through the native parquet streaming sink, and
+    hash-matched against the same naive quadratic oracle as the batch
+    query — stream equals batch, again."""
+    from pyspark.sql import functions as F
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    bin_us = 120_000_000
+    w = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("win_id"), F.col("ts").alias("w_ts"))
+        .withWatermark("w_ts", "24 hours")
+        .withColumn(
+            "wbin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros(w_ts) div {bin_us}"),
+                    F.expr(f"(unix_micros(w_ts) + {bin_us} - 1) div {bin_us}"),
+                )
+            ),
+        )
+    )
+    e = (
+        ev.select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "24 hours")
+        .withColumn("ebin", F.expr(f"unix_micros(e_ts) div {bin_us}"))
+    )
+    joined = w.join(
+        e,
+        (F.col("wbin") == F.col("ebin"))
+        & (F.col("e_ts") >= F.col("w_ts"))
+        & (F.col("e_ts") < F.col("w_ts") + F.expr("INTERVAL 120 SECONDS"))
+        & (F.col("e_id") != F.col("win_id")),
+    ).select(
+        "win_id",
+        F.col("e_id").alias("matched_event"),
+        F.col("e_user").alias("user_id"),
+        (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("w_ts"))).alias("lag_us"),
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_srk_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_srk_")
+    ) as sink_dir:
+        return run_append_query_to_df(joined, ckpt, sink_dir)
