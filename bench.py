@@ -139,6 +139,7 @@ OPTIONAL = [
     "cdc_snapshot_diff",
     "profile_column_stats",
     "streaming_range_join_keyless",
+    "timeseries_downsample_ohlc",
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",

@@ -2754,3 +2754,54 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_downsample_ohlc — open/high/low/close bar downsampling
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH e AS (
+  SELECT event_type, value, date_trunc('microseconds', ts) AS ts, event_id,
+         epoch_us(date_trunc('microseconds', ts)) // 21600000000 AS bucket
+  FROM events)
+SELECT DISTINCT event_type, bucket,
+       first_value(value) OVER w AS open_v,
+       max(value) OVER w AS high_v,
+       min(value) OVER w AS low_v,
+       last_value(value) OVER w AS close_v,
+       CAST(count(*) OVER w AS BIGINT) AS n
+FROM e
+WINDOW w AS (PARTITION BY event_type, bucket ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("timeseries_downsample_ohlc", oracle=_OHLC_ORACLE)
+def timeseries_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling: per (series, 6-hour bucket) the first, max,
+    min, and last observation plus the sample count — the metrics/trading
+    resample that turns raw ticks into bars, and the general
+    keep-endpoints downsampler for any high-rate series. Endpoint
+    selection is made deterministic by the (ts, event_id) total order
+    (ties in ts cannot flip open/close between engines).
+
+    Scale: ONE groupBy with map-side ``min_by``/``max_by`` partials — the
+    open/close never sort anything; each partial carries a single
+    (key, value) candidate per group, merged associatively, so the plan
+    is a plain two-phase hash aggregate. The oracle states it as window
+    functions + DISTINCT; the engine's agg form shuffles only the
+    collapsed per-group rows. Raw stored doubles pass through untouched
+    (no arithmetic, so no quantization needed)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id",
+        F.expr("unix_micros(ts) div 21600000000").alias("bucket"),
+    )
+    order_key = F.struct("ts", "event_id")
+    return e.groupBy("event_type", "bucket").agg(
+        F.min_by("value", order_key).alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", order_key).alias("close_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
