@@ -140,6 +140,7 @@ OPTIONAL = [
     "profile_column_stats",
     "streaming_range_join_keyless",
     "timeseries_downsample_ohlc",
+    "corpus_training_order",
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",

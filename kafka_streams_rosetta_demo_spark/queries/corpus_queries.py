@@ -1112,3 +1112,57 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return source_similarity_matrix(rebalance(docs.select("source", "text")), k=3)
+
+
+# ---------------------------------------------------------------------------
+# corpus_training_order — seeded deterministic shuffle for epoch ordering
+# ---------------------------------------------------------------------------
+
+_TRAINING_ORDER_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8
+           AS shard,
+         CAST('0x' || substr(md5('epoch-17:' || CAST(doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) AS order_key
+  FROM documents)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY order_key, doc_id) AS BIGINT) AS pos,
+       doc_id
+FROM h
+"""
+
+
+@register("corpus_training_order", oracle=_TRAINING_ORDER_ORACLE)
+def corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic training-order shuffle: the global permutation a
+    training run needs to be REPRODUCIBLE — re-running the pipeline (on
+    either engine, at any partitioning) yields byte-identical epoch order.
+    Each doc hashes to a shard (content-independent md5, balanced under any
+    key skew — same mechanism as ``doc_shard_assign``) and to a seeded
+    order key (``md5('epoch-17:' || doc_id)``: change the epoch seed and
+    the whole permutation re-rolls, with zero RNG state to checkpoint);
+    position is the rank within the shard under (order_key, doc_id) — a
+    total order, so ties cannot reorder between engines.
+
+    Scale: ONE hash-partition shuffle on the shard key + a per-shard sort —
+    and the sort is per-shard, never global: shard count is the
+    parallelism knob, exactly the layout ``repartition(n, shard)`` +
+    ``sortWithinPartitions`` writes. Readers stream shards sequentially;
+    a new epoch is a new seed literal, not a new materialization of the
+    corpus."""
+    from ..operators.textsim import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = docs.select(
+        "doc_id",
+        F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(8)).alias("shard"),
+        md5_long(F.concat(F.lit("epoch-17:"), F.col("doc_id").cast("string"))).alias(
+            "order_key"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return h.select(
+        "shard", F.row_number().over(w).cast("long").alias("pos"), "doc_id"
+    )
