@@ -1206,12 +1206,15 @@ def join_skew_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle), then :func:`..operators.joins.skew_adaptive_join` profiles the
     key (one key-column pass, four longs to the driver), and routes:
 
-    - at gate scale (sf0.01) the orders build side fits the broadcast
-      threshold → **broadcast** (probe skew is irrelevant when the probe
-      never shuffles);
-    - at bench scale (sf0.1+) orders outgrows it and the 250000-ppm hot
-      key trips the 4x-uniform-share rule → **salted** (the hot key's rows
-      spread over 8 reducers instead of one).
+    - at gate AND bench scale the 2-column orders build side fits the
+      broadcast threshold → **broadcast** (probe skew is irrelevant when
+      the probe never shuffles — measured, not assumed: both sf0.01 and
+      sf0.1 route here);
+    - when the build outgrows the threshold, the 250000-ppm hot key trips
+      the 4x-uniform-share rule → **salted** (the hot key's rows spread
+      over 8 reducers instead of one) — that leg is pinned row-identical
+      under a forced threshold in ``tests/test_skew.py`` (broadcast would
+      hide the machinery at testdata sizes).
 
     Same answer either way — the oracle is the plain left join — which is
     the contract: adaptivity moves WORK, never results. The hot key has no
