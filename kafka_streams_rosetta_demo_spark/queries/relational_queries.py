@@ -2561,6 +2561,8 @@ def join_range_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bin fan-in the events-per-2-minutes rate — the same bound the
     streaming interval join's watermark state carries. Skewed bins (event
     storms) ride the AQE skew-join split."""
+    from ..operators.joins import bin_bucketed_range_join
+
     e = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t_us")
     )
@@ -2570,23 +2572,10 @@ def join_range_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_us").alias("w_start"),
         (F.col("t_us") + bin_us).alias("w_end"),
     )
-    wb = w.withColumn(
-        "bin",
-        F.explode(
-            F.sequence(
-                F.expr(f"w_start div {bin_us}"), F.expr(f"(w_end - 1) div {bin_us}")
-            )
-        ),
-    )
-    eb = e.withColumn("bin", F.expr(f"t_us div {bin_us}"))
+    probes = e.select("event_id", "user_id", "t_us")
     return (
-        wb.join(
-            eb,
-            (wb["bin"] == eb["bin"])
-            & (F.col("t_us") >= F.col("w_start"))
-            & (F.col("t_us") < F.col("w_end"))
-            & (F.col("event_id") != F.col("win_id")),
-        )
+        bin_bucketed_range_join(w, probes, "w_start", "w_end", "t_us", bin_us)
+        .where(F.col("event_id") != F.col("win_id"))
         .groupBy("win_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -621,3 +621,58 @@ def test_source_similarity_matches_python_set_model(spark, docs):
             if union:
                 want[(a, b)] = (inter, union, inter * 1_000_000 // union)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bin_bucketed_range_join: equals the naive quadratic model on adversarial
+# inputs (empty windows, bin-boundary times, windows spanning many bins,
+# duplicate timestamps) the fixture data may never contain.
+# ---------------------------------------------------------------------------
+
+range_join_strategy = st.tuples(
+    # windows: (id, start, length) — length 0 (empty), exactly one bin,
+    # several bins; starts land on and off bin boundaries (bin width 100)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=1000),
+            st.sampled_from([0, 1, 99, 100, 101, 250, 400]),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    # probes: (id, t) with likely duplicates and boundary values
+    st.lists(
+        st.tuples(
+            st.integers(min_value=100, max_value=120),
+            st.integers(min_value=0, max_value=1400),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+
+
+@given(data=range_join_strategy)
+@SETTINGS
+def test_bin_bucketed_range_join_matches_naive_model(spark, data):
+    from kafka_streams_rosetta_demo_spark.operators.joins import (
+        bin_bucketed_range_join,
+    )
+
+    windows, probes = data
+    wdf = spark.createDataFrame(
+        [(i, s, s + ln) for i, s, ln in windows], "win_id long, ws long, we long"
+    )
+    pdf = spark.createDataFrame(probes, "probe_id long, t long")
+    got = sorted(
+        (r["win_id"], r["ws"], r["probe_id"], r["t"])
+        for r in bin_bucketed_range_join(wdf, pdf, "ws", "we", "t", 100).collect()
+    )
+    want = sorted(
+        (wi, s, pi, t)
+        for wi, s, ln in windows
+        for pi, t in probes
+        if s <= t < s + ln
+    )
+    assert got == want
