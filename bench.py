@@ -141,6 +141,7 @@ OPTIONAL = [
     "streaming_range_join_keyless",
     "timeseries_downsample_ohlc",
     "corpus_training_order",
+    "embedding_triplet_mining",
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",

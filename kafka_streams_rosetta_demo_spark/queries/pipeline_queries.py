@@ -1927,3 +1927,153 @@ def agg_pandas_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         trimmed_sum_kept(F.col("n_chars")).alias("sum_kept"),
         trimmed_mean_millis(F.col("n_chars")).alias("trimmed_mean_millis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_triplet_mining — in-cell hard positives/negatives for training
+# ---------------------------------------------------------------------------
+
+_TRIPLET_DOT = (
+    "(SELECT sum(CAST({a}[s.i] AS DOUBLE) * CAST({b}[s.i] AS DOUBLE)) "
+    "FROM (SELECT unnest(range(1, 65)) AS i) s)"
+)
+
+_TRIPLET_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_TRIPLET_DOT.format(a="embedding", b="embedding")}) AS nrm
+  FROM embeddings
+),
+centroids AS (
+  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+  FROM norms WHERE vec_id % 31 = 0
+  ORDER BY vec_id LIMIT 32
+),
+assigned AS (
+  SELECT vec_id, label, embedding, nrm, cell_id FROM (
+    SELECT n.*, c.cid AS cell_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {_TRIPLET_DOT.format(a="n.embedding", b="c.cemb")} / (n.nrm * c.cnrm)
+                      DESC, c.cid DESC) AS rn
+    FROM norms n CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb, b.label AS lb,
+         {_TRIPLET_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm)
+           AS cos_ab
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+),
+pos AS (
+  SELECT va, vb AS pos_id,
+         CAST(floor(cos_ab * 1000000 + 0.5) AS BIGINT) AS pos_sim_ppm
+  FROM (SELECT *, row_number() OVER (PARTITION BY va
+                                     ORDER BY cos_ab DESC, vb ASC) AS rn
+        FROM pairs WHERE la = lb) WHERE rn = 1
+),
+neg AS (
+  SELECT va, vb AS neg_id,
+         CAST(floor(cos_ab * 1000000 + 0.5) AS BIGINT) AS neg_sim_ppm
+  FROM (SELECT *, row_number() OVER (PARTITION BY va
+                                     ORDER BY cos_ab DESC, vb ASC) AS rn
+        FROM pairs WHERE la <> lb) WHERE rn = 1
+)
+SELECT s.vec_id, s.label, s.cell_id,
+       pos.pos_id, pos.pos_sim_ppm, neg.neg_id, neg.neg_sim_ppm
+FROM assigned s
+LEFT JOIN pos ON pos.va = s.vec_id
+LEFT JOIN neg ON neg.va = s.vec_id
+"""
+
+
+@register("embedding_triplet_mining", oracle=_TRIPLET_ORACLE)
+def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for metric-learning / contrastive training: per
+    vector, the most-similar SAME-label partner (hardest positive to keep
+    close) and the most-similar DIFFERENT-label partner (hardest negative
+    to push away), searched within the vector's IVF cell — the SemDeDup
+    locality tradeoff reused for training-pair generation, so candidate
+    pairs scale with sum(cell²), never corpus². Vectors whose cell lacks a
+    same-label (or different-label) partner emit NULLs — the honest "no
+    in-cell candidate" signal a sampler falls back on.
+
+    Determinism: argmax by (cosine DESC, id ASC) — both engines evaluate
+    the identical IEEE expression, and exact cosine ties break on the id;
+    emitted similarities quantize to integer ppm.
+
+    Scale: cell assignment is the closed-form literal-centroid argmax
+    (zero join); the pairwise stage is the cell-key equi self-join; the
+    two argmaxes are rank-1 windows partitioned by vector — one sort per
+    cell's pair list, no global anything. Centroids are k×dim bounded
+    model state."""
+    emb = rebalance(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    )
+    allv = with_norm(emb)
+    centroid_rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") % 31 == 0)
+        .orderBy("vec_id")
+        .limit(32)
+        .collect()
+    )
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in centroid_rows
+    ]
+    cells = ivf_assign(allv, centroids).localCheckpoint(eager=True)
+    a = cells.select(
+        "cell_id",
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = cells.select(
+        "cell_id",
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .where(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "la",
+            "vb",
+            "lb",
+            cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("cos_ab"),
+        )
+        .localCheckpoint(eager=True)  # feeds both argmax windows
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos_ab").desc(), F.col("vb").asc())
+    ppm = F.floor(F.col("cos_ab") * 1_000_000 + F.lit(0.5)).cast("long")
+    pos = (
+        pairs.where(F.col("la") == F.col("lb"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("vb").alias("pos_id"),
+            ppm.alias("pos_sim_ppm"),
+        )
+    )
+    neg = (
+        pairs.where(F.col("la") != F.col("lb"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("vb").alias("neg_id"),
+            ppm.alias("neg_sim_ppm"),
+        )
+    )
+    return (
+        cells.select("vec_id", "label", "cell_id")
+        .join(pos, "vec_id", "left")
+        .join(neg, "vec_id", "left")
+    )
