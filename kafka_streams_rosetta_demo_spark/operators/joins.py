@@ -369,7 +369,20 @@ def bin_bucketed_range_join(
     Cited shape: the range-join bucketing optimization Spark itself lacks
     without a hint (Databricks' range-join `bin` hint; the reference
     engine has no interval joins at all — SURVEY §2.8).
+
+    Inner-only: under ``left_outer`` an UNMATCHED window spanning k bins
+    would emit k null-padded rows (one per exploded bin) — wrong outer
+    semantics. Compose outer-ness instead:
+    ``windows.join(inner_result, win_key, "left_anti")`` gives the
+    unmatched set exactly once per window.
     """
+    if how != "inner":
+        raise ValueError(
+            "bin_bucketed_range_join is inner-only: an unmatched window "
+            "spanning k bins would null-emit k times under an outer join; "
+            "derive the unmatched set with a left_anti join on the inner "
+            "result instead"
+        )
     wb = windows.where(F.col(end_col) > F.col(start_col)).withColumn(
         "__wbin",
         F.explode(
