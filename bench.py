@@ -142,6 +142,7 @@ OPTIONAL = [
     "timeseries_downsample_ohlc",
     "corpus_training_order",
     "embedding_triplet_mining",
+    "streaming_downsample_ohlc",
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",

@@ -794,3 +794,63 @@ def streaming_range_join_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.TemporaryDirectory(prefix="sink_srk_")
     ) as sink_dir:
         return run_append_query_to_df(joined, ckpt, sink_dir)
+
+
+@register(
+    "streaming_downsample_ohlc",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value, date_trunc('microseconds', ts) AS ts, event_id,
+         epoch_us(date_trunc('microseconds', ts)) // 21600000000 AS bucket
+  FROM events)
+SELECT DISTINCT event_type, bucket,
+       first_value(value) OVER w AS open_v,
+       max(value) OVER w AS high_v,
+       min(value) OVER w AS low_v,
+       last_value(value) OVER w AS close_v,
+       CAST(count(*) OVER w AS BIGINT) AS n
+FROM e
+WINDOW w AS (PARTITION BY event_type, bucket ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def streaming_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``timeseries_downsample_ohlc`` (X117): live OHLC
+    bars as an update-mode windowed aggregate. The point under test is that
+    ``min_by``/``max_by`` with a STRUCT ordering key are legal streaming
+    state — each bar's open/close live in the state store as a single
+    (order-key, value) candidate per (series, window), merged
+    associatively per micro-batch, so arrival order cannot flip endpoints
+    (same deterministic (ts, event_id) total order as the batch twin, and
+    the same oracle).
+
+    The 6-hour tumbling ``window()`` is epoch-aligned, so
+    ``unix_micros(window.start) div 21600000000`` reproduces the batch
+    bucket ids exactly. State: one OHLC row per (series, open window),
+    watermark-evicted — the live-metrics dashboard shape. Runs through the
+    executor-side parquet changelog + last-write-per-key compaction (the
+    production sink; nothing through the driver)."""
+    from pyspark.sql import functions as F
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "24 hours")
+    order_key = F.struct("ts", "event_id")
+    agg = ev.groupBy("event_type", F.window("ts", "6 hours").alias("w")).agg(
+        F.min_by("value", order_key).alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", order_key).alias("close_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = agg.select(
+        "event_type",
+        F.expr("unix_micros(w.start) div 21600000000").alias("bucket"),
+        "open_v",
+        "high_v",
+        "low_v",
+        "close_v",
+        "n",
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_sohlc_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_sohlc_")
+    ) as out_dir:
+        return run_update_query_to_df(out, ["event_type", "bucket"], ckpt, out_dir)
