@@ -875,3 +875,104 @@ def test_multibatch_integer_stateful_totals_exact(spark, split_events_dir, tmp_p
     assert state.keys() == expected.keys()
     for k, row in state.items():
         assert (row.n_events, row.total_cents) == expected[k]
+
+
+def test_streaming_keyless_range_join_matches_batch_across_batches(
+    spark, tmp_path
+):
+    """The bin-bucketed keyless stream-stream join must form matches ACROSS
+    micro-batches: a purpose-built 3-file source places error windows in
+    file 1 and their matching events in files 2-3 (plus in-batch matches),
+    so correctness REQUIRES both sides' state to persist between
+    micro-batches. Result must equal the batch operator over the same rows."""
+    import datetime as dt
+    import shutil
+
+    from kafka_streams_rosetta_demo_spark.operators.joins import (
+        bin_bucketed_range_join,
+    )
+
+    B = dt.datetime(2024, 3, 1)
+    sec = dt.timedelta(seconds=1)
+    # (event_id, offset_s, type): errors at 0s and 500s open [t, t+120s);
+    # events at 30s (same batch), 60s/90s (batch 2), 110s/505s (batch 3).
+    rows = {
+        0: [(1, 0, "error"), (2, 30, "click")],
+        1: [(3, 60, "view"), (4, 90, "click")],
+        2: [(5, 110, "view"), (6, 500, "error"), (7, 505, "click")],
+    }
+    src = tmp_path / "keyless_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    for i, chunk in rows.items():
+        part_dir = tmp_path / f"stage{i}"
+        spark.createDataFrame(
+            [(eid, B + off * sec, eid % 3, et, 1.0, "{}") for eid, off, et in chunk],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(part_dir))
+        (part_file,) = part_dir.glob("part-*.parquet")
+        shutil.copy(part_file, src / f"{i}.parquet")
+
+    bin_us = 120_000_000
+    ev = _stream(spark, str(src), max_files_per_trigger=1)
+    w = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("win_id"), F.col("ts").alias("w_ts"))
+        .withWatermark("w_ts", "24 hours")
+        .withColumn(
+            "wbin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros(w_ts) div {bin_us}"),
+                    F.expr(f"(unix_micros(w_ts) + {bin_us} - 1) div {bin_us}"),
+                )
+            ),
+        )
+    )
+    e = (
+        ev.select(F.col("event_id").alias("e_id"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "24 hours")
+        .withColumn("ebin", F.expr(f"unix_micros(e_ts) div {bin_us}"))
+    )
+    joined = w.join(
+        e,
+        (F.col("wbin") == F.col("ebin"))
+        & (F.col("e_ts") >= F.col("w_ts"))
+        & (F.col("e_ts") < F.col("w_ts") + F.expr("INTERVAL 120 SECONDS"))
+        & (F.col("e_id") != F.col("win_id")),
+    ).select("win_id", "e_id")
+
+    got: list = []
+
+    def sink(batch_df, batch_id):
+        got.extend(batch_df.collect())
+
+    (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_krj"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    ev_b = normalize_event_ts(spark.read.parquet(str(src))).select(
+        "event_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    wins = ev_b.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        F.col("t_us").alias("ws"),
+        (F.col("t_us") + bin_us).alias("we"),
+    )
+    probes = ev_b.select(F.col("event_id").alias("e_id"), "t_us")
+    expected = sorted(
+        (r.win_id, r.e_id)
+        for r in bin_bucketed_range_join(wins, probes, "ws", "we", "t_us", bin_us)
+        .where(F.col("e_id") != F.col("win_id"))
+        .select("win_id", "e_id")
+        .collect()
+    )
+    # window 1 catches 2 (in-batch), 3, 4 (batch 2), 5 (batch 3);
+    # window 6 catches 7 (in-batch). Cross-batch matching is structural.
+    assert expected == [(1, 2), (1, 3), (1, 4), (1, 5), (6, 7)]
+    assert sorted((r.win_id, r.e_id) for r in got) == expected
