@@ -143,6 +143,7 @@ OPTIONAL = [
     "corpus_training_order",
     "embedding_triplet_mining",
     "streaming_downsample_ohlc",
+    "scalar_map_ops",
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",

@@ -2797,3 +2797,57 @@ def timeseries_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", order_key).alias("close_v"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar_map_ops — map type + higher-order map functions, JVM-side
+# ---------------------------------------------------------------------------
+
+_MAP_OPS_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+k AS (
+  SELECT user_id, event_type || ':' || CAST(n * 2 AS VARCHAR) AS entry
+  FROM c WHERE n >= 10),
+u AS (SELECT DISTINCT user_id FROM events),
+agg AS (
+  SELECT user_id,
+         CAST(count(entry) AS INT) AS n_kept,
+         coalesce(string_agg(entry, ',' ORDER BY entry), '') AS canonical
+  FROM u LEFT JOIN k USING (user_id) GROUP BY user_id)
+SELECT user_id, n_kept, canonical FROM agg
+"""
+
+
+@register("scalar_map_ops", oracle=_MAP_OPS_ORACLE)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type + higher-order map functions, all JVM-side: per user a
+    ``map<event_type, count>`` built with ``map_from_entries``, thresholded
+    with ``map_filter``, rescaled with ``transform_values``, and rendered
+    engine-portably by sorting ``map_entries`` into a canonical string (map
+    iteration order is NOT portable — never compare raw maps or their
+    ``to_json`` across engines; users whose every entry filters out keep an
+    empty map, not a dropped row). The oracle states the map-free
+    relational formulation.
+
+    Scale: one (user, type) partial-agg shuffle + one user-grain rollup —
+    the map stages are per-row expressions in whole-stage codegen over the
+    already-collapsed grain; entry count per map is bounded by the type
+    vocabulary, not event volume."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    kept = F.transform_values(
+        F.map_filter("m", lambda k, v: v >= 10), lambda k, v: v * 2
+    )
+    entries = F.transform(
+        F.map_entries(kept), lambda e: F.concat_ws(":", e["key"], e["value"])
+    )
+    return m.select(
+        "user_id",
+        F.size(kept).cast("int").alias("n_kept"),
+        F.concat_ws(",", F.array_sort(entries)).alias("canonical"),
+    )
