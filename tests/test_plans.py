@@ -271,3 +271,43 @@ def test_global_rank_avoids_single_partition_sort(plans, spark, sf_smoke):
 
     p = plans["sort_global_rank"]
     assert "SinglePartition" not in p, "global rank regressed to a global sort"
+
+
+# Shuffle-count ceilings for flagship plans (executed at sf0.001, AQE-final).
+# Each value is the CURRENT inherent data movement of the plan — a refactor
+# that adds an exchange to any of these fails here, not on a cluster run.
+# Ceilings are exact-at-pin-time upper bounds; legitimately cheaper plans
+# (fewer shuffles) pass.
+SHUFFLE_BUDGET = {
+    "rosetta_enriched": 1,  # flagship: ONE (key, window) shuffle + broadcast dim
+    "rosetta_calls_window_agg": 1,
+    "agg_pricing_summary": 1,  # TPC-H Q1 twin: map-side partials -> one exchange
+    "tpch_q5_local_supplier": 1,  # six-table snowflake on ONE fact shuffle
+    "tpch_q6_forecast_revenue": 0,  # the minimal scan-aggregate
+    "tpch_q21_waiting_suppliers": 3,  # late set + semi + anti, late set reused
+    "tpch_q2_min_cost_supplier": 5,  # pair-distinct + grouped min + join-back
+    "join_range_keyless": 2,  # bin join + final agg
+    "join_broadcast_dim": 1,
+    "dedup_exact": 1,  # ONE digest shuffle
+    "corpus_training_order": 1,  # shard shuffle; sort is within partitions
+    "timeseries_downsample_ohlc": 1,  # two-phase hash agg, endpoints map-side
+    "cdc_snapshot_diff": 2,  # one per snapshot grain; outer join co-partitioned
+    "profile_column_stats": 1,  # one scan, one aggregation (Expand inside)
+    "embedding_triplet_mining": 3,  # cell join + two rank-1 windows
+    "join_asof": 1,  # union -> one key shuffle -> carry-forward window
+    "scalar_map_ops": 2,  # (user, type) partials + user rollup
+    "funnel_stages": 1,  # all three stages share one user_id partitioning
+    "sort_limit_topk": 0,  # TakeOrderedAndProject, no exchange
+}
+
+
+def test_shuffle_budgets_hold(plans):
+    over = {}
+    for name, budget in SHUFFLE_BUDGET.items():
+        p = plans[name]
+        got = p.count("Exchange hashpartitioning") + p.count(
+            "Exchange rangepartitioning"
+        )
+        if got > budget:
+            over[name] = (got, budget)
+    assert not over, f"shuffle budget exceeded (got, budget): {over}"
