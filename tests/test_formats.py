@@ -334,3 +334,35 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert merged.where(F.col("quality").isNull()).count() == 5
     rows = {r.doc_id: r.quality for r in merged.collect()}
     assert rows[6] == 0.9 and rows[1] is None
+
+
+def test_parquet_merge_schema_absorbs_column_add(spark, tmp_path):
+    """Schema drift across snapshot generations: an old file without a
+    column and a new file with it must read as the UNION schema under
+    mergeSchema, the old rows NULL-filled — the 100 TB landing-zone
+    contract where a column addition must not force a historical rewrite.
+    Default reads (no mergeSchema) pick one footer; never rely on that."""
+    old = str(tmp_path / "gen" / "old.parquet")
+    new = str(tmp_path / "gen" / "new.parquet")
+    spark.range(3).selectExpr("id AS doc_id", "id * 10 AS n_chars").coalesce(
+        1
+    ).write.parquet(old)
+    spark.range(3, 6).selectExpr(
+        "id AS doc_id", "id * 10 AS n_chars", "'en' AS lang"
+    ).coalesce(1).write.parquet(new)
+
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")  # generations live in subdirs
+        .parquet(str(tmp_path / "gen"))
+    )
+    assert sorted(f.name for f in merged.schema.fields) == [
+        "doc_id",
+        "lang",
+        "n_chars",
+    ]
+    rows = {r.doc_id: (r.n_chars, r.lang) for r in merged.collect()}
+    assert rows[0] == (0, None) and rows[5] == (50, "en")
+    # and the drifted column still filters/prunes: predicate on the new
+    # column must not error on old files (NULL never matches)
+    assert merged.where(F.col("lang") == "en").count() == 3
