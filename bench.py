@@ -144,6 +144,7 @@ OPTIONAL = [
     "embedding_triplet_mining",
     "streaming_downsample_ohlc",
     "scalar_map_ops",
+    "pipeline_decision_log",
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",

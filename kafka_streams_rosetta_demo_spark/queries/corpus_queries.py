@@ -1166,3 +1166,71 @@ def corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "shard", F.row_number().over(w).cast("long").alias("pos"), "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_decision_log — per-document curation provenance (audit trail)
+# ---------------------------------------------------------------------------
+
+_DECISION_LOG_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, lang, n_chars, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, lang, n_chars, text
+  FROM documents WHERE doc_id % 10 = 0),
+survivors AS (
+  SELECT doc_id, md5(text) AS h FROM docs
+  WHERE lang <> 'zh' AND n_chars >= 100),
+canon AS (SELECT h, min(doc_id) AS keeper FROM survivors GROUP BY h)
+SELECT d.doc_id, d.source,
+       CASE WHEN d.lang = 'zh' THEN 'dropped:lang_not_supported'
+            WHEN d.n_chars < 100 THEN 'dropped:too_short'
+            WHEN d.doc_id <> c.keeper THEN 'dropped:exact_dup'
+            ELSE 'kept' END AS decision
+FROM docs d LEFT JOIN canon c ON md5(d.text) = c.h
+"""
+
+
+@register("pipeline_decision_log", oracle=_DECISION_LOG_ORACLE)
+def pipeline_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation provenance: every document's fate through the
+    funnel as an auditable (doc_id, first-rejecting-stage) log — the
+    "why was doc X dropped?" artifact `pipeline_curation_summary`'s
+    source-grain yields cannot answer. Stage priority is the pipeline
+    order (language gate → length gate → exact dedup), and the dedup
+    keeper is elected among FILTER SURVIVORS only — a duplicate whose
+    canonical copy was itself filtered out must survive, exactly as a
+    staged pipeline behaves (dedup runs after filtering). The
+    exact-dedup injection (every 10th doc re-keyed) makes the dup stage
+    observable on data with no natural byte-duplicates.
+
+    Scale: one corpus scan; the only shuffle is the md5 keeper groupBy
+    (16-byte keys, skew-free); decisions are a CASE over a left join back
+    on the digest — the log materializes per doc, which IS the product
+    (write it partitioned by decision for the audit query pattern)."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    docs = base.unionByName(
+        base.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "source",
+            "lang",
+            "n_chars",
+            "text",
+        )
+    ).withColumn("h", F.md5("text"))
+    survivors = docs.where((F.col("lang") != "zh") & (F.col("n_chars") >= 100))
+    canon = survivors.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    return (
+        docs.join(canon, "h", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("lang") == "zh", F.lit("dropped:lang_not_supported"))
+            .when(F.col("n_chars") < 100, F.lit("dropped:too_short"))
+            .when(F.col("doc_id") != F.col("keeper"), F.lit("dropped:exact_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("decision"),
+        )
+    )
