@@ -145,6 +145,7 @@ OPTIONAL = [
     "streaming_downsample_ohlc",
     "scalar_map_ops",
     "pipeline_decision_log",
+    "knn_recall_eval",
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",

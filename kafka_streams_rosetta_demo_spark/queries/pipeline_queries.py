@@ -2077,3 +2077,51 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pos, "vec_id", "left")
         .join(neg, "vec_id", "left")
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_recall_eval — ANN index quality as a query (IVF recall@k vs exact)
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH ex AS (SELECT query_id, neighbor_id FROM ({_KNN_ORACLE})),
+ap AS (SELECT query_id, neighbor_id FROM ({_IVF_ORACLE}))
+SELECT ex.query_id,
+       CAST({_KNN_K} AS INT) AS k,
+       CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(ap.neighbor_id) * 1000000 // {_KNN_K} AS BIGINT) AS recall_ppm
+FROM ex LEFT JOIN ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+GROUP BY ex.query_id
+"""
+
+
+@register("knn_recall_eval", oracle=_RECALL_ORACLE)
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality as a first-class query: per query vector, how many
+    of the exact top-k the IVF(nprobe=8) path recovered — recall@k in
+    integer ppm. This is the evaluation step a pipeline runs before
+    trusting an index at 100 TB (and re-runs when centroids retrain or
+    nprobe changes); `tests/test_knn.py` pins a floor on the same number,
+    this query makes it an auditable, oracle-checked artifact.
+
+    Scale: both paths are the already-registered plans (broadcast query
+    set; the corpus scans stay linear); the overlap join touches only
+    |Q|·k rows — evaluation cost is dominated by the exact baseline,
+    which a production run amortizes over a SAMPLED query set exactly
+    like this one."""
+    exact = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        knn_ann_ivf(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(_KNN_K).cast("int").alias("k"),
+            F.count("hit").alias("n_hits"),
+            F.expr(f"count(hit) * 1000000 div {_KNN_K}").alias("recall_ppm"),
+        )
+    )
