@@ -146,6 +146,7 @@ OPTIONAL = [
     "scalar_map_ops",
     "pipeline_decision_log",
     "knn_recall_eval",
+    "agg_hll_intersection",
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",

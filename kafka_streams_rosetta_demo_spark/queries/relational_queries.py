@@ -2851,3 +2851,68 @@ def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("int").alias("n_kept"),
         F.concat_ws(",", F.array_sort(entries)).alias("canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_intersection — sketch ALGEBRA: distinct overlap via incl-exclusion
+# ---------------------------------------------------------------------------
+
+_HLL_INTERSECT_ORACLE = """
+WITH o AS (
+  SELECT c_mktsegment, o_custkey, year(o_orderdate) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) IN (1996, 1997))
+SELECT c_mktsegment,
+       CAST(count(DISTINCT CASE WHEN y = 1996 THEN o_custkey END)
+          + count(DISTINCT CASE WHEN y = 1997 THEN o_custkey END)
+          - count(DISTINCT o_custkey) AS BIGINT) AS exact_both,
+       TRUE AS within_tolerance
+FROM o GROUP BY c_mktsegment
+"""
+
+
+@register("agg_hll_intersection", oracle=_HLL_INTERSECT_ORACLE)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA under the X80 exactness contract: per market segment,
+    how many customers ordered in BOTH 1996 and 1997, estimated from three
+    HLL sketches by inclusion-exclusion (``|A∩B| ≈ est(A) + est(B) −
+    est(A∪B)``) — the composition that answers retention/overlap questions
+    at 100 TB from STORED per-period sketches, no raw-data rescan.
+    Intersection error compounds (three estimates, and the difference of
+    large numbers loses relative precision — the known weakness of
+    HLL intersection), so the tolerance budget is the sum of all three
+    sketches' 3-sigma bounds; the flag makes the check driver-visible and
+    the oracle emits exact + TRUE.
+
+    Scale: one year-pruned orders scan + broadcast customer dim; the three
+    sketches are conditional aggregates sharing ONE groupBy — fixed-size
+    state each, no distinct-expansion shuffle on the sketch path (the
+    exact side is the verification harness, as across X80)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_custkey", F.year("o_orderdate").alias("y"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    in_a = F.when(F.col("y") == 1996, F.col("o_custkey"))
+    in_b = F.when(F.col("y") == 1997, F.col("o_custkey"))
+    agg = o.groupBy("c_mktsegment").agg(
+        F.countDistinct(in_a).alias("xa"),
+        F.countDistinct(in_b).alias("xb"),
+        F.countDistinct("o_custkey").alias("xu"),
+        F.approx_count_distinct(in_a, 0.02).alias("ea"),
+        F.approx_count_distinct(in_b, 0.02).alias("eb"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("eu"),
+    )
+    approx_both = F.col("ea") + F.col("eb") - F.col("eu")
+    exact_both = F.col("xa") + F.col("xb") - F.col("xu")
+    budget = F.ceil((F.col("xa") + F.col("xb") + F.col("xu")) * F.lit(0.06))
+    return agg.select(
+        "c_mktsegment",
+        exact_both.cast("long").alias("exact_both"),
+        (F.abs(approx_both - exact_both) <= budget).alias("within_tolerance"),
+    )
