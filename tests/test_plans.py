@@ -23,6 +23,7 @@ import pytest
 # IdentityBroadcastMode side with the inequality as the join residual.
 BNLJ_ALLOWED = {
     "knn_brute_force",
+    "knn_recall_eval",  # composes knn_brute_force's declared exact baseline
     "tpch_q22_sales_opportunity",
     "tpch_q11_important_parts",  # value·1000 > total residual on a 1-row side
 }
