@@ -224,3 +224,19 @@ def test_bloom_false_positive_rate_bounded(spark, sf_correctness):
     )
     n_fp = bloom_prune(absent, F.col("k"), words).count()
     assert n_fp / 20_000 < 0.01, f"false-positive rate too high: {n_fp}/20000"
+
+
+def test_hll_intersection_tolerance_holds_at_bench_scale(spark):
+    """The inclusion-exclusion intersection's compounded-error budget (sum
+    of the three sketches' 3-sigma bounds) must hold at sf0.1 too — the
+    gate checks sf0.01; intersection error grows with the operand
+    magnitudes, so the larger scale is the stress case."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    rows = (
+        load_all()["agg_hll_intersection"]
+        .fn(spark, "/root/testdata/sf0.1")
+        .collect()
+    )
+    assert rows and all(r["within_tolerance"] for r in rows)
+    assert all(r["exact_both"] >= 0 for r in rows)
