@@ -147,6 +147,8 @@ OPTIONAL = [
     "pipeline_decision_log",
     "knn_recall_eval",
     "agg_hll_intersection",
+    "agg_kll_mergeable_quantiles",
+    "agg_theta_customer_overlap",
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",

@@ -2916,3 +2916,151 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_both.cast("long").alias("exact_both"),
         (F.abs(approx_both - exact_both) <= budget).alias("within_tolerance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_kll_mergeable_quantiles — store-the-sketch QUANTILES (KLL)
+# ---------------------------------------------------------------------------
+
+_KLL_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS p50_within_rank_tol,
+       TRUE AS p90_within_rank_tol
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_kll_mergeable_quantiles", oracle=_KLL_ORACLE)
+def agg_kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches (DataSketches KLL via
+    ``kll_sketch_agg_double``/``kll_merge_agg_double``) — the percentile
+    counterpart of ``agg_hll_mergeable``: per-(flag, ship-month) sketches
+    materialize as binary columns a pipeline can STORE, then merge
+    losslessly to the flag grain and answer any quantile there without
+    rescanning raw data. Contract is rank-based (quantile VALUES are not
+    portable across engines — interpolation differs; ranks are): the
+    merged sketch's p50/p90 estimates are joined back against the data
+    and the observed rank of each estimate must sit within the KLL rank
+    error budget (k=200 → ~1.65% at 99%; budget 3%) of its target. The
+    oracle emits exact counts + TRUE.
+
+    Scale: sketch build is one (flag, month) partial agg; the merge moves
+    ~200-value sketches, never data; the verification join is the harness,
+    not the operator — at 100 TB only the sketch path runs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("m"), "l_quantity"
+    )
+    per_month = li.groupBy("l_returnflag", "m").agg(
+        F.kll_sketch_agg_double(F.col("l_quantity").cast("double")).alias("sk")
+    )
+    merged = per_month.groupBy("l_returnflag").agg(
+        F.kll_merge_agg_double("sk").alias("msk")
+    )
+    ests = merged.select(
+        "l_returnflag",
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("e50"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.9)).alias("e90"),
+    )
+    ranks = (
+        li.join(F.broadcast(ests), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("l_quantity") <= F.col("e50")).cast("long")).alias("le50"),
+            F.sum((F.col("l_quantity") <= F.col("e90")).cast("long")).alias("le90"),
+            # KLL quantile answers the LEFT rank boundary; values strictly
+            # below the estimate bound the other side of ties
+            F.sum((F.col("l_quantity") < F.col("e50")).cast("long")).alias("lt50"),
+            F.sum((F.col("l_quantity") < F.col("e90")).cast("long")).alias("lt90"),
+        )
+    )
+    tol = 0.03
+
+    def within(lt, le, target):
+        # the target rank must fall within [lt - tol·n, le + tol·n]: ties on
+        # the estimate make the observed rank an interval, not a point
+        t = F.col("n_rows") * target
+        return (t >= F.col(lt) - F.col("n_rows") * tol) & (
+            t <= F.col(le) + F.col("n_rows") * tol
+        )
+
+    return ranks.select(
+        "l_returnflag",
+        "n_rows",
+        within("lt50", "le50", 0.5).alias("p50_within_rank_tol"),
+        within("lt90", "le90", 0.9).alias("p90_within_rank_tol"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_theta_customer_overlap — TRUE sketch set algebra (theta)
+# ---------------------------------------------------------------------------
+
+_THETA_ORACLE = """
+WITH o AS (
+  SELECT c_mktsegment, o_custkey, year(o_orderdate) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) IN (1996, 1997))
+SELECT c_mktsegment,
+       CAST(count(DISTINCT CASE WHEN y = 1996 THEN o_custkey END)
+          + count(DISTINCT CASE WHEN y = 1997 THEN o_custkey END)
+          - count(DISTINCT o_custkey) AS BIGINT) AS exact_both,
+       CAST(count(DISTINCT o_custkey)
+          - count(DISTINCT CASE WHEN y = 1997 THEN o_custkey END)
+          AS BIGINT) AS exact_churned,
+       TRUE AS both_within_tolerance,
+       TRUE AS churned_within_tolerance
+FROM o GROUP BY c_mktsegment
+"""
+
+
+@register("agg_theta_customer_overlap", oracle=_THETA_ORACLE)
+def agg_theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE sketch set algebra: theta sketches support ``intersection`` and
+    ``difference`` as first-class operations — the right tool where
+    X123's HLL inclusion-exclusion merely subtracts estimates (theta's
+    intersection operates on the retained sample itself, and is EXACT
+    below the nominal k=4096 entries). Per segment: customers active in
+    both 1996 and 1997 (retention) and active in 1996 but not 1997
+    (churn), from two stored per-year sketches. Same X80 contract: the
+    query checks its own estimates against its own exact counts
+    (tolerance = 3-sigma on the operand magnitudes) and emits flags; the
+    oracle emits exact + TRUE.
+
+    Scale: two conditional sketch aggregates share ONE groupBy with the
+    exact verification counts; stored per-period theta sketches answer
+    ANY later intersection/difference question without rescanning —
+    the set-algebra generalization of the store-the-sketch pattern."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_custkey", F.year("o_orderdate").alias("y"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    in_a = F.when(F.col("y") == 1996, F.col("o_custkey"))
+    in_b = F.when(F.col("y") == 1997, F.col("o_custkey"))
+    agg = o.groupBy("c_mktsegment").agg(
+        F.theta_sketch_agg(in_a).alias("sa"),
+        F.theta_sketch_agg(in_b).alias("sb"),
+        F.countDistinct(in_a).alias("xa"),
+        F.countDistinct(in_b).alias("xb"),
+        F.countDistinct("o_custkey").alias("xu"),
+    )
+    est_both = F.theta_sketch_estimate(F.theta_intersection("sa", "sb"))
+    est_churn = F.theta_sketch_estimate(F.theta_difference("sa", "sb"))
+    exact_both = F.col("xa") + F.col("xb") - F.col("xu")
+    exact_churn = F.col("xu") - F.col("xb")
+    budget = F.ceil((F.col("xa") + F.col("xb")) * F.lit(0.06))
+    return agg.select(
+        "c_mktsegment",
+        exact_both.cast("long").alias("exact_both"),
+        exact_churn.cast("long").alias("exact_churned"),
+        (F.abs(est_both - exact_both) <= budget).alias("both_within_tolerance"),
+        (F.abs(est_churn - exact_churn) <= budget).alias("churned_within_tolerance"),
+    )
