@@ -149,6 +149,7 @@ OPTIONAL = [
     "agg_hll_intersection",
     "agg_kll_mergeable_quantiles",
     "agg_theta_customer_overlap",
+    "streaming_theta_distinct",
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",

@@ -854,3 +854,62 @@ def streaming_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.TemporaryDirectory(prefix="sink_sohlc_")
     ) as out_dir:
         return run_update_query_to_df(out, ["event_type", "bucket"], ckpt, out_dir)
+
+
+@register(
+    "streaming_theta_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tolerance
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count with MERGEABLE sketch state: per event
+    type, a theta sketch of user ids accumulates across micro-batches as
+    update-mode aggregation state — the live "unique users right now"
+    metric whose state is a fixed-size sketch instead of a distinct-set
+    (a streaming ``countDistinct`` is unsupported/unbounded; the sketch
+    is the production answer). The exact count rides alongside in the
+    same aggregate as the verification harness (X80 contract: the query
+    flags its own estimate against its own exact; the oracle emits exact
+    + TRUE; theta is exact below nominal k=4096 entries, so at gate
+    scale the flag is deterministically green).
+
+    Runs checkpointed through the executor-side parquet changelog +
+    last-write-per-key compaction, like every update-mode gate query."""
+    from pyspark.sql import functions as F
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "24 hours")
+    agg = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+    )
+    # exact side: latest-per-key state cannot carry countDistinct in
+    # streaming; the exact count comes from the BATCH read of the same
+    # source (the verification harness, exactly as X80's batch queries
+    # keep exact separate from the operator path)
+    out = agg.select(
+        "event_type",
+        F.theta_sketch_estimate("sk").alias("est_users"),
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_std_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_std_")
+    ) as out_dir:
+        snap = run_update_query_to_df(out, ["event_type"], ckpt, out_dir)
+    from ..sources.parquet import load_table, normalize_event_ts
+
+    exact = (
+        normalize_event_ts(load_table(spark, sf_dir, "events"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return snap.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= F.ceil(F.col("exact_users") * F.lit(0.06))
+        ).alias("within_tolerance"),
+    )
