@@ -34,10 +34,39 @@ def estimated_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+# Spark's JavaUtils.byteStringAsBytes suffixes (case-insensitive); a bare
+# number is bytes, and a non-positive value means "broadcast disabled".
+_BYTE_SUFFIX = {
+    "": 1,
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+    "p": 1024**5,
+    "pb": 1024**5,
+}
+
+
 def _broadcast_threshold_bytes(df: DataFrame) -> int:
-    raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    digits = "".join(ch for ch in str(raw) if ch.isdigit())
-    return int(digits) if digits else 10 * 1024 * 1024
+    """The session's ``autoBroadcastJoinThreshold`` in bytes, parsed with
+    Spark's own byte-string rules (sign kept, ``10m`` = 10 MiB). Returns a
+    NON-POSITIVE value when the user disabled broadcasting (``-1``/``0``) —
+    callers must treat ``<= 0`` as "never broadcast", which the plain
+    ``est <= threshold`` comparison does for any real size estimate ≥ 1."""
+    import re
+
+    raw = str(
+        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    m = re.fullmatch(r"([+-]?\d+)\s*([a-z]*)", raw)
+    if not m or m.group(2) not in _BYTE_SUFFIX:
+        return 10 * 1024 * 1024
+    return int(m.group(1)) * _BYTE_SUFFIX[m.group(2)]
 
 
 def stream_table_left_join(
@@ -59,7 +88,8 @@ def stream_table_left_join(
     """
     if broadcast_dim is None:
         est = estimated_size_bytes(table)
-        broadcast_dim = est is not None and est <= _broadcast_threshold_bytes(table)
+        thr = _broadcast_threshold_bytes(table)
+        broadcast_dim = thr > 0 and est is not None and est <= thr
     dim = F.broadcast(table) if broadcast_dim else table
     return stream.join(dim, on=stream[stream_key] == table[table_key], how="left")
 
@@ -254,7 +284,8 @@ def choose_join_strategy(
     Returns ``(strategy, profile_used)`` so callers can log the decision.
     """
     est = estimated_size_bytes(right)
-    if est is not None and est <= _broadcast_threshold_bytes(right):
+    thr = _broadcast_threshold_bytes(right)
+    if thr > 0 and est is not None and est <= thr:
         return "broadcast", None
     if profile is None:
         profile = key_skew_profile(left, [key])
@@ -382,6 +413,23 @@ def bin_bucketed_range_join(
             "spanning k bins would null-emit k times under an outer join; "
             "derive the unmatched set with a left_anti join on the inner "
             "result instead"
+        )
+    # The helper bin columns are internal; an input that already carries one
+    # would be silently overwritten by withColumn and then dropped — corrupt
+    # both the join and the caller's data. Same for the documented
+    # column-disjointness contract: the join keeps both sides' columns, so a
+    # shared name would make every downstream reference ambiguous.
+    taken = {"__wbin", "__pbin"} & (set(windows.columns) | set(probes.columns))
+    if taken:
+        raise ValueError(
+            f"bin_bucketed_range_join reserves column names {sorted(taken)}; "
+            "rename them on the inputs first"
+        )
+    shared = set(windows.columns) & set(probes.columns)
+    if shared:
+        raise ValueError(
+            "bin_bucketed_range_join requires column-disjoint inputs (the "
+            f"join keeps both sides' columns); shared: {sorted(shared)}"
         )
     wb = windows.where(F.col(end_col) > F.col(start_col)).withColumn(
         "__wbin",

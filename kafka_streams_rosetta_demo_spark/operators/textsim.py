@@ -245,6 +245,25 @@ def prefix_filter_pairs_cross(
     artifact as the Jaccard-pairs and cluster-collapse queries.
     """
     if ordered is not None:
+        # The reuse path's exact-recall guarantee holds only if the artifact
+        # COVERS probe ∪ corpus: an id missing from `ordered` would be
+        # silently dropped by the semi-joins below and its pairs lost with no
+        # signal. Enforce the docstring contract with one cheap anti-join
+        # over the id columns (ids only — prefix rows never materialize).
+        missing = (
+            probe.select(id_col)
+            .unionByName(corpus.select(id_col))
+            .distinct()
+            .join(ordered.select(id_col), id_col, "left_anti")
+            .take(1)
+        )
+        if missing:
+            raise ValueError(
+                "prefix_filter_pairs_cross: the `ordered` artifact does not "
+                f"cover probe ∪ corpus (e.g. {id_col}="
+                f"{missing[0][id_col]!r} is absent) — recall would silently "
+                "drop; rebuild the artifact over the union first"
+            )
         prefix = prefix_tokens(ordered, threshold, id_col)
         a = prefix.join(
             probe.select(id_col).distinct(), id_col, "left_semi"

@@ -156,7 +156,9 @@ def _canonical(schema_json: str) -> str:
         return schema_json
 
 
-def resolve_spec_schema_id(spec, client: SchemaRegistryClient | None):
+def resolve_spec_schema_id(
+    spec, client: SchemaRegistryClient | None, strict: bool = False
+):
     """Producer-side startup step, reference shape: register the topic's
     value schema under ``<topic>-value`` and return a spec whose wire
     header carries the REGISTRY-ASSIGNED id (what ``SpecificAvroSerde``
@@ -169,6 +171,12 @@ def resolve_spec_schema_id(spec, client: SchemaRegistryClient | None):
     never needed it. A genuine registry ERROR (it answered; it refused)
     still raises — that's a schema-compatibility problem, not an
     availability one.
+
+    ``strict=True`` disables the fallback: when the caller KNOWS a registry
+    was configured (e.g. the live smoke with ``SCHEMA_REGISTRY_URL`` set),
+    an unreachable registry must surface as a failure — records framed with
+    static ids the registry never assigned would resolve to the wrong (or
+    no) schema for every downstream Confluent consumer.
     """
     if client is None:
         return spec
@@ -177,6 +185,8 @@ def resolve_spec_schema_id(spec, client: SchemaRegistryClient | None):
     try:
         sid = client.register(topic_value_subject(spec.topic), spec._schema_json())
     except SchemaRegistryUnavailable:
+        if strict:
+            raise
         return spec
     return replace(spec, schema_id=sid)
 

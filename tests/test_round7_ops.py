@@ -1,0 +1,216 @@
+"""Round-7 hardening pins: the four ADVICE.md advisory fixes plus the
+knn_recall_eval broadcast-cap and stored-profile skew-route guarantees
+(VERDICT.md round-6 tasks 6/7).
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _conf(spark, key, value):
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+# ---------------------------------------------------------------------------
+# broadcast-threshold parsing (ADVICE r6 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_broadcast_threshold_parses_sign_and_units(spark):
+    from kafka_streams_rosetta_demo_spark.operators.joins import (
+        _broadcast_threshold_bytes,
+    )
+
+    df = spark.range(1)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    for raw, want in [
+        ("10485760", 10 * 1024 * 1024),
+        ("-1", -1),  # the old digit-strip parsed this as 1 byte
+        ("0", 0),
+        ("10m", 10 * 1024 * 1024),  # the old digit-strip parsed this as 10 B
+        ("10MB", 10 * 1024 * 1024),
+        ("1g", 1024**3),
+        ("512k", 512 * 1024),
+        ("64b", 64),
+    ]:
+        with _conf(spark, key, raw):
+            assert _broadcast_threshold_bytes(df) == want, raw
+    # (an unparseable value never reaches the parser: Spark validates the
+    # conf at set-time; the in-function 10 MiB default is pure defense)
+
+
+def test_disabled_broadcast_is_honored_even_for_empty_dim(spark):
+    """`-1` means the user disabled broadcasting; a stat-less/empty dimension
+    (sizeInBytes ~ 1) must NOT get a forced broadcast hint."""
+    from kafka_streams_rosetta_demo_spark.operators.joins import (
+        choose_join_strategy,
+        stream_table_left_join,
+    )
+
+    left = spark.range(100).select(
+        F.col("id").cast("string").alias("k"), F.col("id").alias("v")
+    )
+    empty_dim = spark.range(0).select(
+        F.col("id").cast("string").alias("dk"), F.col("id").alias("dv")
+    )
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        plan = stream_table_left_join(
+            left, empty_dim, "k", "dk"
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in plan.lower()
+        strat, _ = choose_join_strategy(left, empty_dim, "k")
+        assert strat != "broadcast"
+
+
+# ---------------------------------------------------------------------------
+# bin_bucketed_range_join input contracts (ADVICE r6 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_rejects_reserved_and_shared_columns(spark):
+    from kafka_streams_rosetta_demo_spark.operators.joins import (
+        bin_bucketed_range_join,
+    )
+
+    windows = spark.createDataFrame(
+        [(0, 100, "w1")], "w_start long, w_end long, w_name string"
+    )
+    probes = spark.createDataFrame([(50, "p1")], "p_t long, p_name string")
+
+    with pytest.raises(ValueError, match="reserves column names"):
+        bin_bucketed_range_join(
+            windows.withColumn("__wbin", F.lit(1)),
+            probes,
+            "w_start",
+            "w_end",
+            "p_t",
+            100,
+        )
+    with pytest.raises(ValueError, match="reserves column names"):
+        bin_bucketed_range_join(
+            windows,
+            probes.withColumn("__pbin", F.lit(1)),
+            "w_start",
+            "w_end",
+            "p_t",
+            100,
+        )
+    with pytest.raises(ValueError, match="column-disjoint"):
+        bin_bucketed_range_join(
+            windows.withColumnRenamed("w_name", "p_name"),
+            probes,
+            "w_start",
+            "w_end",
+            "p_t",
+            100,
+        )
+    # the clean shape still joins
+    out = bin_bucketed_range_join(windows, probes, "w_start", "w_end", "p_t", 100)
+    assert [(r.w_name, r.p_name) for r in out.collect()] == [("w1", "p1")]
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_pairs_cross artifact-coverage guard (ADVICE r6 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_prefix_filter_rejects_uncovering_artifact(spark):
+    from kafka_streams_rosetta_demo_spark.operators.textsim import (
+        df_ordered_shingles,
+        prefix_filter_pairs_cross,
+        with_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = with_shingles(docs)
+    probe = sh.where(F.col("doc_id") == 1)
+    corpus = sh.where(F.col("doc_id") != 1)
+
+    covering = df_ordered_shingles(sh, "doc_id")
+    got = prefix_filter_pairs_cross(probe, corpus, 0.5, ordered=covering)
+    assert (1, 2) in {(r.id_a, r.id_b) for r in got.collect()}
+
+    # an artifact missing doc 2 would silently lose the (1, 2) pair — raise
+    partial = df_ordered_shingles(sh.where(F.col("doc_id") != 2), "doc_id")
+    with pytest.raises(ValueError, match="does not cover"):
+        prefix_filter_pairs_cross(probe, corpus, 0.5, ordered=partial).collect()
+
+
+# ---------------------------------------------------------------------------
+# strict schema-registry resolution (ADVICE r6 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_spec_schema_id_strict_raises_when_unreachable():
+    import pyspark.sql.types as T
+
+    from kafka_streams_rosetta_demo_spark.streaming.kafka_io import KafkaTopicSpec
+    from kafka_streams_rosetta_demo_spark.streaming.schema_registry import (
+        SchemaRegistryClient,
+        SchemaRegistryUnavailable,
+        resolve_spec_schema_id,
+    )
+
+    spec = KafkaTopicSpec(
+        topic="T",
+        value_schema=T.StructType([T.StructField("x", T.LongType())]),
+        bootstrap_servers="unused:9092",
+        wire_format="confluent",
+        schema_id=21,
+        avro_record_name="R",
+    )
+    # nothing listens on this port: non-strict falls back to the static id,
+    # strict (an explicitly-configured registry) surfaces the outage
+    dead = SchemaRegistryClient("http://127.0.0.1:9", timeout=0.2)
+    assert resolve_spec_schema_id(spec, dead).schema_id == 21
+    with pytest.raises(SchemaRegistryUnavailable):
+        resolve_spec_schema_id(spec, dead, strict=True)
+
+
+def test_registry_only_smoke_leg_against_stub(spark):
+    """tools/kafka_smoke.py's registry-only leg (SCHEMA_REGISTRY_URL set, no
+    broker): register -> frame with the assigned id -> resolve-by-wire-id ->
+    latest-version, PASS (exit 0) against the stub registry; exit 2 against a
+    dead one. The exact loop a real Confluent registry would see."""
+    from tests.test_schema_registry import _StubRegistry, _make_handler
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from tools.kafka_smoke import registry_smoke
+
+    reg = _StubRegistry()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(reg))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        assert registry_smoke(url) == 0
+        # the smoke registered the customer value schema and fetched it back
+        assert any(m == "POST" for m, _ in reg.requests)
+        assert any(p.startswith("/schemas/ids/") for _, p in reg.requests)
+    finally:
+        server.shutdown()
+        server.server_close()

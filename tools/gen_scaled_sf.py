@@ -144,6 +144,15 @@ def main() -> None:
                         " ",
                     ),
                 )
+                # The word-suffix rewrite lengthens the text; keep the
+                # n_chars == length(text) column invariant on mutated
+                # replicas so queries gating on n_chars while scanning text
+                # measure a consistent distribution in the sweep.
+                if "n_chars" in rep.columns:
+                    rep = rep.withColumn(
+                        "n_chars",
+                        F.length("text").cast(dict(base.dtypes)["n_chars"]),
+                    )
             if i > 0 and table == "embeddings":
                 bit = i - 1
                 rep = rep.withColumn(

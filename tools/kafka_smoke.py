@@ -14,6 +14,16 @@ Usage::
     KAFKA_BOOTSTRAP=host:9092 [SCHEMA_REGISTRY_URL=http://host:8081] \
         [SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001] python tools/kafka_smoke.py
 
+With only ``SCHEMA_REGISTRY_URL`` set (no broker) the script runs the
+registry-only leg: register the three reference value schemas
+(``CallsAggregationApp.java:31,101`` configures every serde with
+``schema.registry.url``), frame one record with the ASSIGNED id, and resolve
+it back through :func:`schema_for_wire_value` — the consumer hot path.
+With neither env var the script is a no-op (exit 0). On either live leg an
+unreachable registry is a FAILURE (exit 2), never a silent fallback to the
+static offline ids: real records carrying ids the registry never assigned
+would resolve to the wrong schema for every downstream Confluent consumer.
+
 Requirements when KAFKA_BOOTSTRAP is set (absent in this sandbox — the
 script reports which requirement is missing and exits 2):
 
@@ -46,13 +56,100 @@ import sys
 import tempfile
 import uuid
 
+# `python tools/kafka_smoke.py` puts tools/ (not the repo root) on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def registry_smoke(registry_url: str) -> int:
+    """Registry-only leg: the full producer-register → wire-frame →
+    consumer-resolve loop against a real Confluent Schema Registry, no broker
+    needed. Exercises the same client calls the broker path uses."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.session import get_spark
+    from kafka_streams_rosetta_demo_spark.sources.parquet import rosetta_customers
+    from kafka_streams_rosetta_demo_spark.streaming.kafka_io import KafkaTopicSpec
+    from kafka_streams_rosetta_demo_spark.streaming.schema_registry import (
+        SchemaRegistryClient,
+        SchemaRegistryUnavailable,
+        resolve_spec_schema_id,
+        schema_for_wire_value,
+        topic_value_subject,
+    )
+
+    spark = get_spark(app_name="registry-smoke")
+    load_all()
+    client = SchemaRegistryClient(registry_url)
+    run = uuid.uuid4().hex[:8]
+
+    customers = rosetta_customers(spark, SF_DIR)
+    spec = KafkaTopicSpec(
+        topic=f"CLIENTES_PORTA_SCR_T_{run}",
+        value_schema=_value_schema(customers, "TELEFONO"),
+        bootstrap_servers="unused:9092",
+        wire_format="confluent",
+        schema_id=21,
+        avro_record_name="CustomerAggregate",
+    )
+    try:
+        resolved = resolve_spec_schema_id(spec, client, strict=True)
+    except SchemaRegistryUnavailable as e:
+        print(f"kafka_smoke: registry unreachable: {e}", file=sys.stderr)
+        return 2
+    print(
+        f"kafka_smoke: registered {topic_value_subject(spec.topic)} -> "
+        f"id {resolved.schema_id}"
+    )
+
+    # Frame one record locally with the ASSIGNED id and resolve it back —
+    # the consumer hot path (header → id → schema fetch). A FRESH client
+    # plays the consumer: a real consumer is a different process and never
+    # shares the producer's id cache, so this forces the actual GET.
+    row = resolved.serialize(customers.limit(1), "TELEFONO").collect()[0]
+    consumer = SchemaRegistryClient(registry_url)
+    fetched = schema_for_wire_value(bytes(row["value"]), consumer)
+    want = resolved._schema_json()
+    import json as _json
+
+    if _json.loads(fetched) != _json.loads(want):
+        print(
+            "kafka_smoke: MISMATCH — schema fetched by wire id differs from "
+            "the registered writer schema",
+            file=sys.stderr,
+        )
+        return 1
+    latest = client.latest_version(topic_value_subject(spec.topic))
+    if int(latest["id"]) != resolved.schema_id:
+        print(
+            f"kafka_smoke: MISMATCH — latest version id {latest['id']} != "
+            f"assigned id {resolved.schema_id}",
+            file=sys.stderr,
+        )
+        return 1
+    print(
+        "kafka_smoke: PASS (registry-only) — register / frame / "
+        "resolve-by-wire-id / latest-version all consistent"
+    )
+    return 0
+
+
+def _value_schema(df, key_col):
+    import pyspark.sql.types as T
+
+    return T.StructType([f for f in df.schema.fields if f.name != key_col])
 
 
 def main() -> int:
     bootstrap = os.environ.get("KAFKA_BOOTSTRAP")
+    registry_url = os.environ.get("SCHEMA_REGISTRY_URL")
+    if not bootstrap and registry_url:
+        return registry_smoke(registry_url)
     if not bootstrap:
-        print("kafka_smoke: KAFKA_BOOTSTRAP not set — no broker to test, no-op.")
+        print(
+            "kafka_smoke: neither KAFKA_BOOTSTRAP nor SCHEMA_REGISTRY_URL set "
+            "— nothing to test, no-op."
+        )
         return 0
 
     from pyspark.sql import functions as F
@@ -112,14 +209,9 @@ def main() -> int:
         "avg_duracion_origen",
     )
 
-    def value_schema(df, key_col):
-        import pyspark.sql.types as T
-
-        return T.StructType([f for f in df.schema.fields if f.name != key_col])
-
     spec_cust = KafkaTopicSpec(
         topic=t_customers,
-        value_schema=value_schema(customers, "TELEFONO"),
+        value_schema=_value_schema(customers, "TELEFONO"),
         bootstrap_servers=bootstrap,
         wire_format="confluent",
         schema_id=21,
@@ -127,23 +219,31 @@ def main() -> int:
     )
     spec_calls = KafkaTopicSpec(
         topic=t_calls,
-        value_schema=value_schema(agg_wire, "id_telef_origen"),
+        value_schema=_value_schema(agg_wire, "id_telef_origen"),
         bootstrap_servers=bootstrap,
         wire_format="confluent",
         schema_id=22,
         avro_record_name="CallAggregate",
     )
 
-    registry_url = os.environ.get("SCHEMA_REGISTRY_URL")
     if registry_url:
         from kafka_streams_rosetta_demo_spark.streaming.schema_registry import (
             SchemaRegistryClient,
+            SchemaRegistryUnavailable,
             resolve_spec_schema_id,
+            schema_for_wire_value,
         )
 
         client = SchemaRegistryClient(registry_url)
-        spec_cust = resolve_spec_schema_id(spec_cust, client)
-        spec_calls = resolve_spec_schema_id(spec_calls, client)
+        # strict: SCHEMA_REGISTRY_URL was explicitly set, so an unreachable
+        # registry is a smoke FAILURE — falling back to the static offline
+        # ids would put never-assigned ids on real broker records.
+        try:
+            spec_cust = resolve_spec_schema_id(spec_cust, client, strict=True)
+            spec_calls = resolve_spec_schema_id(spec_calls, client, strict=True)
+        except SchemaRegistryUnavailable as e:
+            print(f"kafka_smoke: registry unreachable: {e}", file=sys.stderr)
+            return 2
         print(
             "kafka_smoke: registry-assigned schema ids:"
             f" customers={spec_cust.schema_id} calls={spec_calls.schema_id}"
@@ -193,14 +293,18 @@ def main() -> int:
     enriched = enrich_calls_with_customers(call_stream, customers)
     spec_out = KafkaTopicSpec(
         topic=t_enriched,
-        value_schema=value_schema(enriched, "id_telef_origen"),
+        value_schema=_value_schema(enriched, "id_telef_origen"),
         bootstrap_servers=bootstrap,
         wire_format="confluent",
         schema_id=23,
         avro_record_name="CallAggregateCust",
     )
     if registry_url:
-        spec_out = resolve_spec_schema_id(spec_out, client)
+        try:
+            spec_out = resolve_spec_schema_id(spec_out, client, strict=True)
+        except SchemaRegistryUnavailable as e:
+            print(f"kafka_smoke: registry unreachable: {e}", file=sys.stderr)
+            return 2
     with tempfile.TemporaryDirectory(prefix="ckpt_smoke_") as ckpt:
         (
             spec_out.write_stream(enriched, "id_telef_origen", ckpt)
@@ -218,6 +322,24 @@ def main() -> int:
         .option("startingOffsets", "earliest")
         .load()
     )
+    if registry_url:
+        # Consumer-side resolution (reference shape: the deserializer reads
+        # the wire id and fetches the writer schema): one on-wire value from
+        # the enriched topic must resolve, via the registry, to exactly the
+        # schema the producer registered.
+        import json as _json
+
+        sample = raw.select("value").limit(1).collect()
+        if sample:
+            fetched = schema_for_wire_value(bytes(sample[0]["value"]), client)
+            if _json.loads(fetched) != _json.loads(spec_out._schema_json()):
+                print(
+                    "kafka_smoke: MISMATCH — wire id on the enriched topic "
+                    "resolves to a schema different from the registered one",
+                    file=sys.stderr,
+                )
+                return 1
+            print("kafka_smoke: wire-id → registry schema resolution verified")
     got = spec_out.parse(raw).drop("kafka_ts").withColumnRenamed(
         "key", "id_telef_origen"
     )
