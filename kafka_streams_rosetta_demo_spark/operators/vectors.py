@@ -33,6 +33,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# BNLJ legality bound for the exact-kNN plan: broadcasting the query set
+# into a nested-loop join against the corpus scan is the RIGHT plan only
+# while |Q| stays bounded model state (like the centroid matrices). Past the
+# cap the plan is quadratic work and a broadcast OOM — callers must switch
+# to the IVF path (equi-join on cell id) or chunk the query set. Same guard
+# pattern as the 63-source bitmask bound (textsim.source_similarity_matrix).
+BROADCAST_QUERY_CAP = 4096
+
+
+def capped_query_set(q: DataFrame, cap: int = BROADCAST_QUERY_CAP) -> DataFrame:
+    """Enforce the broadcast-kNN legality cap: raise when the query set
+    exceeds ``cap`` rows instead of silently planning an all-pairs scan.
+    The probe is ``limit(cap+1).count()`` — it never scans past cap+1 rows,
+    so the check stays O(cap) even when someone passes the whole corpus."""
+    n = q.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"query set exceeds the broadcast-kNN cap ({n-1}+ > {cap} rows): "
+            "a BroadcastNestedLoopJoin over this set is quadratic work and a "
+            "broadcast OOM at scale — use the IVF path or chunk the queries"
+        )
+    return q
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential double-precision dot product of two float-array columns."""
     return F.aggregate(

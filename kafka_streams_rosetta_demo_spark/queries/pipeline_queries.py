@@ -28,6 +28,7 @@ from ..operators.multimodal import (
 )
 from ..operators.textsim import md5_long, with_shingles
 from ..operators.vectors import (
+    capped_query_set,
     cosine,
     ivf_assign,
     ivf_probe_cells,
@@ -87,10 +88,14 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     # load lets the predicate push into the parquet scan (PushedFilters) —
     # at 100 TB that's row-group pruning vs. a second full pass. The norm
     # fold computes on just the query rows; values are identical.
+    # capped_query_set: the broadcast-BNLJ below is legal only while |Q|
+    # stays bounded — raise past the cap rather than plan all-pairs.
     q = with_norm(
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .where(F.col("vec_id") < _KNN_QUERIES)
+        capped_query_set(
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .where(F.col("vec_id") < _KNN_QUERIES)
+        )
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -212,7 +217,11 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in centroid_rows]
 
     cells = ivf_assign(normed, centroids)
-    q = with_norm(base.where(F.col("vec_id") < _KNN_QUERIES)).select(
+    # Same |Q| bound as knn_brute_force: the probe table broadcast below is
+    # |Q| x nprobe rows — bounded only while the query set is.
+    q = with_norm(
+        capped_query_set(base.where(F.col("vec_id") < _KNN_QUERIES))
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),

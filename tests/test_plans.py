@@ -17,7 +17,10 @@ import pytest
 
 # knn_brute_force deliberately broadcasts the 8-vector query set against the
 # corpus scan — a BroadcastNestedLoopJoin over |Q| x N with a constant-size
-# broadcast side IS the exact-kNN plan (see its docstring). tpch_q22's
+# broadcast side IS the exact-kNN plan (see its docstring). That legality is
+# ENFORCED, not assumed: operators/vectors.capped_query_set raises past
+# BROADCAST_QUERY_CAP (4096) rows, so the declaration here covers only the
+# bounded-|Q| shape (guard pinned in test_round7_ops.py). tpch_q22's
 # scalar above-average gate joins a ONE-row aggregate on a constant key;
 # Catalyst constant-folds the key away and plans the same shape — a 1-row
 # IdentityBroadcastMode side with the inequality as the join residual.

@@ -214,3 +214,34 @@ def test_registry_only_smoke_leg_against_stub(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+# ---------------------------------------------------------------------------
+# broadcast-kNN query-set cap (VERDICT r6 task 6)
+# ---------------------------------------------------------------------------
+
+
+def test_broadcast_knn_query_cap(spark, sf_smoke):
+    """The exact-kNN BNLJ is declared legal in tests/test_plans.py only for
+    a bounded query set; capped_query_set is the enforcement: pass-through
+    under the cap, ValueError past it (never a silent all-pairs plan)."""
+    from kafka_streams_rosetta_demo_spark.operators.vectors import (
+        BROADCAST_QUERY_CAP,
+        capped_query_set,
+    )
+    from kafka_streams_rosetta_demo_spark.queries.pipeline_queries import (
+        knn_brute_force,
+    )
+
+    small = spark.range(10)
+    assert capped_query_set(small) is small
+
+    big = spark.range(BROADCAST_QUERY_CAP + 1)
+    with pytest.raises(ValueError, match="broadcast-kNN cap"):
+        capped_query_set(big)
+    # a tighter explicit cap also enforces
+    with pytest.raises(ValueError, match="broadcast-kNN cap"):
+        capped_query_set(spark.range(5), cap=4)
+
+    # the registered query (|Q| = 8) still runs through the guard
+    assert knn_brute_force(spark, sf_smoke).count() > 0

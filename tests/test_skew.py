@@ -256,3 +256,61 @@ def test_skew_adaptive_join_matches_plain_join(spark):
                 )
                 want = sorted(map(tuple, left.join(right, "k", how).collect()))
                 assert got == want, how
+
+
+def test_stored_profile_routes_salted_without_probe_scan(spark):
+    """The table-stats amortization path (VERDICT r6 task 7): at 100 TB the
+    skew profile is computed once per ingest and FED BACK, so routing must
+    not re-scan the probe side. Pin both halves: (a) choose_join_strategy
+    with a stored profile routes `salted` even when evaluating the probe
+    side would RAISE (a poison UDF no job may execute); (b) on the real
+    skewed fixture, skew_adaptive_join(profile=stored) takes the salted
+    plan (the `_salt` key appears in its analyzed plan) and stays
+    row-identical to the plain join."""
+    from pyspark.sql.types import LongType
+
+    from kafka_streams_rosetta_demo_spark.operators.joins import (
+        KeySkewProfile,
+        choose_join_strategy,
+        skew_adaptive_join,
+    )
+
+    big = spark.range(300_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 50_000).cast("string")).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad1"),
+        F.sha2((F.col("id") + 1).cast("string"), 256).alias("pad2"),
+    )
+    stored = KeySkewProfile(
+        n_rows=10**9, n_keys=10**6, hhi=10**14, top1_share_ppm=900_000
+    )
+
+    def _poison(_):
+        raise AssertionError("probe side was scanned despite a stored profile")
+
+    poison = F.udf(_poison, LongType())
+    poisoned_left = spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        poison(F.col("id")).alias("payload"),
+    )
+    with _confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        # (a) no job may run: any evaluation of poisoned_left raises
+        strat, used = choose_join_strategy(poisoned_left, big, "k", profile=stored)
+        assert strat == "salted" and used is stored
+
+        # (b) real fixture: stored profile -> salted plan, identical rows
+        left = _skewed_left(spark, hot_rows=500)
+        right = spark.range(15).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+            (F.col("id") * 10).alias("dim_val"),
+        ).unionByName(spark.createDataFrame([("HOT", -1)], "k string, dim_val long"))
+        routed = skew_adaptive_join(left, right, "k", profile=stored)
+        assert "_salt" in routed._jdf.queryExecution().analyzed().toString()
+        got = sorted(map(tuple, routed.collect()))
+        want = sorted(map(tuple, left.join(right, "k").collect()))
+        assert got == want
