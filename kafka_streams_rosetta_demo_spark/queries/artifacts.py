@@ -39,13 +39,16 @@ from ..sources.parquet import load_table
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _ORDERED_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS075_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def clear_shingle_artifacts() -> None:
-    """Drop the memoized shingle/prefix/pair artifacts (bench cost policy)."""
+    """Drop the memoized shingle/prefix/pair/signature artifacts (bench cost
+    policy)."""
     _SHINGLE_CACHE.clear()
     _ORDERED_CACHE.clear()
     _PAIRS075_CACHE.clear()
+    _SIG_CACHE.clear()
 
 
 def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,6 +80,29 @@ def ordered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     _ORDERED_CACHE[key] = ordered
     return ordered
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus 64-hash MinHash signature table: (doc_id, sig array<long>),
+    built over the cached shingle frame and pinned like the other artifacts.
+    A signature is a CORPUS property (seeded hash family, no threshold or
+    banding parameter in it), so every LSH banding layout — 16x4 here, any
+    other (bands, rows) factorization of 64 elsewhere — and every
+    signature-level estimator slices this one table. At cluster scale this
+    IS the signature table a pipeline materializes next to the corpus
+    snapshot; per the bench cost policy its build is charged to the family's
+    first member (``dedup_minhash_lsh``) and reruns ride it warm."""
+    from ..operators.textsim import minhash_signature
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SIG_CACHE.get(key)
+    if got is not None:
+        return got
+    sig = minhash_signature(
+        shingled_documents(spark, sf_dir), n_hashes=64
+    ).localCheckpoint(eager=True)
+    _SIG_CACHE[key] = sig
+    return sig
 
 
 def jaccard_pairs_075(spark: SparkSession, sf_dir: str) -> DataFrame:

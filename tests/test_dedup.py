@@ -271,3 +271,41 @@ def test_shared_pair_artifact_forms_agree(spark, sf_correctness):
         .collect()
     }
     assert registered == legacy
+
+
+def test_minhash_signature_artifact_form_equality(spark, sf_correctness):
+    """The memoized 64-hash signature artifact (queries/artifacts.py) must be
+    a pure factorization: identical rows to the standalone
+    ``minhash_signature`` build, a warm second call must return the SAME
+    pinned frame (no rebuild), and ``dedup_minhash_lsh`` must emit identical
+    pairs cold vs warm."""
+    from kafka_streams_rosetta_demo_spark.operators.textsim import (
+        minhash_signature,
+    )
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+        clear_shingle_artifacts,
+        minhash_signatures,
+        shingled_documents,
+    )
+
+    registry = load_all()
+    clear_shingle_artifacts()
+    art = minhash_signatures(spark, sf_correctness)
+    standalone = minhash_signature(
+        shingled_documents(spark, sf_correctness), n_hashes=64
+    )
+    got = {(r.doc_id, tuple(r.minhash)) for r in art.collect()}
+    want = {(r.doc_id, tuple(r.minhash)) for r in standalone.collect()}
+    assert got == want
+
+    # warm call is the same pinned frame — the rebuild genuinely skipped
+    assert minhash_signatures(spark, sf_correctness) is art
+
+    cold = clear_shingle_artifacts() or sorted(
+        map(tuple, registry["dedup_minhash_lsh"].fn(spark, sf_correctness).collect())
+    )
+    warm = sorted(
+        map(tuple, registry["dedup_minhash_lsh"].fn(spark, sf_correctness).collect())
+    )
+    assert cold == warm
