@@ -153,6 +153,8 @@ OPTIONAL = [
     # corpus governance
     "privacy_k_anonymity",
     "corpus_source_similarity",
+    # round 7: the profiler's production (Expand-free HLL) shape, gate-checked
+    "profile_column_stats_approx",
 ]
 
 

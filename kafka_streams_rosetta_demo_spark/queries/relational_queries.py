@@ -2708,9 +2708,11 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: exact multi-column distincts make Catalyst Expand the input
     ×N-columns before the partial aggs — the honest cost of exactness,
     linear not quadratic. At 100 TB the production variant swaps
-    ``approx_count_distinct`` (HLL, one pass, no Expand) — the mergeable
-    sketch that ``agg_hll_mergeable`` already pins; exactness is kept
-    here because the gate hashes values."""
+    ``approx_count_distinct`` (HLL, one pass, no Expand): that shape is
+    itself registered and gate-checked as ``profile_column_stats_approx``
+    (X80 contract), with the Expand-free plan pinned in
+    ``tests/test_round7_ops.py``; exactness is kept here because the gate
+    hashes values."""
     o = _t(spark, sf_dir, "orders")
     row = o.agg(
         F.sum(F.col("o_custkey").isNull().cast("long")).alias("ck_nulls"),
@@ -2745,6 +2747,96 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'o_orderdate', dt_nulls, dt_dist, dt_min, dt_max) "
             "AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
         )
+    )
+
+
+def profile_column_stats_approx_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiler's 100 TB shape: identical to ``profile_column_stats``
+    except distinct counts come from ``approx_count_distinct`` (HLL++,
+    rsd 0.02) — a plain (non-distinct) aggregate, so the plan is ONE
+    two-phase hash aggregate over one scan with NO Expand: the input is
+    read once, not replicated ×N-columns. This is the variant a pipeline
+    actually points 100 TB at; the registered gate query
+    (``profile_column_stats_approx``) composes this exact frame with an
+    exact-distinct harness to verify the sketch's accuracy bound. Not
+    directly oracle-checkable alone (HLL estimates differ across engines),
+    hence unregistered; the scaling sweep times it as the production row.
+    """
+    o = _t(spark, sf_dir, "orders")
+    row = o.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("ck_nulls"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("ck_adist"),
+        F.min("o_custkey").cast("string").alias("ck_min"),
+        F.max("o_custkey").cast("string").alias("ck_max"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("tp_nulls"),
+        F.approx_count_distinct("o_totalprice", 0.02).alias("tp_adist"),
+        F.floor(F.min("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string")
+        .alias("tp_min"),
+        F.floor(F.max("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string")
+        .alias("tp_max"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("st_nulls"),
+        F.approx_count_distinct("o_orderstatus", 0.02).alias("st_adist"),
+        F.min("o_orderstatus").alias("st_min"),
+        F.max("o_orderstatus").alias("st_max"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("dt_nulls"),
+        F.approx_count_distinct("o_orderdate", 0.02).alias("dt_adist"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("dt_min"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("dt_max"),
+    )
+    return row.select(
+        F.expr(
+            "stack(4, "
+            "'o_custkey', ck_nulls, ck_adist, ck_min, ck_max, "
+            "'o_totalprice', tp_nulls, tp_adist, tp_min, tp_max, "
+            "'o_orderstatus', st_nulls, st_adist, st_min, st_max, "
+            "'o_orderdate', dt_nulls, dt_adist, dt_min, dt_max) "
+            "AS (col_name, n_nulls, approx_distinct, min_repr, max_repr)"
+        )
+    )
+
+
+_PROFILE_APPROX_ORACLE = f"""
+SELECT col_name, n_nulls, n_distinct, min_repr, max_repr,
+       TRUE AS within_tolerance
+FROM ({_PROFILE_ORACLE})
+"""
+
+
+@register("profile_column_stats_approx", oracle=_PROFILE_APPROX_ORACLE)
+def profile_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for the production profiler
+    (:func:`profile_column_stats_approx_production`) under the X80
+    exactness contract (the ``agg_approx_count_distinct`` pattern): sketch
+    estimates differ across engines, so the query emits its own EXACT
+    per-column stats plus ``within_tolerance`` = |HLL estimate − exact| ≤
+    3σ (rsd 0.02 → 6%), and the oracle emits exact + TRUE. The approx
+    frame joined here is literally the production function's output — the
+    sketch math that runs at 100 TB is what the gate checks.
+
+    Scale: the production path is one Expand-free pass (HLL per column is
+    a plain aggregate); the exact multi-distinct side here is the
+    verification HARNESS, not the operator — at 100 TB only the approx
+    frame runs, which is why it exists as a separately-timeable function
+    (sweep row in SCALING.md) instead of prose."""
+    o = _t(spark, sf_dir, "orders")
+    approx = profile_column_stats_approx_production(spark, sf_dir).select(
+        "col_name", "approx_distinct"
+    )
+    exact = profile_column_stats(spark, sf_dir)
+    return exact.join(approx, "col_name").select(
+        "col_name",
+        "n_nulls",
+        "n_distinct",
+        "min_repr",
+        "max_repr",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_distinct"))
+            <= F.ceil(F.col("n_distinct") * F.lit(0.06))
+        ).alias("within_tolerance"),
     )
 
 
