@@ -225,6 +225,13 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     the denominator); the share is integer ppm on the cent sums, so the
     division is engine-exact. Part/supplier/customer dims broadcast after
     their filters; the p_type filter prunes lineitem via the partkey join.
+    Join order matters here and CBO reordering is off by default: the
+    selective EUROPE-customer filter applies to ORDERS FIRST (a broadcast
+    semi-reduction to ~1/5 of orders), so the one big join — lineitem
+    against orders — sees the reduced side; ordered the naive way
+    (lineitem ⋈ full orders, filter after) the SMJ shuffles 5× the rows
+    for the identical answer. At bench SF the reduced orders side drops
+    under the broadcast threshold and AQE elides that shuffle entirely.
     The ppm multiply stays under long overflow through ~sf1k cent sums;
     beyond that the two cent columns are still exact and the ratio moves to
     128-bit driver-side arithmetic on the handful of year rows."""
@@ -245,11 +252,13 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     rev = _rev_cents()
+    orders_eu = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
     vol = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders_eu, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             rev.alias("vol_cents"),
