@@ -1234,3 +1234,132 @@ def pipeline_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_temperature_mixture — temperature-scaled source sampling weights
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5 (square-root temperature) and a 100k-doc sampling budget: the
+# standard multilingual/multi-source rebalancing (small sources upsampled
+# toward parity, huge sources downweighted) computed FROM the measured
+# source sizes rather than a hand-written weight table — the complement of
+# sample_mixture_weighted's fixed epoch plan. sqrt is IEEE-correctly-rounded
+# in both engines; quantizing each per-source sqrt to integer milli-units
+# BEFORE summing makes the totals and every ratio order-free integer math.
+_TEMP_BUDGET = 100_000
+
+_TEMP_MIX_ORACLE = f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+s AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS sq
+  FROM c
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sq) AS BIGINT) AS tsq FROM s)
+SELECT s.source,
+       s.n AS n_docs,
+       CAST(s.n * 1000000 // t.tn AS BIGINT) AS natural_ppm,
+       CAST(s.sq * 1000000 // t.tsq AS BIGINT) AS temp_weight_ppm,
+       CAST(s.sq * {_TEMP_BUDGET} // t.tsq AS BIGINT) AS planned_docs
+FROM s, t
+"""
+
+
+@register("sample_temperature_mixture", oracle=_TEMP_MIX_ORACLE)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights: per source, sampling probability
+    proportional to n^alpha (alpha = 0.5) — the rebalancing rule
+    multilingual-corpus pipelines use so dominant sources stop drowning the
+    tail without flat-capping them. Emits the measured share
+    (``natural_ppm``), the temperature weight (``temp_weight_ppm``), and
+    the per-source allocation of a 100k-doc budget.
+
+    Determinism: each source's sqrt(n) quantizes to integer milli-units
+    FIRST; all totals and ratios are then integer sums/floor-divisions —
+    order-free, so engine parity is exact (sqrt itself is correctly
+    rounded IEEE in both engines).
+
+    Scale: one map-side-partial count per source (the only shuffle), then
+    a window over the ~|sources| rows — the output is bounded by the
+    source vocabulary, not the corpus. The weights feed
+    ``sample_mixture_weighted``-style epoch plans downstream."""
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    sq = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long")
+    w = Window.partitionBy()
+    withs = per.withColumn("sq", sq).withColumn(
+        "tn", F.sum("n_docs").over(w)
+    ).withColumn("tsq", F.sum("sq").over(w))
+    return withs.select(
+        "source",
+        "n_docs",
+        F.expr("n_docs * 1000000L DIV tn").alias("natural_ppm"),
+        F.expr("sq * 1000000L DIV tsq").alias("temp_weight_ppm"),
+        F.expr(f"sq * {_TEMP_BUDGET}L DIV tsq").alias("planned_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_prune_curve — retention curve over a quality-score sweep
+# ---------------------------------------------------------------------------
+
+# Candidate cutoffs in integer-ppm type-token ratio. Choosing a quality
+# threshold is a CURVE decision (docs and tokens retained per candidate
+# cutoff), not a point decision — this query materializes that curve in one
+# corpus pass so the cutoff is picked from data, not vibes.
+_PRUNE_THRESHOLDS_PPM = [0, 200_000, 300_000, 400_000, 500_000, 600_000]
+
+_PRUNE_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, n_chars,
+         len(list_distinct(string_split(text, ' '))) * 1000000
+           // len(string_split(text, ' ')) AS ttr_ppm
+  FROM documents
+)
+SELECT t.thr AS threshold_ppm,
+       CAST(count(*) FILTER (q.ttr_ppm >= t.thr) AS BIGINT) AS docs_kept,
+       CAST(COALESCE(sum(n_chars) FILTER (q.ttr_ppm >= t.thr), 0) AS BIGINT)
+         AS chars_kept,
+       CAST(count(*) FILTER (q.ttr_ppm >= t.thr) * 1000000
+            // (SELECT count(*) FROM q) AS BIGINT) AS kept_ppm
+FROM q CROSS JOIN (SELECT unnest({_PRUNE_THRESHOLDS_PPM}) AS thr) t
+GROUP BY t.thr
+"""
+
+
+@register("corpus_quality_prune_curve", oracle=_PRUNE_ORACLE)
+def corpus_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-pruning retention curve: for each candidate type-token-ratio
+    cutoff, how many documents and characters survive — the sweep a
+    pipeline runs ONCE to pick its quality threshold before committing a
+    100 TB filter pass. TTR quantizes to integer ppm per document
+    (distinct-words × 1e6 DIV words), so the per-threshold counts are
+    exact integers in both engines.
+
+    Scale: ONE corpus scan — the per-doc score is a per-row JVM expression
+    (no explode), the threshold sweep is a literal |T|-row fan-out
+    (explode of a constant array, map-side), and the rollup is one
+    |T|-key aggregation with map-side partials. The oracle states the same
+    curve as a CROSS JOIN + FILTER aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    ttr_ppm = F.expr(
+        "size(array_distinct(split(text, ' '))) * 1000000L DIV size(split(text, ' '))"
+    )
+    scored = docs.select("n_chars", ttr_ppm.alias("ttr_ppm"))
+    thr = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in _PRUNE_THRESHOLDS_PPM])
+    ).alias("threshold_ppm")
+    fanned = scored.select("n_chars", "ttr_ppm", thr)
+    kept = (F.col("ttr_ppm") >= F.col("threshold_ppm")).cast("long")
+    curve = fanned.groupBy("threshold_ppm").agg(
+        F.sum(kept).alias("docs_kept"),
+        F.sum(kept * F.col("n_chars")).alias("chars_kept"),
+        F.count(F.lit(1)).alias("_n_total"),
+    )
+    return curve.select(
+        "threshold_ppm",
+        "docs_kept",
+        "chars_kept",
+        F.expr("docs_kept * 1000000L DIV _n_total").alias("kept_ppm"),
+    )

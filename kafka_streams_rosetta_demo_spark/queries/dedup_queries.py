@@ -769,3 +769,69 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(~F.col("_dom"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_recall_eval — banding recall as an oracle-gated query
+# ---------------------------------------------------------------------------
+
+_LSH_RECALL_FLOOR_PPM = 950_000
+
+_LSH_RECALL_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST({_LSH_RECALL_FLOOR_PPM} AS BIGINT) AS recall_floor_ppm,
+       TRUE AS recall_floor_met
+FROM ({_jaccard_pairs_oracle(k=3, threshold=0.8)})
+"""
+
+
+@register("dedup_lsh_recall_eval", oracle=_LSH_RECALL_ORACLE)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH index quality as a first-class query — the text-side twin
+    of ``knn_recall_eval``: how many of the EXACT Jaccard-0.8 pairs (ground
+    truth via the PPJoin prefix path, whose recall is provable) the 16x4
+    banding recovered. Sketch collisions differ across engines, so the
+    contract is the sketch-accuracy one (the ``agg_approx_count_distinct``
+    pattern): the query measures its own recall against its own exact
+    truth and emits the floor flag; the oracle emits the brute-force truth
+    count + TRUE. A pipeline reruns exactly this gate when it re-tunes
+    bands/rows or the shingle width — index-trust before a 100 TB dedup.
+
+    Scale: truth pairs ride the shared ordered-prefix artifact; the LSH
+    side is the already-registered banding plan; both verify stages bound
+    work to candidates. The overlap count is a semi-join of two
+    near-dup-pair sets — tiny by definition."""
+    from .artifacts import (
+        minhash_signatures,
+        ordered_shingles,
+        shingled_documents,
+    )
+    from ..operators.textsim import prefix_filter_pairs
+
+    sh = shingled_documents(spark, sf_dir)
+    truth = jaccard_verify(
+        prefix_filter_pairs(sh, threshold=0.8, ordered=ordered_shingles(spark, sf_dir)),
+        sh,
+        threshold=0.8,
+    ).select("doc_a", "doc_b")
+    bands = lsh_band_keys(minhash_signatures(spark, sf_dir), bands=16, rows=4)
+    found = jaccard_verify(
+        band_candidate_pairs(bands), sh, threshold=0.8
+    ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    # one aggregation over truth-left-join-found: count(*) is the truth
+    # count, count(hit) the recovered subset — no 1-row cross join needed
+    return (
+        truth.join(found, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.count("hit").alias("_n_found"),
+        )
+        .select(
+            "n_true_pairs",
+            F.lit(_LSH_RECALL_FLOOR_PPM).cast("long").alias("recall_floor_ppm"),
+            (
+                F.expr("_n_found * 1000000L DIV greatest(n_true_pairs, 1L)")
+                >= _LSH_RECALL_FLOOR_PPM
+            ).alias("recall_floor_met"),
+        )
+    )

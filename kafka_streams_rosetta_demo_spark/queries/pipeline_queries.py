@@ -2134,3 +2134,97 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"count(hit) * 1000000 div {_KNN_K}").alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit — corpus-vocabulary Zipf slope (power-law sanity check)
+# ---------------------------------------------------------------------------
+
+# Fit window: top-K tokens by (count DESC, token ASC). Zipf's law predicts
+# ln(freq) ~ a - s*ln(rank) with s near 1 for natural text; a corpus whose
+# fitted slope collapses toward 0 (flat = synthetic/boilerplate) or blows
+# past ~2 (degenerate vocabulary) fails the distributional sanity check
+# pipelines run on a new source before ingesting it.
+_ZIPF_K = 200
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM c QUALIFY rank <= {_ZIPF_K}
+),
+m AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000) AS BIGINT) AS y
+  FROM r
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM m
+)
+SELECT k AS n_points,
+       CAST((sx * sy - k * sxy) * 1000000 // (k * sxx - sx * sx) AS BIGINT)
+         AS neg_slope_ppm
+FROM s
+"""
+
+
+@register("text_zipf_fit", oracle=_ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-slope fit over the corpus vocabulary: OLS of ln(count) against
+    ln(rank) for the top-200 tokens, emitted as the POSITIVE slope
+    magnitude in integer ppm (natural text ≈ 1e6). The distribution-shape
+    twin of ``text_quality_scores``' per-doc signals: it reads the corpus
+    as a whole.
+
+    Determinism: rank ties break on the token string; each ln quantizes to
+    integer MILLI-units per point before any sum (the committed-precedent
+    ln quantization, coarser than ``text_lm_logprob``'s micro-units), so
+    every aggregate is an order-free integer sum and the slope is one
+    positive integer floor-division — sign-flip issues between Spark's
+    truncating DIV and DuckDB's flooring // never arise because numerator
+    and denominator are both provably non-negative (slope ≤ 0 by
+    construction: counts are non-increasing in rank).
+
+    Scale: token counting is the one real shuffle (explode + map-side
+    partial count); the top-K is a TakeOrderedAndProject, the fit a
+    single-row aggregate over K points. At 100 TB the explode volume is
+    the corpus token count — the same cost the counting pass a tokenizer
+    audit already pays; everything after is bounded by K."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _ZIPF_K)
+        .select(
+            F.floor(F.log(F.col("rank").cast("double")) * 1000)
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("cnt").cast("double")) * 1000)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = top.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("k").alias("n_points"),
+        F.expr("(sx * sy - k * sxy) * 1000000L DIV (k * sxx - sx * sx)").alias(
+            "neg_slope_ppm"
+        ),
+    )

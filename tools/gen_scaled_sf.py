@@ -18,10 +18,14 @@ measure:
   with the same dup rate does.
 - ``embeddings.embedding`` — verbatim copies are exact cosine duplicates
   (cross-replica near-dup pairs, quadratic in-cell blowup for SemDeDup).
-  Replica i > 0 flips the sign of dimension j where ``(j >> (i-1)) & 1``:
-  norms are preserved (kNN/centroid math stays well-conditioned) while
-  cross-replica cosine collapses toward 0, so vector populations grow 5x
-  without synthetic duplicate structure.
+  Replica i > 0 flips the sign of dimension j where ``popcount(j & i)`` is
+  odd — the Walsh-function sign pattern: norms are preserved (kNN/centroid
+  math stays well-conditioned) while the product of any two distinct
+  replicas' patterns is itself a non-trivial Walsh function, so
+  cross-replica cosine collapses toward 0 for EVERY replica pair up to
+  factor 64 (a single-bit scheme ``(j >> (i-1)) & 1`` goes degenerate past
+  factor 7 on 64-dim vectors: bits >= 6 never flip, making replicas exact
+  duplicates again).
 
 Dimension tables (nation, region) copy once — they are fixed-size in TPC-H
 semantics and every generator SF ships the same 25/5 rows.
@@ -154,13 +158,13 @@ def main() -> None:
                         F.length("text").cast(dict(base.dtypes)["n_chars"]),
                     )
             if i > 0 and table == "embeddings":
-                bit = i - 1
+                mask = i
                 rep = rep.withColumn(
                     "embedding",
                     F.transform(
                         "embedding",
                         lambda x, j: F.when(
-                            F.shiftright(j, bit).bitwiseAND(F.lit(1)) == 1, -x
+                            F.bit_count(j.bitwiseAND(F.lit(mask))) % 2 == 1, -x
                         ).otherwise(x),
                     ),
                 )

@@ -41,6 +41,7 @@ _DEFAULT_SFS = [
     "/root/testdata/sf0.1",
 ]
 _SF05 = os.path.join(_REPO, ".scale_test", "sf0.5")
+_SF10 = os.path.join(_REPO, ".scale_test", "sf1.0")
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # The 10 most expensive queries of the r5 bench (BENCH_r05) — the heavy
@@ -56,6 +57,14 @@ HEAVY = [
     "dedup_semantic_semdedup",
     "multimodal_phash_dedup",
     "join_bloom_prune",
+    # round-7 heavy additions (the BENCH_r06 top of the table)
+    "streaming_range_join_keyless",
+    "profile_column_stats",
+    "profile_column_stats_approx",
+    "knn_recall_eval",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_waiting_suppliers",
+    "agg_hll_intersection",
 ]
 # …plus cross-family representatives (scan-agg, joins, window, dedup,
 # vectors, text ranking, curation) for breadth.
@@ -104,9 +113,14 @@ def main() -> None:
         sfs = list(_DEFAULT_SFS)
         if os.path.isdir(_SF05):
             sfs.append(_SF05)
+        if os.path.isdir(_SF10):
+            sfs.append(_SF10)
 
     registry = load_all()
     basket = [n for n in HEAVY + REPRESENTATIVE if n in registry]
+    env_queries = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    if env_queries:
+        basket = [n for n in env_queries.split(",") if n in registry]
     spark = get_spark(app_name="rosetta-scaling")
     spark.range(1000).selectExpr("sum(id)").collect()
 
