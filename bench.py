@@ -155,6 +155,12 @@ OPTIONAL = [
     "corpus_source_similarity",
     # round 7: the profiler's production (Expand-free HLL) shape, gate-checked
     "profile_column_stats_approx",
+    # round 7: corpus-analysis additions + the LSH index-trust gate (rides
+    # the warm dedup-family artifacts, like dedup_incremental_screen)
+    "sample_temperature_mixture",
+    "corpus_quality_prune_curve",
+    "text_zipf_fit",
+    "dedup_lsh_recall_eval",
 ]
 
 

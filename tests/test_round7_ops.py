@@ -274,3 +274,57 @@ def test_profile_approx_production_plan_is_expand_free(spark, sf_smoke):
 
     rows = profile_column_stats_approx(spark, sf_smoke).collect()
     assert len(rows) == 4 and all(r.within_tolerance for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# gen_scaled_sf invariants (ADVICE r6 #5 + the Walsh sign-flip scheme)
+# ---------------------------------------------------------------------------
+
+
+def test_gen_scaled_sf_invariants(spark, tmp_path):
+    """The scaling-sweep generator must preserve the invariants the sweep
+    queries measure: row counts scale by the factor, key spaces stay
+    disjoint, mutated document replicas keep n_chars == length(text), and
+    NO embedding replica pair is an exact cosine duplicate (the old
+    single-bit flip went degenerate past factor 7 on 64-dim vectors — the
+    Walsh popcount(j & i) pattern holds for every i)."""
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "sf_gen")
+    r = subprocess.run(
+        [
+            _sys.executable,
+            "tools/gen_scaled_sf.py",
+            "--factor",
+            "9",
+            "--src",
+            "/root/testdata/sf0.001",
+            "--out",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    base_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    assert docs.count() == 9 * base_docs.count()
+    assert docs.select("doc_id").distinct().count() == docs.count()
+    # ADVICE r6 #5: the word-suffix rewrite must keep the column invariant
+    assert docs.where(F.col("n_chars") != F.length("text")).count() == 0
+
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
+    base_n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert emb.count() == 9 * base_n
+    # replicas of the same base vector must not be byte-identical: group by
+    # the absolute-value fingerprint (shared across sign flips) and demand
+    # every replica's sign pattern is distinct
+    fp = F.md5(F.to_json(F.transform("embedding", lambda x: F.abs(x))))
+    sig = F.md5(F.to_json(F.transform("embedding", lambda x: (x > 0).cast("int"))))
+    grp = emb.select(fp.alias("fp"), sig.alias("sig")).groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("sig").alias("n_sig")
+    )
+    assert grp.where(F.col("n_sig") != F.col("n")).count() == 0
