@@ -161,6 +161,13 @@ OPTIONAL = [
     "corpus_quality_prune_curve",
     "text_zipf_fit",
     "dedup_lsh_recall_eval",
+    # round 7 second wave: selection, layout, drift, retrieval
+    "sample_importance_dsir",
+    "layout_zorder_pruning",
+    "layout_compaction_plan",
+    "profile_drift_psi",
+    "corpus_perplexity_buckets",
+    "text_phrase_search",
 ]
 
 

@@ -1363,3 +1363,112 @@ def corpus_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chars_kept",
         F.expr("docs_kept * 1000000L DIV _n_total").alias("kept_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_importance_dsir — hashed-n-gram importance resampling (round 7)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 25
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % {_DSIR_BUCKETS} AS bkt
+  FROM tok
+),
+r AS (SELECT bkt, count(*) AS rc FROM b GROUP BY bkt),
+t AS (SELECT bkt, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bkt),
+w AS (
+  SELECT r.bkt, r.rc + 1 AS rc1, COALESCE(t.tc, 0) + 1 AS tc1
+  FROM r LEFT JOIN t USING (bkt)
+),
+tot AS (SELECT CAST(sum(rc1) AS BIGINT) AS rt, CAST(sum(tc1) AS BIGINT) AS tt FROM w),
+lw AS (
+  SELECT bkt,
+         CAST(floor(ln(CAST(tc1 * rt AS DOUBLE) / (rc1 * tt)) * 1000 + 0.5)
+              AS BIGINT) AS lr_milli
+  FROM w, tot
+)
+SELECT b.doc_id,
+       b.lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lw.lr_milli) AS BIGINT) AS score_milli
+FROM b JOIN lw USING (bkt)
+GROUP BY b.doc_id, b.lang
+ORDER BY score_milli DESC, b.doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
+@register("sample_importance_dsir", oracle=_DSIR_ORACLE)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by how much its hashed-unigram distribution looks
+    like a target slice (here the English sub-corpus standing in for "the
+    distribution we want more of"), and keep the top scorers. Token
+    features hash into 256 buckets (``md5_long % B`` — the one
+    hash both engines compute identically); each bucket's target/raw
+    log-likelihood ratio is Laplace-smoothed and milli-quantized BEFORE
+    the per-document sum, so every score is an order-free integer sum.
+
+    Scale: this is the selection method that works at 100 TB precisely
+    because the "model" is a 256-row table — two token-grain
+    aggregations build it, then it BROADCASTS back onto the token stream
+    (Catalyst sees a tiny build side) and one doc-grain aggregation
+    scores the corpus; top-k is TakeOrderedAndProject, never a global
+    sort. No per-document Python, no vocabulary-sized state."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    )
+    b = tok.select(
+        "doc_id",
+        "lang",
+        F.pmod(md5_long(F.col("w")), F.lit(_DSIR_BUCKETS)).alias("bkt"),
+    )
+    r = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("rc"))
+    t = b.where(F.col("lang") == "en").groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    w = (
+        r.join(t, "bkt", "left")
+        .fillna(0, subset=["tc"])
+        .select("bkt", (F.col("rc") + 1).alias("rc1"), (F.col("tc") + 1).alias("tc1"))
+    )
+    win = Window.partitionBy()  # bucket-table frame — bounded at B rows
+    w = w.withColumn("rt", F.sum("rc1").over(win)).withColumn(
+        "tt", F.sum("tc1").over(win)
+    )
+    lw = w.select(
+        "bkt",
+        F.floor(
+            F.log(
+                (F.col("tc1") * F.col("rt")).cast("double")
+                / (F.col("rc1") * F.col("tt"))
+            )
+            * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lr_milli"),
+    )
+    scored = (
+        b.join(F.broadcast(lw), "bkt")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_milli").alias("score_milli"),
+        )
+    )
+    return scored.orderBy(F.desc("score_milli"), "doc_id").limit(_DSIR_TOPK).select(
+        "doc_id", "lang", "n_tokens", "score_milli"
+    )

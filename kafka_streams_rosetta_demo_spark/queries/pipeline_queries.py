@@ -2228,3 +2228,187 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_slope_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_perplexity_buckets — CCNet-style head/middle/tail partitioning
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKETS = 3
+
+_PPL_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, n_chars, string_split(lower(text), ' ') AS words
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+big AS (
+  SELECT doc_id, n_chars, words[i] AS prev, words[i+1] AS cur
+  FROM (SELECT doc_id, n_chars, words, unnest(range(1, len(words))) AS i FROM w)
+),
+cb AS (SELECT prev, cur, count(*) AS c2 FROM big GROUP BY prev, cur),
+cp AS (SELECT prev, count(*) AS c1 FROM big GROUP BY prev),
+doc AS (
+  SELECT b.doc_id,
+         any_value(b.n_chars) AS n_chars,
+         count(*) AS n_bigrams,
+         CAST(-sum(CAST(floor(ln(CAST(cb.c2 AS DOUBLE) / cp.c1) * 1000000 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS nll_micro_sum
+  FROM big b JOIN cb ON cb.prev = b.prev AND cb.cur = b.cur
+             JOIN cp ON cp.prev = b.prev
+  GROUP BY b.doc_id
+),
+ranked AS (
+  SELECT *,
+         nll_micro_sum // n_bigrams AS avg_nll_micro,
+         row_number() OVER (ORDER BY nll_micro_sum // n_bigrams, doc_id) AS rk,
+         count(*) OVER () AS n_docs
+  FROM doc
+)
+SELECT CAST((rk - 1) * {_PPL_BUCKETS} // n_docs AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(min(avg_nll_micro) AS BIGINT) AS min_avg_nll_micro,
+       CAST(max(avg_nll_micro) AS BIGINT) AS max_avg_nll_micro
+FROM ranked GROUP BY 1
+"""
+
+
+@register("corpus_perplexity_buckets", oracle=_PPL_ORACLE)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: rank every document by its average
+    bigram negative log-likelihood under the corpus's own LM (the
+    ``text_lm_logprob`` signal) and split into equal head/middle/tail
+    buckets — the preprocessing step CCNet runs so a pipeline can keep
+    the fluent head, subsample the middle, and drop the tail. NLL is
+    emitted POSITIVE so the per-doc integer division floors identically
+    in both engines (Spark ``DIV`` truncates toward zero, DuckDB ``//``
+    floors — they only agree on non-negatives).
+
+    Scale: the per-doc NLL frame reuses the lm_logprob plan (token-grain
+    aggregations + broadcastable count tables); the rank over the
+    doc-grain frame uses :func:`operators.ordering.global_rank` —
+    repartitionByRange + per-partition ranks + offset map, NO
+    single-partition window — and the bucket id is integer math on the
+    rank, which is exactly how a 100 TB pipeline assigns quantile
+    buckets without sorting the corpus on one task."""
+    from ..operators.ordering import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    words = F.split(F.lower("text"), " ")
+    big = (
+        docs.where(F.size(F.split("text", " ")) >= 2)
+        .select("doc_id", "n_chars", words.alias("words"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1),"
+                    " i -> struct(words[i-1] AS prev, words[i] AS cur))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "n_chars", "b.prev", "b.cur")
+    )
+    cb = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    cp = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    t_micro = F.floor(
+        F.log(F.col("c2").cast("double") / F.col("c1")) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    doc = (
+        big.join(cb, ["prev", "cur"])
+        .join(cp, "prev")
+        .select("doc_id", "n_chars", t_micro.alias("t_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_chars").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("t_micro")).alias("nll_micro_sum"),
+        )
+        .withColumn("avg_nll_micro", F.expr("nll_micro_sum DIV n_bigrams"))
+    )
+    n_docs = doc.agg(F.count(F.lit(1)).alias("n_docs"))
+    ranked = global_rank(
+        doc, [F.col("avg_nll_micro"), F.col("doc_id")], rank_col="rk"
+    ).crossJoin(F.broadcast(n_docs))
+    return (
+        ranked.withColumn(
+            "bucket", F.expr(f"CAST((rk - 1) * {_PPL_BUCKETS} DIV n_docs AS BIGINT)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.min("avg_nll_micro").alias("min_avg_nll_micro"),
+            F.max("avg_nll_micro").alias("max_avg_nll_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_phrase_search — positional-index phrase retrieval
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("fast", "sort")
+_PHRASE_TOPK = 20
+
+_PHRASE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, words[i] AS w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+       unnest(range(1, len(words) + 1)) AS t(i)
+),
+a AS (SELECT doc_id, pos FROM tok WHERE w = '{_PHRASE[0]}'),
+b AS (SELECT doc_id, pos FROM tok WHERE w = '{_PHRASE[1]}'),
+hits AS (
+  SELECT a.doc_id, count(*) AS n_matches
+  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id
+)
+SELECT h.doc_id, d.source, CAST(h.n_matches AS BIGINT) AS n_matches
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY n_matches DESC, doc_id
+LIMIT {_PHRASE_TOPK}
+"""
+
+
+@register("text_phrase_search", oracle=_PHRASE_ORACLE)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase retrieval: find documents containing the
+    exact token sequence "fast sort" by intersecting the two terms'
+    positional posting lists (term-B position = term-A position + 1) —
+    what ``text_inverted_index``'s structure exists to answer, and the
+    query shape every search backend runs for quoted phrases.
+
+    Scale: the posting lists are FILTERED before the join — each side is
+    the term's occurrence list (a small fraction of the token stream;
+    selectivity is the term's document frequency), so the equi-join on
+    (doc_id, adjacent-position) shuffles posting bytes, not corpus
+    bytes. Per-doc match counts are one partial-agg shuffle; ranking is
+    TakeOrderedAndProject. Never a regex scan of the full text column at
+    rank time — that is the 100 TB difference between an index probe and
+    a table scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    a = tok.where(F.col("w") == _PHRASE[0]).select("doc_id", "pos")
+    b = tok.where(F.col("w") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    hits = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        hits.join(docs.select("doc_id", "source"), "doc_id")
+        .orderBy(F.desc("n_matches"), "doc_id")
+        .limit(_PHRASE_TOPK)
+        .select("doc_id", "source", "n_matches")
+    )

@@ -3156,3 +3156,343 @@ def agg_theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(est_both - exact_both) <= budget).alias("both_within_tolerance"),
         (F.abs(est_churn - exact_churn) <= budget).alias("churned_within_tolerance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# profile_drift_psi — population-stability-index drift monitor (round 7)
+# ---------------------------------------------------------------------------
+
+# Fixed bin edges (width 50, clamped into 10 bins) — a drift MONITOR pins
+# its bins once so week-over-week numbers are comparable; data-derived
+# edges would make the metric drift with the data it watches.
+_PSI_BINS = 10
+_PSI_WIDTH = 50
+_PSI_SPLIT = "2024-01-15 00:00:00"
+
+_PSI_ORACLE = f"""
+WITH binned AS (
+  SELECT least(CAST(floor(value / {_PSI_WIDTH}) AS BIGINT), {_PSI_BINS - 1}) AS bin,
+         ts < TIMESTAMP '{_PSI_SPLIT}' AS is_base
+  FROM events
+),
+counts AS (
+  SELECT b.bin,
+         CAST(COALESCE(sum(CASE WHEN is_base THEN 1 END), 0) AS BIGINT) AS base_n,
+         CAST(COALESCE(sum(CASE WHEN NOT is_base THEN 1 END), 0) AS BIGINT) AS curr_n
+  FROM (SELECT unnest(range({_PSI_BINS})) AS bin) b
+  LEFT JOIN binned USING (bin)
+  GROUP BY b.bin
+),
+tot AS (
+  SELECT sum(base_n + 1) AS tb, sum(curr_n + 1) AS tc FROM counts
+),
+ppm AS (
+  SELECT bin, base_n, curr_n,
+         CAST((base_n + 1) * 1000000 // tb AS BIGINT) AS p_ppm,
+         CAST((curr_n + 1) * 1000000 // tc AS BIGINT) AS q_ppm
+  FROM counts, tot
+),
+contrib AS (
+  SELECT bin, base_n, curr_n, p_ppm, q_ppm,
+         (p_ppm - q_ppm)
+           * CAST(floor(ln(CAST(p_ppm AS DOUBLE) / q_ppm) * 1000 + 0.5) AS BIGINT)
+           AS contrib_nano
+  FROM ppm
+)
+SELECT bin, base_n, curr_n, p_ppm, q_ppm, contrib_nano,
+       CAST(sum(contrib_nano) OVER () AS BIGINT) AS psi_nano_total
+FROM contrib
+"""
+
+
+@register("profile_drift_psi", oracle=_PSI_ORACLE)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first two weeks of events and
+    the rest — the standard production drift monitor a pipeline runs before
+    trusting a new data drop (PSI > 0.2 conventionally blocks the refresh).
+    Bin edges are FIXED literals (a monitor re-deriving its bins from the
+    data it watches would hide exactly the drift it exists to catch);
+    Laplace +1 smoothing keeps empty bins finite.
+
+    Determinism: shares quantize to integer ppm (floor-division of
+    non-negative longs, identical in both engines), the per-bin log ratio
+    milli-quantizes before the multiply, and the PSI total is an integer
+    sum of per-bin integers — order-free.
+
+    Scale: ONE scan with conditional aggregation (base/current counted in
+    the same partial aggregate — no second pass, no self-join), one
+    10-group shuffle, then window math over the 10-row bin frame. The
+    literal bin fan-out is a broadcast-range join on a 10-row frame."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.least(
+            F.floor(F.col("value") / _PSI_WIDTH).cast("long"),
+            F.lit(_PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+        (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_base"),
+    )
+    counts = ev.groupBy("bin").agg(
+        F.count(F.when(F.col("is_base"), 1)).alias("base_n"),
+        F.count(F.when(~F.col("is_base"), 1)).alias("curr_n"),
+    )
+    bins = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    full = (
+        bins.join(counts, "bin", "left")
+        .fillna(0, subset=["base_n", "curr_n"])
+        .select("bin", F.col("base_n").cast("long").alias("base_n"),
+                F.col("curr_n").cast("long").alias("curr_n"))
+    )
+    w = Window.partitionBy()  # 10-row bin frame — bounded
+    full = full.withColumn("tb", F.sum(F.col("base_n") + 1).over(w)).withColumn(
+        "tc", F.sum(F.col("curr_n") + 1).over(w)
+    )
+    full = full.select(
+        "bin",
+        "base_n",
+        "curr_n",
+        F.expr("(base_n + 1) * 1000000L DIV tb").alias("p_ppm"),
+        F.expr("(curr_n + 1) * 1000000L DIV tc").alias("q_ppm"),
+    )
+    contrib = (
+        (F.col("p_ppm") - F.col("q_ppm"))
+        * F.floor(
+            F.log(F.col("p_ppm").cast("double") / F.col("q_ppm")) * 1000 + F.lit(0.5)
+        ).cast("long")
+    ).alias("contrib_nano")
+    out = full.select("bin", "base_n", "curr_n", "p_ppm", "q_ppm", contrib)
+    return out.withColumn(
+        "psi_nano_total", F.sum("contrib_nano").over(Window.partitionBy())
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout_zorder_pruning — Z-order data layout vs min/max file skipping
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10  # 10 bits per dimension -> z in [0, 4^10)
+_Z_FILES = 64  # fixed-width z-ranges -> 64 files, map-side assignment
+_Z_CELL = (4**_Z_BITS) // _Z_FILES
+# the probe box: a 12.5% band in EACH dimension (1.56% of the plane) —
+# the "customer segment over one date window" shape that min/max file
+# skipping exists for. Deliberately NOT aligned to a Z-cell boundary
+# (the 64 files are 128x128 tiles; an aligned box would flatter Z-order
+# with a single-file best case), so the measured win is the honest
+# straddling-tiles number.
+_Z_LO, _Z_HI = 300, 427
+
+
+def _z_interleave(div: str) -> str:
+    """Bit-interleave x and y (``_Z_BITS`` bits each) with pure integer
+    arithmetic — the same source text is valid Spark SQL (div='DIV') and
+    DuckDB SQL (div='//'), so engine parity is by construction."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((x {div} {2**i}) % 2) * {4**i}")
+        terms.append(f"((y {div} {2**i}) % 2) * {2 * 4**i}")
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    z = _z_interleave("//")
+    return f"""
+WITH scal AS (
+  SELECT max(o_custkey) AS mc,
+         min(date_diff('day', DATE '1970-01-01', o_orderdate)) AS mind,
+         max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS maxd
+  FROM orders
+),
+xy AS (
+  SELECT CAST(o_custkey * {2**_Z_BITS} // (mc + 1) AS BIGINT) AS x,
+         CAST((date_diff('day', DATE '1970-01-01', o_orderdate) - mind)
+              * {2**_Z_BITS} // (maxd - mind + 1) AS BIGINT) AS y
+  FROM orders, scal
+),
+z AS (SELECT x, y, CAST(({z}) // {_Z_CELL} AS BIGINT) AS file_z,
+             CAST(x // {2**_Z_BITS // _Z_FILES} AS BIGINT) AS file_lin
+      FROM xy),
+stats AS (
+  SELECT 'zorder' AS layout, file_z AS file_id,
+         min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+         count(*) AS rows_in_file,
+         sum(CASE WHEN x BETWEEN {_Z_LO} AND {_Z_HI}
+                   AND y BETWEEN {_Z_LO} AND {_Z_HI} THEN 1 ELSE 0 END) AS hits
+  FROM z GROUP BY file_z
+  UNION ALL
+  SELECT 'linear', file_lin,
+         min(x), max(x), min(y), max(y), count(*),
+         sum(CASE WHEN x BETWEEN {_Z_LO} AND {_Z_HI}
+                   AND y BETWEEN {_Z_LO} AND {_Z_HI} THEN 1 ELSE 0 END)
+  FROM z GROUP BY file_lin
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN min_x <= {_Z_HI} AND max_x >= {_Z_LO}
+                      AND min_y <= {_Z_HI} AND max_y >= {_Z_LO}
+                THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(COALESCE(sum(CASE WHEN min_x <= {_Z_HI} AND max_x >= {_Z_LO}
+                               AND min_y <= {_Z_HI} AND max_y >= {_Z_LO}
+                          THEN rows_in_file END), 0) AS BIGINT) AS rows_scanned,
+       CAST(sum(hits) AS BIGINT) AS rows_matching
+FROM stats GROUP BY layout
+"""
+
+
+@register("layout_zorder_pruning", oracle=_zorder_oracle())
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout, measured by what it exists for:
+    min/max file skipping. Orders are mapped to a 1024x1024 (custkey,
+    order-day) grid, bit-interleaved into a Z-value, and assigned to 64
+    fixed-width Z-range "files"; the same rows are also assigned to 64
+    single-column (custkey-sorted) files. For a 12.5%-per-dimension probe
+    box the query emits, per layout, how many files a min/max-pruning
+    reader must open and how many rows it drags in — the Z-order row
+    should scan a small fraction of the linear layout's (both see the
+    identical ``rows_matching``, pinning that pruning lost nothing).
+
+    Determinism: the interleave is pure integer arithmetic generated from
+    ONE source string for both engines (no engine bit intrinsics), and
+    file assignment is fixed-width Z-range binning — map-side math, NO
+    global sort, which is also the 100 TB story: writing Z-ordered files
+    is `repartitionByRange(z)` + write, and this query is the planner's
+    evidence that the rewrite pays before a cluster-scale OPTIMIZE.
+
+    Scale: one scan, two 64-group aggregations (map-side partials), a
+    2-row union — the scalar frame (1 row of max/min bounds) broadcasts
+    into the row map."""
+    z_expr = _z_interleave("DIV")
+    scal = F.broadcast(
+        _t(spark, sf_dir, "orders").agg(
+            F.max("o_custkey").alias("mc"),
+            F.min(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))).alias(
+                "mind"
+            ),
+            F.max(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))).alias(
+                "maxd"
+            ),
+        )
+    )
+    xy = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("d"))
+        .crossJoin(scal)
+        .select(
+            F.expr(f"CAST(o_custkey * {2**_Z_BITS} DIV (mc + 1) AS BIGINT)").alias("x"),
+            F.expr(
+                f"CAST((d - mind) * {2**_Z_BITS} DIV (maxd - mind + 1) AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    z = xy.select(
+        "x",
+        "y",
+        F.expr(f"CAST(({z_expr}) DIV {_Z_CELL} AS BIGINT)").alias("file_z"),
+        F.expr(f"CAST(x DIV {2**_Z_BITS // _Z_FILES} AS BIGINT)").alias("file_lin"),
+    )
+    hit = F.when(
+        F.col("x").between(_Z_LO, _Z_HI) & F.col("y").between(_Z_LO, _Z_HI), 1
+    ).otherwise(0)
+
+    def _per_file(file_col: str, layout: str) -> DataFrame:
+        stats = z.groupBy(F.col(file_col).alias("file_id")).agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            F.count(F.lit(1)).alias("rows_in_file"),
+            F.sum(hit).alias("hits"),
+        )
+        overlap = (
+            (F.col("min_x") <= _Z_HI)
+            & (F.col("max_x") >= _Z_LO)
+            & (F.col("min_y") <= _Z_HI)
+            & (F.col("max_y") >= _Z_LO)
+        )
+        return stats.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(overlap.cast("long")).alias("files_scanned"),
+            F.coalesce(
+                F.sum(F.when(overlap, F.col("rows_in_file"))), F.lit(0)
+            ).alias("rows_scanned"),
+            F.sum("hits").alias("rows_matching"),
+        )
+
+    return _per_file("file_z", "zorder").unionByName(_per_file("file_lin", "linear"))
+
+
+# ---------------------------------------------------------------------------
+# layout_compaction_plan — small-files bin packing over file metadata
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 4096  # target output-file bytes
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         count(*) AS n_rows,
+         CAST(sum(length(props)) AS BIGINT) AS bytes
+  FROM events GROUP BY 1, 2
+),
+binned AS (
+  SELECT day, hour, n_rows, bytes,
+         CAST((sum(bytes) OVER (PARTITION BY day ORDER BY hour
+                                ROWS UNBOUNDED PRECEDING) - bytes)
+              // {_COMPACT_TARGET} AS BIGINT) AS bin
+  FROM files
+)
+SELECT day, bin,
+       CAST(count(*) AS BIGINT) AS n_input_files,
+       CAST(sum(bytes) AS BIGINT) AS bytes_total,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(min(hour) AS BIGINT) AS first_hour,
+       CAST(max(hour) AS BIGINT) AS last_hour,
+       count(*) > 1 AS worth_compacting
+FROM binned GROUP BY day, bin
+"""
+
+
+@register("layout_compaction_plan", oracle=_COMPACT_ORACLE)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: hourly event "files" (the classic
+    streaming-ingest debris — one file per micro-batch per partition) are
+    greedily packed into contiguous target-size output groups per day
+    partition, the exact plan a lakehouse OPTIMIZE job executes. The
+    greedy rule is start-offset binning: a file joins bin
+    ``floor(preceding_bytes / target)``, so bins are contiguous hour
+    ranges that each start before the target boundary — deterministic,
+    one-pass, and order-free integer math.
+
+    Scale: the planner runs on file METADATA (one row per file — at
+    100 TB that is listing output, millions of rows, not the data
+    itself): one group-by to derive per-file stats, one per-day-partition
+    window for the running sum (day keys parallelize; no global sort),
+    one group-by for the plan. The data files themselves are never read
+    — which is why a compaction PLAN is cheap and the rewrite it
+    schedules is the only expensive part."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+        F.length("props").alias("pbytes"),
+    )
+    files = ev.groupBy("day", "hour").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("pbytes").cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = (
+        files.withColumn("cum", F.sum("bytes").over(w))
+        .withColumn("bin", F.expr(f"(cum - bytes) DIV {_COMPACT_TARGET}"))
+        .drop("cum")
+    )
+    return binned.groupBy("day", "bin").agg(
+        F.count(F.lit(1)).alias("n_input_files"),
+        F.sum("bytes").alias("bytes_total"),
+        F.sum("n_rows").alias("rows_total"),
+        F.min("hour").alias("first_hour"),
+        F.max("hour").alias("last_hour"),
+        (F.count(F.lit(1)) > 1).alias("worth_compacting"),
+    )
