@@ -168,6 +168,7 @@ OPTIONAL = [
     "profile_drift_psi",
     "corpus_perplexity_buckets",
     "text_phrase_search",
+    "streaming_drift_psi",
 ]
 
 

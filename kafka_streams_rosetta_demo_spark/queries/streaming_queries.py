@@ -913,3 +913,92 @@ def streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.ceil(F.col("exact_users") * F.lit(0.06))
         ).alias("within_tolerance"),
     )
+
+
+@register(
+    "streaming_drift_psi",
+    oracle=None,  # assigned below — shares the batch monitor's SQL verbatim
+)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor run CONTINUOUSLY: the event stream maintains
+    its fixed-bin value histogram as streaming state (update mode, one
+    conditional aggregate over the 10-bin key space — bounded BY
+    CONSTRUCTION like the CMS cells, so no watermark and no eviction),
+    and the PSI arithmetic runs over the compacted 10-row changelog
+    exactly as the batch monitor does. This is how a 100 TB ingest
+    watches itself drift between two deployment windows without ever
+    rescanning history: the histogram is the only state, and it is 10
+    longs per side. Final numbers must hash-match the batch monitor's
+    oracle over the same events."""
+    from pyspark.sql import functions as F
+
+    from .relational_queries import _PSI_BINS, _PSI_SPLIT, _PSI_WIDTH
+
+    stream = _events_stream(spark, sf_dir).select(
+        F.least(
+            F.floor(F.col("value") / _PSI_WIDTH).cast("long"),
+            F.lit(_PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+        (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_base"),
+    )
+    hist = stream.groupBy("bin").agg(
+        F.count(F.when(F.col("is_base"), 1)).alias("base_n"),
+        F.count(F.when(~F.col("is_base"), 1)).alias("curr_n"),
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_psi_") as ckpt, (
+        tempfile.TemporaryDirectory(prefix="sink_psi_")
+    ) as out_dir:
+        counts = run_update_query_to_df(hist, ["bin"], ckpt, out_dir)
+    # post-math over the compacted 10-row histogram — identical to the
+    # batch monitor from here down (bin fan-out, smoothing, ppm, PSI)
+    from pyspark.sql import Window
+
+    bins = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    full = (
+        bins.join(counts, "bin", "left")
+        .fillna(0, subset=["base_n", "curr_n"])
+        .select(
+            "bin",
+            F.col("base_n").cast("long").alias("base_n"),
+            F.col("curr_n").cast("long").alias("curr_n"),
+        )
+    )
+    w = Window.partitionBy()
+    full = full.withColumn("tb", F.sum(F.col("base_n") + 1).over(w)).withColumn(
+        "tc", F.sum(F.col("curr_n") + 1).over(w)
+    )
+    full = full.select(
+        "bin",
+        "base_n",
+        "curr_n",
+        F.expr("(base_n + 1) * 1000000L DIV tb").alias("p_ppm"),
+        F.expr("(curr_n + 1) * 1000000L DIV tc").alias("q_ppm"),
+    )
+    contrib = (
+        (F.col("p_ppm") - F.col("q_ppm"))
+        * F.floor(
+            F.log(F.col("p_ppm").cast("double") / F.col("q_ppm")) * 1000
+            + F.lit(0.5)
+        ).cast("long")
+    ).alias("contrib_nano")
+    out = full.select("bin", "base_n", "curr_n", "p_ppm", "q_ppm", contrib)
+    return out.withColumn(
+        "psi_nano_total", F.sum("contrib_nano").over(Window.partitionBy())
+    )
+
+
+def _psi_share_oracle() -> None:
+    """Bind the streaming monitor's oracle to the batch monitor's SQL —
+    one source of truth, the gate proves the streaming path computes the
+    identical state."""
+    import dataclasses
+
+    from . import REGISTRY
+    from .relational_queries import _PSI_ORACLE
+
+    REGISTRY["streaming_drift_psi"] = dataclasses.replace(
+        REGISTRY["streaming_drift_psi"], oracle=_PSI_ORACLE
+    )
+
+
+_psi_share_oracle()
