@@ -169,6 +169,7 @@ OPTIONAL = [
     "corpus_perplexity_buckets",
     "text_phrase_search",
     "streaming_drift_psi",
+    "search_rrf_fusion",
 ]
 
 

@@ -2412,3 +2412,156 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PHRASE_TOPK)
         .select("doc_id", "source", "n_matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# search_rrf_fusion — reciprocal-rank fusion of lexical + semantic lists
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_LIST = 20
+_RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY CAST(sum(c) AS BIGINT) DESC, doc_id) AS lex_rank
+  FROM contrib GROUP BY doc_id
+  ORDER BY CAST(sum(c) AS BIGINT) DESC, doc_id LIMIT {_RRF_LIST}
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+cosed AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(floor({_IVF_DOT.format(a="e.embedding", b="qv.q")}
+              / (sqrt({_IVF_DOT.format(a="e.embedding", b="e.embedding")})
+                 * sqrt({_IVF_DOT.format(a="qv.q", b="qv.q")}))
+              * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+  FROM embeddings e CROSS JOIN qv
+),
+sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos_ppm DESC, doc_id) AS sem_rank
+  FROM cosed ORDER BY cos_ppm DESC, doc_id LIMIT {_RRF_LIST}
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem.sem_rank AS BIGINT) AS sem_rank,
+       CAST(COALESCE(1000000 // ({_RRF_K} + lex.lex_rank), 0)
+            + COALESCE(1000000 // ({_RRF_K} + sem.sem_rank), 0) AS BIGINT)
+         AS rrf_micro
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOPK}
+"""
+
+
+@register("search_rrf_fusion", oracle=_rrf_oracle())
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60): merge the BM25 lexical top-20 and the
+    embedding-cosine top-20 by summed 1/(k+rank) — the rank-based fusion
+    production search stacks use when the two scorers' scales aren't
+    comparable (scores from BM25 and cosine can't be averaged;
+    ``search_hybrid_rerank`` re-scores, RRF fuses ranks). RRF
+    contributions are exact integers (1e6 DIV (k+rank)), so the fused
+    order is engine-independent; the lexical list ranks on the integer
+    micro-unit BM25 sum and the semantic list on ppm-quantized cosine,
+    both with doc-id tiebreaks — fully deterministic end to end.
+
+    Scale: each list is an independent top-k (posting-list probe /
+    TakeOrderedAndProject over one embedding scan); the fusion itself
+    joins two 20-row frames — constant work after the retrievals, which
+    is exactly why RRF is the production default: no score calibration
+    pass over the corpus, no cross-list normalization state."""
+    import math
+
+    from ..operators.vectors import const_vec, dot as vdot, with_norm
+
+    # lexical list: integer micro-unit BM25 sum (same pipeline as
+    # text_bm25_search, kept on the integer grain so ranking never sees a
+    # rounded double)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_docs, sum_dl = docs.agg(
+        F.count("*"), F.sum(F.size(words)).cast("long")
+    ).first()
+    avgdl = float(sum_dl) / n_docs
+    tf = (
+        rebalance(docs.select("doc_id", words.alias("words")))
+        .select(
+            "doc_id", F.size("words").alias("dl"), F.explode("words").alias("term")
+        )
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = F.floor(
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(_BM25_B)
+                + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl)
+            )
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    lex_scores = (
+        tf.join(F.broadcast(dfreq), "term")
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(_RRF_LIST)
+    )
+    wl = Window.orderBy(F.desc("s"), F.asc("doc_id"))  # 20-row frame
+    lex = lex_scores.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+
+    # semantic list: ppm-quantized cosine vs the fixed query vector
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    q_nrm = math.sqrt(sum(x * x for x in q))
+    en = with_norm(emb)
+    cos_ppm = F.floor(
+        vdot(F.col("embedding"), const_vec(q))
+        / (F.col("nrm") * F.lit(q_nrm))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    sem_scores = (
+        en.select(F.col("vec_id").alias("doc_id"), cos_ppm.alias("cos_ppm"))
+        .orderBy(F.desc("cos_ppm"), F.asc("doc_id"))
+        .limit(_RRF_LIST)
+    )
+    ws = Window.orderBy(F.desc("cos_ppm"), F.asc("doc_id"))  # 20-row frame
+    sem = sem_scores.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("sem_rank")
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(
+                F.expr(f"1000000L DIV ({_RRF_K} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000L DIV ({_RRF_K} + sem_rank)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(_RRF_TOPK)
