@@ -29,6 +29,8 @@ BNLJ_ALLOWED = {
     "knn_recall_eval",  # composes knn_brute_force's declared exact baseline
     "tpch_q22_sales_opportunity",
     "tpch_q11_important_parts",  # value·1000 > total residual on a 1-row side
+    "layout_zorder_pruning",  # 1-row min/max-bounds frame broadcast into the row map
+    "corpus_perplexity_buckets",  # 1-row n_docs scalar broadcast for the bucket DIV
 }
 
 # Queries whose parquet scan must carry pushed filters: each has a selective
@@ -302,6 +304,12 @@ SHUFFLE_BUDGET = {
     "scalar_map_ops": 2,  # (user, type) partials + user rollup
     "funnel_stages": 1,  # all three stages share one user_id partitioning
     "sort_limit_topk": 0,  # TakeOrderedAndProject, no exchange
+    # round-7 additions
+    "profile_drift_psi": 1,  # ONE conditional-agg scan; bin frame is bounded
+    "layout_zorder_pruning": 2,  # one 64-group agg per layout; scalars broadcast
+    "layout_compaction_plan": 2,  # file-grain agg + plan agg; window rides day keys
+    "sample_importance_dsir": 3,  # two bucket aggs + doc scoring agg
+    "text_phrase_search": 2,  # posting-list join + per-doc match agg
 }
 
 
