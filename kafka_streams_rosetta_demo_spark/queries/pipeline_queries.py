@@ -826,27 +826,14 @@ ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
 """
 
 
-@register("text_bm25_search", oracle=_BM25_ORACLE)
-def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword search (k1=1.2, b=0.75): score every document against a
-    fixed query-term set, return the top 20 — the lexical-retrieval baseline
-    every RAG/curation stack keeps next to its embedding index.
-
-    Cross-engine determinism: per-term contributions are scaled to integer
-    micro-units (``floor(x*1e6+0.5)``) *before* the per-doc sum, so the
-    result is independent of float summation order in either engine.
-
-    Plan: one scan → explode filtered to the query terms (the IN filter
-    prunes before the shuffle) → (doc, dl, term) count [1 shuffle],
-    materialized once (``localCheckpoint`` — it feeds both the df count
-    and the scoring probe); the 3-row df table broadcasts back; final
-    per-doc sum + global top-k plans as TakeOrderedAndProject. The corpus
-    stats (count, avg doc length — exact integer sums, so both engines
-    derive the identical double) come back as one driver-side scalar row,
-    the bounded-model-state contract. The corpus-sized movement is only
-    the matched postings — at 100 TB that's |query terms| posting lists,
-    the inverted-index access pattern, never the full corpus.
-    """
+def _bm25_micro_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score on the exact integer micro-unit grain
+    (``sum`` of per-term ``floor(x*1e6+0.5)`` contributions) — the shared
+    scoring frame under ``text_bm25_search`` (which renders it as a
+    rounded double; ``round(s/1e6, 6)`` keeps all six decimals, so the
+    ordering is the same bijection) and ``search_rrf_fusion`` (which
+    ranks the raw integers). One posting-list shuffle; the tf table
+    materializes once and the 3-row df table broadcasts back."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_docs, sum_dl = docs.agg(
@@ -881,7 +868,37 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(dfreq), "term")
         .select("doc_id", contrib.alias("c"))
         .groupBy("doc_id")
-        .agg(F.round(F.sum("c").cast("double") / 1000000.0, 6).alias("bm25"))
+        .agg(F.sum("c").cast("long").alias("s"))
+    )
+
+
+@register("text_bm25_search", oracle=_BM25_ORACLE)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (k1=1.2, b=0.75): score every document against a
+    fixed query-term set, return the top 20 — the lexical-retrieval baseline
+    every RAG/curation stack keeps next to its embedding index.
+
+    Cross-engine determinism: per-term contributions are scaled to integer
+    micro-units (``floor(x*1e6+0.5)``) *before* the per-doc sum, so the
+    result is independent of float summation order in either engine.
+
+    Plan: one scan → explode filtered to the query terms (the IN filter
+    prunes before the shuffle) → (doc, dl, term) count [1 shuffle],
+    materialized once (``localCheckpoint`` — it feeds both the df count
+    and the scoring probe); the 3-row df table broadcasts back; final
+    per-doc sum + global top-k plans as TakeOrderedAndProject. The corpus
+    stats (count, avg doc length — exact integer sums, so both engines
+    derive the identical double) come back as one driver-side scalar row,
+    the bounded-model-state contract. The corpus-sized movement is only
+    the matched postings — at 100 TB that's |query terms| posting lists,
+    the inverted-index access pattern, never the full corpus.
+    """
+    return (
+        _bm25_micro_scores(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.round(F.col("s").cast("double") / 1000000.0, 6).alias("bm25"),
+        )
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
@@ -2479,49 +2496,10 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.vectors import const_vec, dot as vdot, with_norm
 
-    # lexical list: integer micro-unit BM25 sum (same pipeline as
-    # text_bm25_search, kept on the integer grain so ranking never sees a
-    # rounded double)
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_docs, sum_dl = docs.agg(
-        F.count("*"), F.sum(F.size(words)).cast("long")
-    ).first()
-    avgdl = float(sum_dl) / n_docs
-    tf = (
-        rebalance(docs.select("doc_id", words.alias("words")))
-        .select(
-            "doc_id", F.size("words").alias("dl"), F.explode("words").alias("term")
-        )
-        .where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    contrib = F.floor(
-        idf
-        * (F.col("tf") * F.lit(_BM25_K1 + 1))
-        / (
-            F.col("tf")
-            + F.lit(_BM25_K1)
-            * (
-                F.lit(1.0)
-                - F.lit(_BM25_B)
-                + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl)
-            )
-        )
-        * F.lit(1000000.0)
-        + F.lit(0.5)
-    )
+    # lexical list: the shared integer micro-unit BM25 frame, ranked on
+    # the raw integers so ranking never sees a rounded double
     lex_scores = (
-        tf.join(F.broadcast(dfreq), "term")
-        .select("doc_id", contrib.alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").cast("long").alias("s"))
+        _bm25_micro_scores(spark, sf_dir)
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(_RRF_LIST)
     )
