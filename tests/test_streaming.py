@@ -976,3 +976,58 @@ def test_streaming_keyless_range_join_matches_batch_across_batches(
     # window 6 catches 7 (in-batch). Cross-batch matching is structural.
     assert expected == [(1, 2), (1, 3), (1, 4), (1, 5), (6, 7)]
     assert sorted((r.win_id, r.e_id) for r in got) == expected
+
+
+def test_streaming_psi_histogram_accumulates_across_batches(
+    spark, split_events_dir, tmp_path
+):
+    """streaming_drift_psi's state contract: the 10-bin histogram
+    accumulates across micro-batches (3 here), the compacted changelog
+    equals the batch conditional aggregation over the same events, and
+    the state key space never exceeds the bin count — the
+    bounded-by-construction claim, checked, not asserted."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_rosetta_demo_spark.queries.relational_queries import (
+        _PSI_BINS,
+        _PSI_SPLIT,
+        _PSI_WIDTH,
+    )
+    from kafka_streams_rosetta_demo_spark.streaming.runner import (
+        parquet_changelog_snapshot,
+        run_update_query_to_parquet_changelog,
+    )
+
+    def binned(df):
+        return df.select(
+            F.least(
+                F.floor(F.col("value") / _PSI_WIDTH).cast("long"),
+                F.lit(_PSI_BINS - 1).cast("long"),
+            ).alias("bin"),
+            (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_base"),
+        )
+
+    hist = binned(_stream(spark, split_events_dir, max_files_per_trigger=1)).groupBy(
+        "bin"
+    ).agg(
+        F.count(F.when(F.col("is_base"), 1)).alias("base_n"),
+        F.count(F.when(~F.col("is_base"), 1)).alias("curr_n"),
+    )
+    out_dir = str(tmp_path / "psi_changelog")
+    run_update_query_to_parquet_changelog(hist, str(tmp_path / "ckpt_psi"), out_dir)
+    got = parquet_changelog_snapshot(spark, out_dir, ["bin"]).select(
+        "bin", "base_n", "curr_n"
+    )
+
+    expected = (
+        binned(spark.read.parquet(split_events_dir))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("is_base"), 1)).alias("base_n"),
+            F.count(F.when(~F.col("is_base"), 1)).alias("curr_n"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    assert got.count() <= _PSI_BINS
