@@ -81,6 +81,12 @@ REPRESENTATIVE = [
     "text_tfidf_topk",
     "sample_stratified_hash",
     "agg_key_skew_profile",
+    # round-7 families: selection, layout, drift, fusion
+    "sample_importance_dsir",
+    "corpus_perplexity_buckets",
+    "layout_zorder_pruning",
+    "profile_drift_psi",
+    "search_rrf_fusion",
 ]
 
 
