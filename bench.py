@@ -170,6 +170,7 @@ OPTIONAL = [
     "text_phrase_search",
     "streaming_drift_psi",
     "search_rrf_fusion",
+    "knn_matryoshka_eval",
 ]
 
 

@@ -2543,3 +2543,115 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("rrf_micro"),
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(_RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# knn_matryoshka_eval — truncated-dimension retrieval fidelity
+# ---------------------------------------------------------------------------
+
+_MAT_HALF = 32  # prefix dims scored against the full 64
+
+_MAT_DOT_HALF = (
+    "(SELECT sum(CAST({a}[s.i] AS DOUBLE) * CAST({b}[s.i] AS DOUBLE)) "
+    f"FROM (SELECT unnest(range(1, {_MAT_HALF + 1})) AS i) s)"
+)
+
+_MAT_ORACLE = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         CAST(floor({_IVF_DOT.format(a="q.embedding", b="d.embedding")}
+              / (sqrt({_IVF_DOT.format(a="q.embedding", b="q.embedding")})
+                 * sqrt({_IVF_DOT.format(a="d.embedding", b="d.embedding")}))
+              * 1000000 + 0.5) AS BIGINT) AS cos_full_ppm,
+         CAST(floor({_MAT_DOT_HALF.format(a="q.embedding", b="d.embedding")}
+              / (sqrt({_MAT_DOT_HALF.format(a="q.embedding", b="q.embedding")})
+                 * sqrt({_MAT_DOT_HALF.format(a="d.embedding", b="d.embedding")}))
+              * 1000000 + 0.5) AS BIGINT) AS cos_half_ppm
+  FROM embeddings q CROSS JOIN embeddings d
+  WHERE q.vec_id < {_KNN_QUERIES} AND d.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_full_ppm DESC, neighbor_id) AS r_full,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_half_ppm DESC, neighbor_id) AS r_half
+  FROM pairs
+)
+SELECT query_id,
+       CAST({_KNN_K} AS BIGINT) AS k,
+       CAST(sum(CASE WHEN r_full <= {_KNN_K} AND r_half <= {_KNN_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(sum(CASE WHEN r_full <= {_KNN_K} AND r_half <= {_KNN_K}
+                THEN 1 ELSE 0 END) * 1000000 // {_KNN_K} AS BIGINT)
+         AS recall_ppm
+FROM ranked GROUP BY query_id
+"""
+
+
+@register("knn_matryoshka_eval", oracle=_MAT_ORACLE)
+def knn_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation: per query, how much of the exact
+    full-dimension top-5 survives when retrieval scores only the FIRST 32
+    of 64 dimensions — the gate a pipeline runs before storing truncated
+    vectors (half the bytes, half the FLOPs at 100 TB) for MRL-style
+    embeddings. Both rankings are exact and ppm-quantized with id
+    tiebreaks, so the overlap is engine-deterministic and the oracle
+    replays the whole procedure.
+
+    Scale: the bounded query set broadcasts against ONE corpus scan (the
+    declared knn_brute_force BNLJ shape, |Q| capped at 4096), BOTH
+    cosines are computed in that single pass (the half-dim score is a
+    prefix ``slice`` — no second scan), and the two rank windows ride one
+    query_id shuffle. Output is |Q| rows."""
+    from ..operators.vectors import capped_query_set, dot as vdot
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = capped_query_set(emb.where(F.col("vec_id") < _KNN_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+
+    def _cos_ppm(a, b, n):
+        aa = F.slice(a, 1, n)
+        bb = F.slice(b, 1, n)
+        return F.floor(
+            vdot(aa, bb)
+            / (F.sqrt(vdot(aa, aa)) * F.sqrt(vdot(bb, bb)))
+            * 1000000
+            + F.lit(0.5)
+        ).cast("long")
+
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_ppm(F.col("q_emb"), F.col("embedding"), 64).alias("cos_full_ppm"),
+        _cos_ppm(F.col("q_emb"), F.col("embedding"), _MAT_HALF).alias(
+            "cos_half_ppm"
+        ),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full_ppm"), F.asc("neighbor_id")
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_half_ppm"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(wh).alias("r_half"),
+    )
+    both = F.sum(
+        ((F.col("r_full") <= _KNN_K) & (F.col("r_half") <= _KNN_K)).cast("long")
+    )
+    return ranked.groupBy("query_id").agg(
+        F.lit(_KNN_K).cast("long").alias("k"),
+        both.alias("n_overlap"),
+        F.expr(
+            f"CAST(sum(CASE WHEN r_full <= {_KNN_K} AND r_half <= {_KNN_K} "
+            f"THEN 1 ELSE 0 END) * 1000000 DIV {_KNN_K} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "knn_recall_eval",  # composes knn_brute_force's declared exact baseline
     "tpch_q22_sales_opportunity",
     "tpch_q11_important_parts",  # value·1000 > total residual on a 1-row side
+    "knn_matryoshka_eval",  # same declared bounded-|Q| exact-kNN shape
     "layout_zorder_pruning",  # 1-row min/max-bounds frame broadcast into the row map
     "corpus_perplexity_buckets",  # 1-row n_docs scalar broadcast for the bucket DIV
 }
@@ -310,6 +311,7 @@ SHUFFLE_BUDGET = {
     "layout_compaction_plan": 2,  # file-grain agg + plan agg; window rides day keys
     "sample_importance_dsir": 3,  # two bucket aggs + doc scoring agg
     "text_phrase_search": 2,  # posting-list join + per-doc match agg
+    "knn_matryoshka_eval": 1,  # both rank windows + the recall agg share one query_id shuffle
 }
 
 
