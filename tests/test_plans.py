@@ -46,6 +46,7 @@ PUSHDOWN_REQUIRED = (
     "tpch_q10_returned_items",  # returnflag + quarter filters
     "tpch_q14_promo_revenue",  # ship-month range
     "tpch_q6_forecast_revenue",  # all four predicates reach the scan
+    "knn_matryoshka_eval",  # vec_id < 8 pushes into the query-side scan
 )
 
 
@@ -312,6 +313,7 @@ SHUFFLE_BUDGET = {
     "sample_importance_dsir": 3,  # two bucket aggs + doc scoring agg
     "text_phrase_search": 2,  # posting-list join + per-doc match agg
     "knn_matryoshka_eval": 1,  # both rank windows + the recall agg share one query_id shuffle
+    "search_rrf_fusion": 2,  # posting agg + doc scoring agg; 20-row rank frames are bounded
 }
 
 
