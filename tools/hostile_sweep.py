@@ -1,0 +1,73 @@
+"""Hostile-config registry sweep: every registered query vs its DuckDB
+oracle under a deliberately unfriendly session — the mechanical proof of
+the registry-wide order-free-math claim (SCALING.md "Config-robustness
+sweep").
+
+Two modes:
+
+- ``aqe_off`` — adaptive execution disabled, ``shuffle.partitions=5``:
+  different partition counts and merge orders, no runtime re-planning. A
+  float summed in partition order anywhere in a query would fail here.
+- ``tz`` — ``session.timeZone=America/New_York``, ``shuffle.partitions=1``:
+  proves the registry's per-query UTC pin shields every date/window
+  rendering from host-timezone misconfiguration.
+
+Streaming queries deliberately re-pin ``shuffle.partitions`` to the engine
+default when they run (state-store partitioning contract), so sorted
+execution order means batch names after ``streaming_*`` run at 32 — same
+methodology as the round-6 records.
+
+Usage: ``python tools/hostile_sweep.py aqe_off|tz [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "aqe_off"
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.master("local[32]").appName(f"hostile-{mode}")
+    if mode == "aqe_off":
+        b = b.config("spark.sql.adaptive.enabled", "false").config(
+            "spark.sql.shuffle.partitions", "5"
+        )
+    elif mode == "tz":
+        b = b.config("spark.sql.session.timeZone", "America/New_York").config(
+            "spark.sql.shuffle.partitions", "1"
+        )
+    else:
+        raise SystemExit(f"unknown mode: {mode}")
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from tests.oracle_check import compare
+
+    reg = load_all()
+    ok = fail = 0
+    for name in sorted(reg):
+        q = reg[name]
+        try:
+            df = q.fn(spark, sf)
+            if q.oracle is None:
+                assert df.count() >= 0
+            else:
+                compare(df, q.oracle, sf)
+            ok += 1
+        except Exception as e:  # report-and-continue: the count is the result
+            fail += 1
+            print(f"FAIL {name}: {str(e)[:300]}", flush=True)
+    print(f"{mode}: {ok} ok, {fail} fail of {len(reg)}", flush=True)
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
