@@ -477,3 +477,28 @@ def test_compaction_plan_bins_are_contiguous_and_start_bounded(spark, sf_smoke):
             # file's preceding-bytes DIV target
             assert r.bin == cum // _COMPACT_TARGET
             cum += r.bytes_total
+
+
+def test_hostile_sweep_runner_smoke(tmp_path):
+    """tools/hostile_sweep.py is the committed evidence runner for the
+    config-robustness records — it must actually run a query-vs-oracle
+    compare under the hostile confs and report the count. Subprocess on
+    purpose: the hostile session confs must not leak into the shared
+    test session."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SWEEP_QUERIES="dedup_exact,rosetta_date_format,window_session",
+    )
+    r = subprocess.run(
+        [_sys.executable, "tools/hostile_sweep.py", "tz", "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert r.returncode == 0, r.stdout[-1000:] + r.stderr[-1000:]
+    assert "tz: 3 ok, 0 fail of 3" in r.stdout

@@ -17,7 +17,8 @@ default when they run (state-store partitioning contract), so sorted
 execution order means batch names after ``streaming_*`` run at 32 — same
 methodology as the round-6 records.
 
-Usage: ``python tools/hostile_sweep.py aqe_off|tz [sf_dir]``
+Usage: ``python tools/hostile_sweep.py aqe_off|tz|plain [sf_dir]``
+(``plain`` = default session — the cross-SF parity sweep runner)
 """
 
 from __future__ import annotations
@@ -43,6 +44,11 @@ def main() -> int:
         b = b.config("spark.sql.session.timeZone", "America/New_York").config(
             "spark.sql.shuffle.partitions", "1"
         )
+    elif mode == "plain":
+        # no hostile confs — the harness doubles as the cross-SF parity
+        # sweep runner (SCALING.md "sf0.1 parity sweep"); a plain session
+        # is what the driver itself builds
+        b = b.config("spark.sql.shuffle.partitions", "32")
     else:
         raise SystemExit(f"unknown mode: {mode}")
     spark = b.getOrCreate()
@@ -52,8 +58,10 @@ def main() -> int:
     from tests.oracle_check import compare
 
     reg = load_all()
+    only = os.environ.get("SPARK_GRAFT_SWEEP_QUERIES")
+    names = sorted(n for n in reg if not only or n in only.split(","))
     ok = fail = 0
-    for name in sorted(reg):
+    for name in names:
         q = reg[name]
         try:
             df = q.fn(spark, sf)
@@ -65,7 +73,7 @@ def main() -> int:
         except Exception as e:  # report-and-continue: the count is the result
             fail += 1
             print(f"FAIL {name}: {str(e)[:300]}", flush=True)
-    print(f"{mode}: {ok} ok, {fail} fail of {len(reg)}", flush=True)
+    print(f"{mode}: {ok} ok, {fail} fail of {len(names)}", flush=True)
     return 1 if fail else 0
 
 
