@@ -171,6 +171,7 @@ OPTIONAL = [
     "streaming_drift_psi",
     "search_rrf_fusion",
     "knn_matryoshka_eval",
+    "dedup_winnowing",
 ]
 
 

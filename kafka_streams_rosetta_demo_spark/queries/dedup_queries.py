@@ -835,3 +835,103 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_floor_met"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnowing — MOSS-style sampled fingerprints with a match guarantee
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # shingle width (words)
+_WIN_W = 4  # winnowing window (shingle hashes per window)
+_WIN_MIN_SHARED = 2
+_WIN_TOPK = 20
+
+_WINNOW_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words
+  FROM documents WHERE len(string_split(text, ' ')) >= {_WIN_K + _WIN_W - 1}
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(words) - {_WIN_K - 2}),
+           i -> CAST('0x' || substr(md5(array_to_string(words[i:i+{_WIN_K - 1}], ' ')), 1, 15)
+                AS BIGINT)) AS h
+  FROM w
+),
+fp AS (
+  SELECT DISTINCT doc_id, f
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(h) - {_WIN_W - 2}),
+                                 i -> list_min(h[i:i+{_WIN_W - 1}]))) AS f
+    FROM hs
+  )
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON b.f = a.f AND b.doc_id > a.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_WIN_MIN_SHARED}
+ORDER BY n_shared DESC, doc_a, doc_b
+LIMIT {_WIN_TOPK}
+"""
+
+
+@register("dedup_winnowing", oracle=_WINNOW_ORACLE)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003, the MOSS fingerprinter): per
+    document, slide a w=4 window over the positional 3-gram hash sequence
+    and keep each window's MINIMUM — a ~1/w sample of the hashes that
+    still GUARANTEES any shared run of at least w+k-1 = 6 words between
+    two documents shares a fingerprint (every length-6 match spans a full
+    window on both sides, and both windows pick the same minimum). That
+    guarantee is what separates winnowing from naive hash sampling, and
+    the 1/w storage factor is the 100 TB argument: the fingerprint index
+    is a quarter of `dedup_span_duplicates`' exact all-spans table, with
+    provable (not probabilistic) recall for long matches. The guarantee
+    is pinned mechanically in `tests/test_round7_ops.py`.
+
+    Plan: fingerprint selection is entirely per-row JVM HOFs (transform /
+    slice / array_min — one scan, no explode until the distinct
+    fingerprint set, which is ≤ spans/w rows per doc); candidate pairs
+    come from the fingerprint inverted index (equi-self-join on the
+    fingerprint value — posting-list bytes through the shuffle, Σ|posting|²
+    candidate cost like every banding family member, never all-pairs);
+    ranking is TakeOrderedAndProject."""
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    words = F.split(F.lower("text"), " ")
+    eligible = docs.where(F.size(F.split("text", " ")) >= _WIN_K + _WIN_W - 1)
+    h = F.expr(
+        f"transform(sequence(1, size(words) - {_WIN_K - 1}),"
+        f" i -> CAST(conv(substring(md5(concat_ws(' ', slice(words, i, {_WIN_K}))), 1, 15), 16, 10)"
+        f" AS BIGINT))"
+    )
+    fps = (
+        eligible.select("doc_id", words.alias("words"))
+        .select("doc_id", h.alias("h"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(h) - {_WIN_W - 1}),"
+                        f" i -> array_min(slice(h, i, {_WIN_W})))"
+                    )
+                )
+            ).alias("f"),
+        )
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "f")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "f")
+    return (
+        a.join(b, "f")
+        .where(F.col("doc_b") > F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(_WIN_TOPK)
+    )

@@ -314,6 +314,7 @@ SHUFFLE_BUDGET = {
     "text_phrase_search": 2,  # posting-list join + per-doc match agg
     "knn_matryoshka_eval": 1,  # both rank windows + the recall agg share one query_id shuffle
     "search_rrf_fusion": 2,  # posting agg + doc scoring agg; 20-row rank frames are bounded
+    "dedup_winnowing": 2,  # fingerprint self-join + pair count; selection is per-row
 }
 
 

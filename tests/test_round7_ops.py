@@ -502,3 +502,61 @@ def test_hostile_sweep_runner_smoke(tmp_path):
     )
     assert r.returncode == 0, r.stdout[-1000:] + r.stderr[-1000:]
     assert "tz: 3 ok, 0 fail of 3" in r.stdout
+
+
+def test_winnowing_guarantee_long_matches_share_a_fingerprint(spark):
+    """The winnowing theorem, checked mechanically: any two documents
+    sharing a run of at least w + k - 1 = 6 words MUST share at least one
+    selected fingerprint (the shared run spans a complete hash window on
+    both sides, and min-selection picks the same value from identical
+    windows). Docs with NO 6-word overlap may or may not collide — only
+    the positive guarantee is a theorem, and that is what's pinned."""
+    from pyspark.sql import functions as F
+
+    shared_run = "alpha beta gamma delta epsilon zeta"  # exactly 6 words
+    rows = [
+        (1, f"xx yy {shared_run} zz"),
+        (2, f"aa {shared_run} bb cc"),
+        (3, "one two three four five six seven eight"),
+        # doc 4 shares only a 5-word run with doc 1 — BELOW the guarantee
+        (4, "pp qq alpha beta gamma delta epsilon rr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from kafka_streams_rosetta_demo_spark.queries.dedup_queries import (
+        _WIN_K,
+        _WIN_W,
+    )
+
+    words = F.split(F.lower("text"), " ")
+    h = F.expr(
+        f"transform(sequence(1, size(words) - {_WIN_K - 1}),"
+        f" i -> CAST(conv(substring(md5(concat_ws(' ', slice(words, i, {_WIN_K}))), 1, 15), 16, 10)"
+        f" AS BIGINT))"
+    )
+    fps = (
+        docs.where(F.size(words) >= _WIN_K + _WIN_W - 1)
+        .select("doc_id", words.alias("words"))
+        .select("doc_id", h.alias("h"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(h) - {_WIN_W - 1}),"
+                        f" i -> array_min(slice(h, i, {_WIN_W})))"
+                    )
+                )
+            ).alias("f"),
+        )
+    )
+    by_doc = {
+        r.doc_id: set(r.fs)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("f").alias("fs")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "6-word shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]), "disjoint docs should not collide here"
+    # storage win: fingerprints per doc ≈ spans/w, strictly fewer than spans
+    n_words = len(rows[0][1].split())
+    n_spans = n_words - _WIN_K + 1
+    assert len(by_doc[1]) < n_spans
