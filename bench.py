@@ -172,6 +172,7 @@ OPTIONAL = [
     "search_rrf_fusion",
     "knn_matryoshka_eval",
     "dedup_winnowing",
+    "agg_selfjoin_size_cms",
 ]
 
 

@@ -3496,3 +3496,90 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hour").alias("last_hour"),
         (F.count(F.lit(1)) > 1).alias("worth_compacting"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_selfjoin_size_cms — F2 / self-join size from one sketch (AMS use case)
+# ---------------------------------------------------------------------------
+
+_F2_DEPTH = 4
+_F2_WIDTH = 262_144
+
+_F2_ORACLE = f"""
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(k), 1, 15) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(reverse(k)), 1, 15) AS BIGINT) AS h2
+  FROM (SELECT CAST(user_id AS VARCHAR) AS k FROM events)
+),
+cells AS (
+  SELECT d.d, (h1 + d.d * h2) % {_F2_WIDTH} AS bucket, count(*) AS c
+  FROM h CROSS JOIN (SELECT unnest(range({_F2_DEPTH})) AS d) d
+  GROUP BY 1, 2
+),
+x AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+)
+SELECT exact_f2, n_events, n_keys, TRUE AS within_bound FROM x
+"""
+
+
+@register("agg_selfjoin_size_cms", oracle=_F2_ORACLE)
+def agg_selfjoin_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join size (the F2 frequency moment) of events on ``user_id``
+    from ONE count-min sketch — the classic AMS planner primitive: F2/n²
+    is the skew concentration a planner reads before committing a shuffle
+    on this key, and Σf² is exactly the row count a self-join on it would
+    produce. The estimate is the sketch's inner product with itself
+    (min over depths of Σ_b c[d,b]²) — built map-side, the bounded cell
+    grid is the ONLY shuffle, and the sketch is the mergeable table stat
+    a 100 TB lakehouse keeps per partition. The guarantee is the CMS
+    one: estimate ≥ exact, and ≤ exact + 3·n²/width per depth w.h.p. —
+    and because the events-per-key density (n/keys) is what grows at
+    scale while the key DOMAIN grows slower, the additive n²/width term
+    stays a small fraction of F2 ≈ n²/keys whenever keys ≪ width: the
+    relative error is ~3·keys/width regardless of data volume. (The
+    PK-FK cross-table variant inverts that ratio — n_a·n_b/width against
+    a linear join size — which is why planners use distinct-key sketches
+    there and reserve the inner product for self-join/skew, as here.)
+
+    Gate contract (X80): the query pays the exact per-key aggregate
+    (what the sketch exists to avoid) and emits it with the
+    within-bound flag for the deterministic md5-hashed estimate; the
+    oracle emits exact + TRUE. Integer arithmetic throughout."""
+    from ..operators.sketches import cms_build
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    cells = cms_build(ev, "k", _F2_DEPTH, _F2_WIDTH)
+    est = (
+        cells.groupBy("d")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("dot"))
+        .agg(F.min("dot").alias("est"))
+    )
+    exact = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).alias("exact_f2"),
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+    )
+    bound = (
+        F.col("exact_f2").cast("double")
+        + F.lit(3.0) * F.col("n_events").cast("double") * F.col("n_events") / _F2_WIDTH
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_f2",
+        "n_events",
+        "n_keys",
+        (
+            (F.col("est") >= F.col("exact_f2"))
+            & (F.col("est").cast("double") <= bound)
+        ).alias("within_bound"),
+    )

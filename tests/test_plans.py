@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "knn_matryoshka_eval",  # same declared bounded-|Q| exact-kNN shape
     "layout_zorder_pruning",  # 1-row min/max-bounds frame broadcast into the row map
     "corpus_perplexity_buckets",  # 1-row n_docs scalar broadcast for the bucket DIV
+    "agg_selfjoin_size_cms",  # 1-row sketch-estimate frame broadcast onto the exact row
 }
 
 # Queries whose parquet scan must carry pushed filters: each has a selective
@@ -315,6 +316,7 @@ SHUFFLE_BUDGET = {
     "knn_matryoshka_eval": 1,  # both rank windows + the recall agg share one query_id shuffle
     "search_rrf_fusion": 2,  # posting agg + doc scoring agg; 20-row rank frames are bounded
     "dedup_winnowing": 2,  # fingerprint self-join + pair count; selection is per-row
+    "agg_selfjoin_size_cms": 3,  # cell grid + exact per-key agg + its rollup
 }
 
 
