@@ -560,3 +560,49 @@ def test_winnowing_guarantee_long_matches_share_a_fingerprint(spark):
     n_words = len(rows[0][1].split())
     n_spans = n_words - _WIN_K + 1
     assert len(by_doc[1]) < n_spans
+
+
+def test_zorder_interleave_is_bijective_and_tile_local():
+    """Property-pin the generated interleave arithmetic (the SAME source
+    string both engines execute): it must be a bijection of the
+    1024x1024 grid, and its 64 fixed-width files must be exactly the
+    Morton order of the 8x8 tile grid — i.e. z DIV cell == interleave of
+    (x DIV 128, y DIV 128). That tile identity IS the pruning property
+    the layout query measures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_streams_rosetta_demo_spark.queries.relational_queries import (
+        _Z_BITS,
+        _Z_CELL,
+        _z_interleave,
+    )
+
+    expr = _z_interleave("//")
+
+    def z_of(x, y):
+        return eval(expr, {}, {"x": x, "y": y})  # pure integer arithmetic
+
+    def morton(a, b, bits):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    @given(
+        st.integers(0, 2**_Z_BITS - 1),
+        st.integers(0, 2**_Z_BITS - 1),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(x, y):
+        z = z_of(x, y)
+        assert z == morton(x, y, _Z_BITS)  # the arithmetic IS bit interleave
+        # bijectivity: de-interleave recovers (x, y)
+        rx = sum(((z >> (2 * i)) & 1) << i for i in range(_Z_BITS))
+        ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(_Z_BITS))
+        assert (rx, ry) == (x, y)
+        # tile locality: the file id is the Morton index of the tile pair
+        assert z // _Z_CELL == morton(x // 128, y // 128, 3)
+
+    check()
