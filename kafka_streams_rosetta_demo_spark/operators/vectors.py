@@ -43,18 +43,43 @@ BROADCAST_QUERY_CAP = 4096
 
 
 def capped_query_set(q: DataFrame, cap: int = BROADCAST_QUERY_CAP) -> DataFrame:
-    """Enforce the broadcast-kNN legality cap: raise when the query set
-    exceeds ``cap`` rows instead of silently planning an all-pairs scan.
-    The probe is ``limit(cap+1).count()`` — it never scans past cap+1 rows,
-    so the check stays O(cap) even when someone passes the whole corpus."""
-    n = q.limit(cap + 1).count()
-    if n > cap:
-        raise ValueError(
-            f"query set exceeds the broadcast-kNN cap ({n-1}+ > {cap} rows): "
-            "a BroadcastNestedLoopJoin over this set is quadratic work and a "
-            "broadcast OOM at scale — use the IVF path or chunk the queries"
-        )
-    return q
+    """Enforce the broadcast-kNN legality cap INSIDE the plan: the returned
+    frame has exactly ``q``'s rows, but any action over it raises when the
+    query set exceeds ``cap`` rows — never a silent all-pairs scan.
+
+    The guard is lazy by construction (ADVICE r7: the previous
+    ``limit(cap+1).count()`` probe ran an eager Spark job at
+    plan-construction time, making every kNN query builder pay an extra
+    scan job): a 1-row ``count(limit(cap+1))`` aggregate — O(cap) work, it
+    never scans past cap+1 rows even when someone passes the whole corpus —
+    carries an ``assert_true`` that detonates at EXECUTION time, and is
+    broadcast-cross-joined back onto ``q`` (1 row × q = q, a
+    constant-size IdentityBroadcastMode side, no hash exchange). Plan cost:
+    one SinglePartition exchange over ≤ cap+1 rows, amortized into the
+    query's own run."""
+    probe = (
+        q.limit(cap + 1)
+        .select(F.lit(1).alias("__one"))
+        .agg(F.count("__one").alias("__query_set_rows"))
+    )
+    # The assert lives in a FILTER on the 1-row probe (assert_true yields
+    # NULL when the predicate holds, so isNull keeps the row; past the cap
+    # it throws instead) — as a projected-then-dropped column the optimizer
+    # would prune the side effect away.
+    guard = probe.where(
+        F.assert_true(
+            F.col("__query_set_rows") <= F.lit(cap),
+            F.format_string(
+                "query set exceeds the broadcast-kNN cap (%d+ > %d rows): "
+                "a BroadcastNestedLoopJoin over this set is quadratic work "
+                "and a broadcast OOM at scale — use the IVF path or chunk "
+                "the queries",
+                F.col("__query_set_rows") - F.lit(1),
+                F.lit(cap),
+            ),
+        ).isNull()
+    ).select(F.lit(1).alias("__cap_ok"))
+    return q.crossJoin(F.broadcast(guard)).drop("__cap_ok")
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -1448,6 +1448,15 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = w.withColumn("rt", F.sum("rc1").over(win)).withColumn(
         "tt", F.sum("tc1").over(win)
     )
+    # ln-quantization boundary risk, accepted (canonical note — the PSI /
+    # Zipf / perplexity queries carry the same pattern): unlike sqrt, ln is
+    # not IEEE-754 correctly-rounded, so Spark's Math.log and DuckDB's libm
+    # log may disagree by 1 ulp; a disagreement landing EXACTLY on a
+    # floor(x*Q + 0.5) boundary would flip the integer and fail the hash
+    # compare. Precedent: text_lm_logprob has used this quantization since
+    # r5 with zero flips across seven rounds of driver sweeps at three
+    # scale factors. If one of these queries ever fails a sweep by exactly
+    # one quantum, suspect this boundary before suspecting the plan.
     lw = w.select(
         "bkt",
         F.floor(

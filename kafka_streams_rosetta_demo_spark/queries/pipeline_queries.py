@@ -1161,6 +1161,8 @@ def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
     cp = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    # ln-quantization boundary risk accepted — canonical note at
+    # corpus_queries.sample_importance_dsir.
     t_micro = F.floor(
         F.log(F.col("c2").cast("double") / F.col("c1")) * 1_000_000 + F.lit(0.5)
     ).cast("long")
@@ -2224,6 +2226,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _ZIPF_K)
         .select(
+            # ln-quantization boundary risk accepted — canonical note at
+            # corpus_queries.sample_importance_dsir.
             F.floor(F.log(F.col("rank").cast("double")) * 1000)
             .cast("long")
             .alias("x"),

@@ -2822,7 +2822,6 @@ def profile_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification HARNESS, not the operator — at 100 TB only the approx
     frame runs, which is why it exists as a separately-timeable function
     (sweep row in SCALING.md) instead of prose."""
-    o = _t(spark, sf_dir, "orders")
     approx = profile_column_stats_approx_production(spark, sf_dir).select(
         "col_name", "approx_distinct"
     )
@@ -3252,6 +3251,8 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(base_n + 1) * 1000000L DIV tb").alias("p_ppm"),
         F.expr("(curr_n + 1) * 1000000L DIV tc").alias("q_ppm"),
     )
+    # ln-quantization boundary risk accepted — canonical note at
+    # corpus_queries.sample_importance_dsir.
     contrib = (
         (F.col("p_ppm") - F.col("q_ppm"))
         * F.floor(

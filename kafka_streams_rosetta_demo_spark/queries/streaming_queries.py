@@ -974,6 +974,8 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(base_n + 1) * 1000000L DIV tb").alias("p_ppm"),
         F.expr("(curr_n + 1) * 1000000L DIV tc").alias("q_ppm"),
     )
+    # ln-quantization boundary risk accepted — canonical note at
+    # corpus_queries.sample_importance_dsir.
     contrib = (
         (F.col("p_ppm") - F.col("q_ppm"))
         * F.floor(

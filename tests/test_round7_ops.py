@@ -223,8 +223,14 @@ def test_registry_only_smoke_leg_against_stub(spark):
 
 def test_broadcast_knn_query_cap(spark, sf_smoke):
     """The exact-kNN BNLJ is declared legal in tests/test_plans.py only for
-    a bounded query set; capped_query_set is the enforcement: pass-through
-    under the cap, ValueError past it (never a silent all-pairs plan)."""
+    a bounded query set; capped_query_set is the enforcement — LAZY since
+    r8 (ADVICE r7: the old eager limit-count probe ran a Spark job at
+    plan-construction time): building the guarded frame runs NO job, rows
+    pass through unchanged under the cap, and any action past the cap
+    detonates the in-plan assert_true (never a silent all-pairs plan)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
     from kafka_streams_rosetta_demo_spark.operators.vectors import (
         BROADCAST_QUERY_CAP,
         capped_query_set,
@@ -233,15 +239,19 @@ def test_broadcast_knn_query_cap(spark, sf_smoke):
         knn_brute_force,
     )
 
-    small = spark.range(10)
-    assert capped_query_set(small) is small
+    # lazy: construction triggers no job, and rows are preserved exactly
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    guarded_small = capped_query_set(spark.range(10))
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "guard construction must not run a job"
+    assert sorted(r.id for r in guarded_small.collect()) == list(range(10))
 
-    big = spark.range(BROADCAST_QUERY_CAP + 1)
-    with pytest.raises(ValueError, match="broadcast-kNN cap"):
-        capped_query_set(big)
+    big = capped_query_set(spark.range(BROADCAST_QUERY_CAP + 1))
+    with pytest.raises((PySparkException, Py4JJavaError), match="broadcast-kNN cap"):
+        big.collect()
     # a tighter explicit cap also enforces
-    with pytest.raises(ValueError, match="broadcast-kNN cap"):
-        capped_query_set(spark.range(5), cap=4)
+    with pytest.raises((PySparkException, Py4JJavaError), match="broadcast-kNN cap"):
+        capped_query_set(spark.range(5), cap=4).collect()
 
     # the registered query (|Q| = 8) still runs through the guard
     assert knn_brute_force(spark, sf_smoke).count() > 0

@@ -66,7 +66,14 @@ def main() -> int:
         try:
             df = q.fn(spark, sf)
             if q.oracle is None:
-                assert df.count() >= 0
+                # No oracle → the sweep's invariant is "executes AND
+                # produces rows under the hostile conf". Every fixture
+                # guarantees non-empty output for registered queries, so a
+                # zero-row result under a hostile conf IS a finding (today
+                # this branch is dead — all 202 queries carry oracles — but
+                # a future oracle-less registration must not get a
+                # can't-fail count>=0 check).
+                assert df.count() > 0, f"{name}: zero rows under hostile conf"
             else:
                 compare(df, q.oracle, sf)
             ok += 1
