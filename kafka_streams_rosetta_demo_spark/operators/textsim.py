@@ -403,6 +403,51 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS sampler):
+    per document, hash every positional word-``k``-gram, slide a window of
+    ``w`` consecutive hashes, and keep each window's MINIMUM — a ~1/w
+    sample that still GUARANTEES any shared run of at least ``w+k-1``
+    words between two documents shares a fingerprint (a length-(w+k-1)
+    match spans one full hash window on both sides, and both windows pick
+    the same minimum). Returns the distinct ``(id_col, f)`` fingerprint
+    set — the inverted-index input.
+
+    Selection is entirely per-row JVM HOFs (transform / slice / array_min)
+    inside one scan; no explode until the distinct fingerprint set, which
+    is at most spans/w rows per doc. Documents shorter than ``w+k-1``
+    words have no full window and produce no fingerprints (callers that
+    screen batches must carry such docs through a left join)."""
+    words = F.split(F.lower(text_col), " ")
+    eligible = docs.where(F.size(F.split(text_col, " ")) >= k + w - 1)
+    h = F.expr(
+        f"transform(sequence(1, size(words) - {k - 1}),"
+        f" i -> CAST(conv(substring(md5(concat_ws(' ', slice(words, i, {k}))), 1, 15), 16, 10)"
+        f" AS BIGINT))"
+    )
+    return (
+        eligible.select(id_col, words.alias("words"))
+        .select(id_col, h.alias("h"))
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(h) - {w - 1}),"
+                        f" i -> array_min(slice(h, i, {w})))"
+                    )
+                )
+            ).alias("f"),
+        )
+    )
+
+
 def simhash_signature(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash over a frame carrying a distinct ``shingles`` array
     (unit weights).

@@ -40,6 +40,7 @@ _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _ORDERED_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS075_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_WINNOW_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def clear_shingle_artifacts() -> None:
@@ -49,6 +50,13 @@ def clear_shingle_artifacts() -> None:
     _ORDERED_CACHE.clear()
     _PAIRS075_CACHE.clear()
     _SIG_CACHE.clear()
+
+
+def clear_winnowing_artifacts() -> None:
+    """Drop the memoized winnowing fingerprint index (bench cost policy:
+    its build is charged to ``dedup_winnowing``, the family's first
+    member; ``dedup_winnowing_screen`` rides it warm)."""
+    _WINNOW_CACHE.clear()
 
 
 def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,3 +141,28 @@ def jaccard_pairs_075(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     _PAIRS075_CACHE[key] = pairs
     return pairs
+
+
+def winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus winnowing fingerprint index: distinct ``(doc_id, f)``
+    over ALL documents (k=3 word-grams, w=4 windows — the MOSS sampler).
+    Because the fingerprint selection is a PER-DOCUMENT function (each
+    doc's window minima depend only on its own hash sequence), the index
+    over the full corpus restricts to any subset split exactly — a
+    batch/corpus split of the same corpus reads its two sides from this
+    one table, which is the cross-set screen's warm-artifact guarantee.
+    At cluster scale this is the ~1/w-sized fingerprint table a pipeline
+    materializes next to the corpus snapshot and probes per ingest."""
+    from ..operators.textsim import winnow_fingerprints
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _WINNOW_CACHE.get(key)
+    if got is not None:
+        return got
+    fps = winnow_fingerprints(
+        rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text")),
+        k=3,
+        w=4,
+    ).localCheckpoint(eager=True)
+    _WINNOW_CACHE[key] = fps
+    return fps
