@@ -195,8 +195,10 @@ OPTIONAL = [
     "dedup_winnowing",
     "agg_selfjoin_size_cms",
     # round 8: incremental winnowing screen — rides the warm fingerprint
-    # index whose build dedup_winnowing charges
+    # index whose build dedup_winnowing charges — and its streaming twin
+    # (the per-ingest gate run AS the ingest, three micro-batches)
     "dedup_winnowing_screen",
+    "streaming_winnowing_screen",
 ]
 
 

@@ -1004,3 +1004,106 @@ def _psi_share_oracle() -> None:
 
 
 _psi_share_oracle()
+
+
+@register(
+    "streaming_winnowing_screen",
+    oracle=None,  # assigned below — shares the batch screen's SQL verbatim
+)
+def streaming_winnowing_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X143 per-ingest dedup screen run AS the ingest: the new-doc
+    batch arrives as a STREAM (three staged parquet files, one per
+    micro-batch), each micro-batch fingerprints only its own documents
+    (winnowing is per-document, so fingerprints never cross micro-batch
+    boundaries and the screen needs NO streaming state — the one dedup
+    shape where statelessness is exact, unlike cross-batch dedup which
+    needs the watermarked state of ``streaming_dedup_events``), probes the
+    STATIC corpus fingerprint index (the memoized family artifact — at
+    100 TB a bucketed table the ingest job reads, not rebuilds), and
+    appends its keep/drop verdicts to the executor-side changelog. Final
+    compacted output must hash-match the batch screen's oracle verbatim —
+    the strongest proof the continuous path computes the identical gate.
+
+    Plan per micro-batch: per-row JVM fingerprinting of the arriving docs
+    → equi-join on fingerprint value against the corpus index (batch
+    posting lists vs corpus posting lists — candidate-bounded, never
+    all-pairs) → the >=2-shared pair gate → per-doc match count → left
+    join back onto the arriving docs (coverage guard: short docs carry
+    through). Each doc appears in exactly one micro-batch, so per-batch
+    aggregation is globally correct and the changelog holds one row per
+    doc."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.textsim import winnow_fingerprints
+    from ..sources.parquet import load_table
+    from .artifacts import winnowing_index
+    from .dedup_queries import _WIN_MIN_SHARED
+
+    # same T7 state-partition pin as _events_stream
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    corpus_fp = (
+        winnowing_index(spark, sf_dir)
+        .where(F.col("doc_id") % 5 != 0)
+        .select(F.col("doc_id").alias("corpus_id"), "f")
+    )
+
+    def screen_batch(batch_df: DataFrame) -> DataFrame:
+        fps = winnow_fingerprints(batch_df)
+        pair = (
+            fps.join(corpus_fp, "f")
+            .groupBy("doc_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+        )
+        dups = pair.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        return batch_df.select("doc_id").join(dups, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_corpus_matches"),
+            (F.coalesce("n", F.lit(0)) == 0).alias("keep"),
+        )
+
+    staged = tempfile.mkdtemp(prefix="winnow_ingest_")
+    try:
+        (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "text")
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        with tempfile.TemporaryDirectory(prefix="ckpt_wws_") as ckpt, (
+            tempfile.TemporaryDirectory(prefix="sink_wws_")
+        ) as out_dir:
+            return run_update_query_to_df(
+                stream, ["doc_id"], ckpt, out_dir, batch_fn=screen_batch
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+def _winnow_screen_share_oracle() -> None:
+    """Bind the streaming screen's oracle to the batch screen's SQL — one
+    source of truth (the _psi_share_oracle pattern)."""
+    import dataclasses
+
+    from . import REGISTRY
+    from .dedup_queries import _WINNOW_SCREEN_ORACLE
+
+    REGISTRY["streaming_winnowing_screen"] = dataclasses.replace(
+        REGISTRY["streaming_winnowing_screen"], oracle=_WINNOW_SCREEN_ORACLE
+    )
+
+
+_winnow_screen_share_oracle()

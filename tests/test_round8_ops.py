@@ -256,3 +256,25 @@ def test_bench_basket_resolves_and_sections_cover_it():
     bounds = bench.section_bounds(len(names), bench.BENCH_SECTIONS)
     reassembled = [n for lo, hi in bounds for n in names[lo:hi]]
     assert reassembled == names
+
+
+def test_streaming_winnowing_screen_equals_batch_twin(spark, sf_smoke):
+    """The continuous ingest screen must compute the identical gate as the
+    batch screen — same verdict per doc, full batch coverage (the oracle
+    gate pins this against DuckDB; this pin is the Spark-side twin equality
+    plus the multi-micro-batch claim: three staged files means the per-batch
+    aggregation really ran incrementally, not as one batch)."""
+    from kafka_streams_rosetta_demo_spark.queries.dedup_queries import (
+        dedup_winnowing_screen,
+    )
+    from kafka_streams_rosetta_demo_spark.queries.streaming_queries import (
+        streaming_winnowing_screen,
+    )
+
+    batch = dedup_winnowing_screen(spark, sf_smoke)
+    stream = streaming_winnowing_screen(spark, sf_smoke)
+    assert stream.count() == batch.count()
+    assert (
+        stream.exceptAll(batch).count() == 0
+        and batch.exceptAll(stream).count() == 0
+    )
