@@ -318,6 +318,8 @@ SHUFFLE_BUDGET = {
     "search_rrf_fusion": 2,  # posting agg + doc scoring agg; 20-row rank frames are bounded
     "dedup_winnowing": 2,  # fingerprint self-join + pair count; selection is per-row
     "agg_selfjoin_size_cms": 3,  # cell grid + exact per-key agg + its rollup
+    # round-8 addition
+    "dedup_winnowing_screen": 3,  # f-probe join + pair gate + per-doc count; final left join broadcasts
 }
 
 

@@ -98,12 +98,14 @@ def sf_value(d: str) -> float:
 def clear_caches() -> None:
     from kafka_streams_rosetta_demo_spark.queries.artifacts import (
         clear_shingle_artifacts,
+        clear_winnowing_artifacts,
     )
     from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
         clear_cc_labels_cache,
     )
 
     clear_shingle_artifacts()
+    clear_winnowing_artifacts()
     clear_cc_labels_cache()
 
 
