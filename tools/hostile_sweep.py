@@ -49,6 +49,15 @@ def main() -> int:
         # sweep runner (SCALING.md "sf0.1 parity sweep"); a plain session
         # is what the driver itself builds
         b = b.config("spark.sql.shuffle.partitions", "32")
+    elif mode == "default200":
+        # Spark's OUT-OF-THE-BOX session: shuffle.partitions=200 (the
+        # stock default), AQE on, host TZ — the exact session a user gets
+        # from a bare SparkSession.builder. The other modes are
+        # deliberately unfriendly; this one is merely UNTUNED, and it is
+        # the most likely real-world misconfiguration (the registry's
+        # per-query UTC pin and the streaming queries' partition re-pin
+        # are what make it safe).
+        pass
     else:
         raise SystemExit(f"unknown mode: {mode}")
     spark = b.getOrCreate()
