@@ -676,3 +676,44 @@ def test_bin_bucketed_range_join_matches_naive_model(spark, data):
         if s <= t < s + ln
     )
     assert got == want
+
+
+@given(
+    word_lists=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=10),
+        min_size=2,
+        max_size=8,
+    ),
+    run=st.lists(st.sampled_from("pqrstu"), min_size=6, max_size=9),
+    data=st.data(),
+)
+@SETTINGS
+def test_winnowing_guarantee_property(spark, word_lists, run, data):
+    """The winnowing theorem on arbitrary corpora: plant a shared run of
+    >= w + k - 1 = 6 words (from a vocabulary disjoint from the background
+    docs) at a random position inside two random documents — the two MUST
+    share at least one selected fingerprint, whatever surrounds the run.
+    This is the match guarantee both winnowing screens rely on, pinned on
+    the production operator over inputs the parquet fixtures never contain
+    (empty docs, doc-sized runs, runs at either boundary)."""
+    from kafka_streams_rosetta_demo_spark.operators.textsim import (
+        winnow_fingerprints,
+    )
+
+    a_idx = data.draw(st.integers(0, len(word_lists) - 1))
+    b_idx = data.draw(
+        st.integers(0, len(word_lists) - 1).filter(lambda i: i != a_idx)
+    )
+    docs = []
+    for i, ws in enumerate(word_lists):
+        if i in (a_idx, b_idx):
+            pos = data.draw(st.integers(0, len(ws)))
+            ws = ws[:pos] + run + ws[pos:]
+        docs.append((i, " ".join(ws)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=3, w=4)
+    a = {r.f for r in fps.where(f"doc_id = {a_idx}").collect()}
+    b = {r.f for r in fps.where(f"doc_id = {b_idx}").collect()}
+    assert a & b, (
+        f"docs {a_idx}/{b_idx} share a {len(run)}-word run but no fingerprint"
+    )

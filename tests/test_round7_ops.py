@@ -533,33 +533,17 @@ def test_winnowing_guarantee_long_matches_share_a_fingerprint(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
+    from kafka_streams_rosetta_demo_spark.operators.textsim import (
+        winnow_fingerprints,
+    )
     from kafka_streams_rosetta_demo_spark.queries.dedup_queries import (
         _WIN_K,
         _WIN_W,
     )
 
-    words = F.split(F.lower("text"), " ")
-    h = F.expr(
-        f"transform(sequence(1, size(words) - {_WIN_K - 1}),"
-        f" i -> CAST(conv(substring(md5(concat_ws(' ', slice(words, i, {_WIN_K}))), 1, 15), 16, 10)"
-        f" AS BIGINT))"
-    )
-    fps = (
-        docs.where(F.size(words) >= _WIN_K + _WIN_W - 1)
-        .select("doc_id", words.alias("words"))
-        .select("doc_id", h.alias("h"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, size(h) - {_WIN_W - 1}),"
-                        f" i -> array_min(slice(h, i, {_WIN_W})))"
-                    )
-                )
-            ).alias("f"),
-        )
-    )
+    # since r8 the selection lives in the shared operator (the registered
+    # queries and this pin exercise the SAME code path, not a copy)
+    fps = winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
     by_doc = {
         r.doc_id: set(r.fs)
         for r in fps.groupBy("doc_id").agg(F.collect_set("f").alias("fs")).collect()
