@@ -36,6 +36,14 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     b = SparkSession.builder.master("local[32]").appName(f"hostile-{mode}")
+    # The sweep session is deliberately BARE (the driver's own session is
+    # bare too), which means Spark's 1g default driver heap — correct for
+    # the gate/bench scale factors, but a 20x-bench-volume leg (sf2.0) OOMs
+    # on the larger localCheckpoint artifacts. Opt-in override only; unset
+    # = the same bare session every prior sweep record used.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        b = b.config("spark.driver.memory", mem)
     if mode == "aqe_off":
         b = b.config("spark.sql.adaptive.enabled", "false").config(
             "spark.sql.shuffle.partitions", "5"
