@@ -278,3 +278,31 @@ def test_streaming_winnowing_screen_equals_batch_twin(spark, sf_smoke):
         stream.exceptAll(batch).count() == 0
         and batch.exceptAll(stream).count() == 0
     )
+
+
+def test_bench_parent_falls_back_inline_when_spawn_fails(monkeypatch, tmp_path, capsys):
+    """If section subprocesses cannot spawn (restricted environments), the
+    parent must run each section inline and still honor the one-JSON-line
+    driver contract — isolation degrades, the bench never breaks. Simulated
+    by pointing bench.__file__ at a nonexistent path (spawn raises) and
+    stubbing the section runner; BENCH_LOCAL lands in tmp, not the repo."""
+    import json as _json
+
+    import bench
+
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "BENCH_SECTIONS", 2)
+    monkeypatch.setattr(
+        bench,
+        "run_section",
+        lambda s: {"rosetta_enriched": 1.5} if s == 0 else {"dedup_exact": 0.5},
+    )
+    bench.main()
+    err = capsys.readouterr()
+    out_lines = [l for l in err.out.strip().splitlines() if l.startswith("{")]
+    d = _json.loads(out_lines[-1])
+    assert d["queries"] == {"rosetta_enriched": 1.5, "dedup_exact": 0.5}
+    assert d["value"] == 1.5  # headline sum counts only headline names
+    assert d["extended_total"] == 2.0
+    assert "running inline" in err.err
+    assert (tmp_path / "BENCH_LOCAL.json").exists()
