@@ -7,9 +7,11 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 
 Each query executes to completion through the noop sink — full plan runs on
 the cluster, no driver-side row transfer distorting the timing. Each query is
-timed ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) and the reported figure
-is the MEDIAN — single-shot timings made round-over-round deltas
-unattributable (noise vs real regression); the median of three pins them.
+timed ``$SPARK_GRAFT_BENCH_REPS`` times (default 3): ``queries`` reports the
+per-query MEDIAN and ``query_reps`` the raw per-rep wall times (round 9,
+VERDICT r8 task 3) — a single outlier rep reads as environment noise, all
+reps shifted reads as regression, attributable from the artifact alone
+without cross-referencing other rounds' runs.
 
 Process isolation (round 8, VERDICT r7 task 1): a single long-lived local
 JVM ages — broadcast and localCheckpoint blocks are only dropped when the
@@ -36,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import signal
 import statistics
 import subprocess
 import sys
@@ -252,9 +255,22 @@ def section_bounds(n: int, sections: int) -> list[tuple[int, int]]:
     ]
 
 
-def run_section(section: int) -> dict[str, float]:
+def section_timeout() -> int:
+    """Per-section wall ceiling, scale-factor aware: 3600 s covers sf0.1
+    with ~10x headroom; larger SFs scale it linearly so a legitimately
+    long sf1/sf2 run is not killed as a hang. Overridable for CI."""
+    override = int(os.environ.get("SPARK_GRAFT_BENCH_SECTION_TIMEOUT", "0"))
+    if override > 0:
+        return override
+    return max(3600, int(3600 * sf_from_dir(SF_DIR) / 0.1))
+
+
+def run_section(section: int) -> dict[str, dict[str, object]]:
     """Execute one contiguous slice of the basket in THIS process: build a
-    fresh session, warm it up, time each query median-of-REPS."""
+    fresh session, warm it up, time each query median-of-REPS. Returns
+    ``{"timings": {name: median_sec}, "rep_times": {name: [per-rep sec]}}``
+    — the raw reps travel into the artifact so noise (one outlier rep) is
+    distinguishable from regression (all reps shifted) without re-running."""
     from kafka_streams_rosetta_demo_spark.session import get_spark
     from kafka_streams_rosetta_demo_spark.sources.parquet import (
         load_table as load_parquet_table,
@@ -264,7 +280,7 @@ def run_section(section: int) -> dict[str, float]:
     lo, hi = section_bounds(len(names), BENCH_SECTIONS)[section]
     names = names[lo:hi]
     if not names:
-        return {}
+        return {"timings": {}, "rep_times": {}}
 
     spark = get_spark(app_name=f"rosetta-bench-s{section}")
 
@@ -280,6 +296,7 @@ def run_section(section: int) -> dict[str, float]:
             pass
 
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     for qi, name in enumerate(names):
         # Within a section the same aging applies at small scale; an
         # explicit GC between queries (never inside a timed region) keeps
@@ -338,42 +355,69 @@ def run_section(section: int) -> dict[str, float]:
             qfn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(reps), 3)
+        rep_times[name] = [round(r, 3) for r in reps]
         print(
             f"  {name}: median {timings[name]:.3f}s "
             f"(runs: {', '.join(f'{r:.3f}' for r in reps)})",
             file=sys.stderr,
         )
-    return timings
+    return {"timings": timings, "rep_times": rep_times}
+
+
+def run_child_section(section: int) -> tuple[int | None, str]:
+    """Spawn a section child in its OWN process group and reap the whole
+    group on timeout. ``subprocess.run(timeout=...)`` kills only the direct
+    Python child; the Spark JVM it spawned would survive as an orphan,
+    keep consuming CPU/memory, and contend with the inline fallback —
+    corrupting exactly the timings process isolation exists to protect.
+    ``start_new_session=True`` puts python + JVM in one group; on timeout
+    the whole group gets SIGKILL and is waited on before the caller
+    falls back."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--section", str(section)],
+        stdout=subprocess.PIPE,
+        text=True,
+        start_new_session=True,
+    )
+    try:
+        out, _ = proc.communicate(timeout=section_timeout())
+        return proc.returncode, out
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (OSError, ProcessLookupError):
+            proc.kill()
+        proc.wait()  # no orphaned JVM before the inline fallback runs
+        raise
 
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--section":
-        # Child mode: one section in this process, timings as the last
-        # stdout line; per-query progress stays on stderr (inherited).
-        print(json.dumps({"timings": run_section(int(sys.argv[2]))}))
+        # Child mode: one section in this process, timings + per-rep times
+        # as the last stdout line; per-query progress stays on stderr
+        # (inherited).
+        print(json.dumps(run_section(int(sys.argv[2]))))
         return
 
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     for section in range(BENCH_SECTIONS):
-        child = None
+        returncode, child_out = None, ""
         try:
-            child = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--section", str(section)],
-                stdout=subprocess.PIPE,
-                text=True,
-                timeout=3600,
-            )
+            returncode, child_out = run_child_section(section)
         except (OSError, subprocess.TimeoutExpired) as exc:
             print(f"bench section {section}: spawn failed ({exc})", file=sys.stderr)
-        section_timings = None
-        if child is not None and child.returncode == 0:
-            for line in reversed(child.stdout.strip().splitlines()):
+        payload = None
+        if returncode == 0:
+            for line in reversed(child_out.strip().splitlines()):
                 try:
-                    section_timings = json.loads(line)["timings"]
-                    break
-                except (ValueError, KeyError):
+                    candidate = json.loads(line)
+                    if isinstance(candidate, dict) and "timings" in candidate:
+                        payload = candidate
+                        break
+                except ValueError:
                     continue
-        if section_timings is None:
+        if payload is None:
             # Environments where spawning fails (or the child crashed) must
             # not break the driver contract: run the section inline. The
             # measurement-isolation loss is reported, not silent.
@@ -382,8 +426,9 @@ def main() -> None:
                 "(isolation lost for this section)",
                 file=sys.stderr,
             )
-            section_timings = run_section(section)
-        timings.update(section_timings)
+            payload = run_section(section)
+        timings.update(payload["timings"])
+        rep_times.update(payload.get("rep_times", {}))
 
     out = {
         "metric": "headline_query_wall_time_total",
@@ -394,6 +439,10 @@ def main() -> None:
         "value": round(sum(timings[n] for n in HEADLINE if n in timings), 3),
         "unit": "sec",
         "queries": timings,
+        # Raw per-rep wall times per query (`queries` holds the median of
+        # these): one outlier rep = environment noise, all reps shifted =
+        # real regression — attributable from the artifact alone.
+        "query_reps": rep_times,
         "extended_total": round(sum(timings.values()), 3),
         "reps": REPS,
         "sections": BENCH_SECTIONS,

@@ -853,7 +853,16 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WIN_K = 3  # shingle width (words)
 _WIN_W = 4  # winnowing window (shingle hashes per window)
+# Pair-ranking precision heuristic for ``dedup_winnowing`` ONLY. Winnowing's
+# theorem guarantees exactly ONE shared fingerprint for a w+k-1-word run (and
+# even much longer runs can legitimately yield one distinct value when
+# adjacent windows select the same minimum), so >= 2 trades guaranteed recall
+# for precision in the ranked-pairs report. The SCREEN must not make that
+# trade — it gates at _WIN_SCREEN_MIN_SHARED to inherit the theorem.
 _WIN_MIN_SHARED = 2
+# Per-ingest screen gate: >= 1 shared fingerprint = the winnowing guarantee
+# itself (any >= w+k-1 = 6-word verbatim cross-set run MUST share one).
+_WIN_SCREEN_MIN_SHARED = 1
 _WIN_TOPK = 20
 
 _WINNOW_ORACLE = f"""
@@ -899,7 +908,14 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee is what separates winnowing from naive hash sampling, and
     the 1/w storage factor is the 100 TB argument: the fingerprint index
     is a quarter of `dedup_span_duplicates`' exact all-spans table, with
-    provable (not probabilistic) recall for long matches. The guarantee
+    provable (not probabilistic) recall for long matches AT THE INDEX
+    LEVEL. The ranked-pairs report below additionally requires
+    ``_WIN_MIN_SHARED = 2`` distinct shared fingerprints — an explicit
+    precision heuristic that does NOT inherit the theorem (the theorem
+    guarantees one shared fingerprint, and even long runs can yield a
+    single distinct value when adjacent windows pick the same minimum);
+    the recall-critical per-ingest gate is ``dedup_winnowing_screen``,
+    which gates at >= 1 and does inherit it. The index-level guarantee
     is pinned mechanically in `tests/test_round7_ops.py`.
 
     Plan: fingerprint selection is entirely per-row JVM HOFs (transform /
@@ -955,15 +971,11 @@ fp AS (
     FROM hs
   )
 ),
-pair AS (
-  SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id
+dups AS (
+  SELECT b.doc_id AS doc_id, count(DISTINCT c.doc_id) AS n
   FROM fp b JOIN fp c ON c.f = b.f
   WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
-  GROUP BY 1, 2
-  HAVING count(*) >= {_WIN_MIN_SHARED}
-),
-dups AS (
-  SELECT doc_id, count(*) AS n FROM pair GROUP BY doc_id
+  GROUP BY 1
 )
 SELECT d.doc_id,
        CAST(COALESCE(n, 0) AS BIGINT) AS n_corpus_matches,
@@ -977,23 +989,29 @@ LEFT JOIN dups USING (doc_id)
 def dedup_winnowing_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental winnowing screen: check a new crawl batch (every 5th
     doc, the ``dedup_incremental_screen`` split) against the existing
-    corpus fingerprint index, flagging batch docs that share at least
-    ``_WIN_MIN_SHARED`` winnowing fingerprints with any single corpus doc
-    — the shape a 100 TB pipeline runs per ingest, where the corpus index
-    is a materialized table and only the (tiny) batch is fingerprinted
-    fresh. Winnowing's guarantee carries over the split: any batch doc
-    sharing a run of >= w+k-1 = 6 words with a corpus doc shares a
-    fingerprint, so long verbatim overlap cannot slip past the screen.
+    corpus fingerprint index, flagging batch docs that share ANY winnowing
+    fingerprint with a corpus doc (``_WIN_SCREEN_MIN_SHARED = 1``) — the
+    shape a 100 TB pipeline runs per ingest, where the corpus index is a
+    materialized table and only the (tiny) batch is fingerprinted fresh.
+    Gating at one shared fingerprint is what lets the screen inherit
+    winnowing's theorem across the split: any batch doc sharing a run of
+    >= w+k-1 = 6 words with a corpus doc is GUARANTEED to share at least
+    one fingerprint (Schleimer et al. 2003), so long verbatim overlap
+    cannot slip past. A stricter >= 2-distinct gate (as the ranked-pairs
+    ``dedup_winnowing`` uses for precision) would forfeit that guarantee:
+    the theorem promises only one shared value, and even longer runs can
+    legitimately collapse to one distinct minimum.
 
     Plan: both sides slice the family's memoized ``winnowing_index``
     artifact (fingerprint selection is per-document, so the corpus-wide
     index restricts to each side exactly — same warm-artifact argument as
     ``dedup_incremental_screen``); the probe is an equi-join on the
     fingerprint value (batch posting lists against corpus posting lists,
-    never all-pairs), the >= 2-shared gate bounds the pair aggregate to
-    candidate pairs, and every batch doc surfaces through the final left
-    join (coverage guard: docs too short to fingerprint — no full hash
-    window — carry through with ``n_corpus_matches = 0`` rather than
+    never all-pairs — candidate cost is posting-list-bounded); the match
+    count is distinct corpus docs per batch doc (one aggregate, partial
+    map-side combine), and every batch doc surfaces through the final
+    left join (coverage guard: docs too short to fingerprint — no full
+    hash window — carry through with ``n_corpus_matches = 0`` rather than
     vanishing, exactly the rows a screen must NOT silently drop)."""
     from .artifacts import winnowing_index
 
@@ -1002,13 +1020,11 @@ def dedup_winnowing_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_fp = fps.where(F.col("doc_id") % 5 != 0).select(
         F.col("doc_id").alias("corpus_id"), "f"
     )
-    pair = (
+    dups = (
         batch_fp.join(corpus_fp, "f")
-        .groupBy("doc_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("corpus_id").alias("n"))
     )
-    dups = pair.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     batch_docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")

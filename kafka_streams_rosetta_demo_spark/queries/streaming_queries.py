@@ -33,6 +33,7 @@ from ..sources.parquet import (
     rosetta_customers,
 )
 from ..streaming.runner import (
+    checkpoint_tmpdir,
     file_stream,
     run_append_query_to_df,
     run_update_query_to_df,
@@ -77,8 +78,8 @@ def streaming_calls_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match the same oracle as the batch twin (rosetta_calls_window_agg)
     — one plan, two execution modes, one answer."""
     agg = streaming_windowed_call_agg(events_to_calls(_events_stream(spark, sf_dir)))
-    with tempfile.TemporaryDirectory(prefix="ckpt_swa_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_swa_")
+    with checkpoint_tmpdir("ckpt_swa_") as ckpt, (
+        checkpoint_tmpdir("sink_swa_")
     ) as out_dir:
         return run_update_query_to_df(
             agg, ["id_telef_origen", "window_start"], ckpt, out_dir
@@ -112,8 +113,8 @@ def streaming_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_col="event_id",
         value_cols=["ts", "event_id", "event_type", "value"],
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_skt_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_skt_")
+    with checkpoint_tmpdir("ckpt_skt_") as ckpt, (
+        checkpoint_tmpdir("sink_skt_")
     ) as out_dir:
         return run_update_query_to_df(latest, ["user_id"], ckpt, out_dir)
 
@@ -151,8 +152,8 @@ def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     def enrich(batch_df: DataFrame) -> DataFrame:
         return enrich_calls_with_customers(batch_df, customers)
 
-    with tempfile.TemporaryDirectory(prefix="ckpt_enr_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_enr_")
+    with checkpoint_tmpdir("ckpt_enr_") as ckpt, (
+        checkpoint_tmpdir("sink_enr_")
     ) as out_dir:
         return run_update_query_to_df(
             agg,
@@ -203,8 +204,8 @@ def streaming_suppress_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_duracion_origen",
         "avg_duracion_origen",
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_ssf_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_ssf_")
+    with checkpoint_tmpdir("ckpt_ssf_") as ckpt, (
+        checkpoint_tmpdir("sink_ssf_")
     ) as out_dir:
         return run_append_query_to_df(final, ckpt, out_dir)
 
@@ -254,8 +255,8 @@ def streaming_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("diff_us"),
         )
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_sij_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_sij_")
+    with checkpoint_tmpdir("ckpt_sij_") as ckpt, (
+        checkpoint_tmpdir("sink_sij_")
     ) as out_dir:
         return run_append_query_to_df(out, ckpt, out_dir)
 
@@ -330,8 +331,8 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_ssw_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_ssw_")
+    with checkpoint_tmpdir("ckpt_ssw_") as ckpt, (
+        checkpoint_tmpdir("sink_ssw_")
     ) as out_dir:
         return run_append_query_to_df(agg, ckpt, out_dir)
 
@@ -396,8 +397,8 @@ def streaming_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v.event_id").alias("sum_event_id"),
         )
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_swr_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_swr_")
+    with checkpoint_tmpdir("ckpt_swr_") as ckpt, (
+        checkpoint_tmpdir("sink_swr_")
     ) as out_dir:
         return run_update_query_to_df(agg, ["event_type"], ckpt, out_dir)
 
@@ -468,8 +469,8 @@ def streaming_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_sar_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_sar_")
+    with checkpoint_tmpdir("ckpt_sar_") as ckpt, (
+        checkpoint_tmpdir("sink_sar_")
     ) as out_dir:
         return run_update_query_to_df(agg, ["event_type"], ckpt, out_dir)
 
@@ -519,8 +520,8 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = streaming_dedup_within_watermark(
             stream, keys=["event_id"], ts_col="ts"
         ).select("event_id", "user_id", "event_type", "value")
-        with tempfile.TemporaryDirectory(prefix="ckpt_sde_") as ckpt, (
-            tempfile.TemporaryDirectory(prefix="sink_sde_")
+        with checkpoint_tmpdir("ckpt_sde_") as ckpt, (
+            checkpoint_tmpdir("sink_sde_")
         ) as out_dir:
             return run_append_query_to_df(deduped, ckpt, out_dir)
     finally:
@@ -564,8 +565,8 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         CMS_DEPTH,
         CMS_WIDTH,
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_cms_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_cms_")
+    with checkpoint_tmpdir("ckpt_cms_") as ckpt, (
+        checkpoint_tmpdir("sink_cms_")
     ) as out_dir:
         return run_update_query_to_df(cells, ["d", "bucket"], ckpt, out_dir)
 
@@ -593,8 +594,8 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_totals_cents
 
     totals = running_totals_cents(_events_stream(spark, sf_dir))
-    with tempfile.TemporaryDirectory(prefix="ckpt_sst_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_sst_")
+    with checkpoint_tmpdir("ckpt_sst_") as ckpt, (
+        checkpoint_tmpdir("sink_sst_")
     ) as out_dir:
         return run_update_query_to_df(totals, ["user_id"], ckpt, out_dir)
 
@@ -702,8 +703,8 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from ..streaming.runner import run_append_query_to_df
 
-    with tempfile.TemporaryDirectory(prefix="ckpt_sijo_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_sijo_")
+    with checkpoint_tmpdir("ckpt_sijo_") as ckpt, (
+        checkpoint_tmpdir("sink_sijo_")
     ) as sink_dir:
         # Production sink shape: the parquet streaming sink receives the
         # finalized rows executor-side; nothing moves through the driver.
@@ -790,8 +791,8 @@ def streaming_range_join_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e_user").alias("user_id"),
         (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("w_ts"))).alias("lag_us"),
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_srk_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_srk_")
+    with checkpoint_tmpdir("ckpt_srk_") as ckpt, (
+        checkpoint_tmpdir("sink_srk_")
     ) as sink_dir:
         return run_append_query_to_df(joined, ckpt, sink_dir)
 
@@ -850,8 +851,8 @@ def streaming_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close_v",
         "n",
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_sohlc_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_sohlc_")
+    with checkpoint_tmpdir("ckpt_sohlc_") as ckpt, (
+        checkpoint_tmpdir("sink_sohlc_")
     ) as out_dir:
         return run_update_query_to_df(out, ["event_type", "bucket"], ckpt, out_dir)
 
@@ -894,8 +895,8 @@ def streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.theta_sketch_estimate("sk").alias("est_users"),
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_std_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_std_")
+    with checkpoint_tmpdir("ckpt_std_") as ckpt, (
+        checkpoint_tmpdir("sink_std_")
     ) as out_dir:
         snap = run_update_query_to_df(out, ["event_type"], ckpt, out_dir)
     from ..sources.parquet import load_table, normalize_event_ts
@@ -945,8 +946,8 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_base"), 1)).alias("base_n"),
         F.count(F.when(~F.col("is_base"), 1)).alias("curr_n"),
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_psi_") as ckpt, (
-        tempfile.TemporaryDirectory(prefix="sink_psi_")
+    with checkpoint_tmpdir("ckpt_psi_") as ckpt, (
+        checkpoint_tmpdir("sink_psi_")
     ) as out_dir:
         counts = run_update_query_to_df(hist, ["bin"], ckpt, out_dir)
     # post-math over the compacted 10-row histogram — identical to the
@@ -1027,11 +1028,12 @@ def streaming_winnowing_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan per micro-batch: per-row JVM fingerprinting of the arriving docs
     → equi-join on fingerprint value against the corpus index (batch
     posting lists vs corpus posting lists — candidate-bounded, never
-    all-pairs) → the >=2-shared pair gate → per-doc match count → left
-    join back onto the arriving docs (coverage guard: short docs carry
-    through). Each doc appears in exactly one micro-batch, so per-batch
-    aggregation is globally correct and the changelog holds one row per
-    doc."""
+    all-pairs) → distinct-corpus-doc count per arriving doc (the >= 1
+    shared-fingerprint gate, inheriting winnowing's recall theorem — see
+    ``dedup_winnowing_screen``) → left join back onto the arriving docs
+    (coverage guard: short docs carry through). Each doc appears in
+    exactly one micro-batch, so per-batch aggregation is globally correct
+    and the changelog holds one row per doc."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -1039,7 +1041,6 @@ def streaming_winnowing_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textsim import winnow_fingerprints
     from ..sources.parquet import load_table
     from .artifacts import winnowing_index
-    from .dedup_queries import _WIN_MIN_SHARED
 
     # same T7 state-partition pin as _events_stream
     from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
@@ -1054,13 +1055,11 @@ def streaming_winnowing_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def screen_batch(batch_df: DataFrame) -> DataFrame:
         fps = winnow_fingerprints(batch_df)
-        pair = (
+        dups = (
             fps.join(corpus_fp, "f")
-            .groupBy("doc_id", "corpus_id")
-            .agg(F.count(F.lit(1)).alias("n_shared"))
-            .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+            .groupBy("doc_id")
+            .agg(F.count_distinct("corpus_id").alias("n"))
         )
-        dups = pair.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         return batch_df.select("doc_id").join(dups, "doc_id", "left").select(
             "doc_id",
             F.coalesce("n", F.lit(0)).cast("long").alias("n_corpus_matches"),
@@ -1083,8 +1082,8 @@ def streaming_winnowing_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(staged)
         )
-        with tempfile.TemporaryDirectory(prefix="ckpt_wws_") as ckpt, (
-            tempfile.TemporaryDirectory(prefix="sink_wws_")
+        with checkpoint_tmpdir("ckpt_wws_") as ckpt, (
+            checkpoint_tmpdir("sink_wws_")
         ) as out_dir:
             return run_update_query_to_df(
                 stream, ["doc_id"], ckpt, out_dir, batch_fn=screen_batch

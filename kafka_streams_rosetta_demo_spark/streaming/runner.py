@@ -18,10 +18,28 @@ semantics a downstream ``builder.table`` would see.
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import types as T
+
+
+def checkpoint_tmpdir(prefix: str) -> tempfile.TemporaryDirectory:
+    """Temporary checkpoint/sink directory hardened against Spark's async
+    state-store maintenance thread.
+
+    ``HDFSBackedStateStoreProvider`` runs a background maintenance pool that
+    keeps writing ``.snapshot``/``.delta`` files into the checkpoint dir
+    *after* ``query.awaitTermination()`` returns; under a loaded session the
+    pool can lag far enough that ``TemporaryDirectory.__exit__``'s rmtree
+    races it and dies with ``OSError: Directory not empty``. The state is
+    disposable by construction here (every caller runs availableNow to
+    completion and never restarts on the same checkpoint), so a best-effort
+    cleanup is the correct contract: leftover files land under $TMPDIR and
+    are reaped by the OS, while the query result is unaffected.
+    """
+    return tempfile.TemporaryDirectory(prefix=prefix, ignore_cleanup_errors=True)
 
 
 def file_stream(

@@ -319,7 +319,7 @@ SHUFFLE_BUDGET = {
     "dedup_winnowing": 2,  # fingerprint self-join + pair count; selection is per-row
     "agg_selfjoin_size_cms": 3,  # cell grid + exact per-key agg + its rollup
     # round-8 addition
-    "dedup_winnowing_screen": 3,  # f-probe join + pair gate + per-doc count; final left join broadcasts
+    "dedup_winnowing_screen": 3,  # f-probe join + distinct-corpus count (2-level distinct agg); final left join broadcasts
 }
 
 

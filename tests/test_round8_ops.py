@@ -7,6 +7,8 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import functions as F
+
+from kafka_streams_rosetta_demo_spark.streaming.runner import checkpoint_tmpdir
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -71,7 +73,10 @@ def _run_and_collect_state_rows(spark, plan_fn, root: str) -> list[int]:
         .parquet(root)
     )
     agg = plan_fn(stream)
-    with tempfile.TemporaryDirectory(prefix="ckpt_bounded_") as ckpt:
+    # checkpoint_tmpdir: the state-store maintenance thread keeps writing
+    # snapshots after awaitTermination() returns; plain TemporaryDirectory
+    # cleanup races it under load (the one r8 flake — VERDICT r8 task 1)
+    with checkpoint_tmpdir("ckpt_bounded_") as ckpt:
         q = (
             agg.writeStream.outputMode("update")
             .foreachBatch(lambda df, _bid: df.count())
@@ -178,15 +183,23 @@ def test_winnowing_screen_covers_every_batch_doc(spark, sf_smoke):
 
 def test_winnowing_screen_catches_planted_cross_set_overlap(spark):
     """Winnowing's match guarantee, cross-set: a batch doc sharing a run of
-    >= w+k-1 = 6 words with a corpus doc must share a fingerprint, so the
-    index probe (>= 2 shared fingerprints needs a 7-word run: two windows)
-    flags it. Probed via the operator on a planted two-sided corpus rather
-    than the registered query (which is fixed to the parquet tables)."""
+    >= w+k-1 = 6 words with a corpus doc is guaranteed to share AT LEAST ONE
+    fingerprint (the theorem promises exactly one; two windows over a longer
+    run may legitimately select the same minimum, so >= 2 distinct values is
+    never guaranteed at any run length). The screen gates at >= 1 for
+    exactly that reason. Probed via the operator on a planted two-sided
+    corpus rather than the registered query (which is fixed to the parquet
+    tables)."""
     from kafka_streams_rosetta_demo_spark.operators.textsim import (
         winnow_fingerprints,
     )
+    from kafka_streams_rosetta_demo_spark.queries.dedup_queries import (
+        _WIN_SCREEN_MIN_SHARED,
+    )
 
-    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words: 2+ windows
+    assert _WIN_SCREEN_MIN_SHARED == 1  # the gate that inherits the theorem
+
+    shared = "alpha beta gamma delta epsilon zeta"  # exactly w+k-1 = 6 words
     docs = spark.createDataFrame(
         [
             (0, f"batch prefix words {shared} batch suffix tail"),
@@ -199,7 +212,7 @@ def test_winnowing_screen_catches_planted_cross_set_overlap(spark):
     a = fps.where(F.col("doc_id") == 0).select("f")
     b = fps.where(F.col("doc_id") == 1).select("f")
     n_shared = a.intersect(b).count()
-    assert n_shared >= 2, f"planted 7-word overlap produced {n_shared} shared fps"
+    assert n_shared >= 1, f"planted 6-word overlap produced {n_shared} shared fps"
     c = fps.where(F.col("doc_id") == 3).select("f")
     assert a.intersect(c).count() == 0
 
@@ -295,13 +308,21 @@ def test_bench_parent_falls_back_inline_when_spawn_fails(monkeypatch, tmp_path, 
     monkeypatch.setattr(
         bench,
         "run_section",
-        lambda s: {"rosetta_enriched": 1.5} if s == 0 else {"dedup_exact": 0.5},
+        lambda s: (
+            {"timings": {"rosetta_enriched": 1.5}, "rep_times": {"rosetta_enriched": [1.6, 1.5, 1.4]}}
+            if s == 0
+            else {"timings": {"dedup_exact": 0.5}, "rep_times": {"dedup_exact": [0.5, 0.5, 0.6]}}
+        ),
     )
     bench.main()
     err = capsys.readouterr()
     out_lines = [l for l in err.out.strip().splitlines() if l.startswith("{")]
     d = _json.loads(out_lines[-1])
     assert d["queries"] == {"rosetta_enriched": 1.5, "dedup_exact": 0.5}
+    assert d["query_reps"] == {
+        "rosetta_enriched": [1.6, 1.5, 1.4],
+        "dedup_exact": [0.5, 0.5, 0.6],
+    }
     assert d["value"] == 1.5  # headline sum counts only headline names
     assert d["extended_total"] == 2.0
     assert "running inline" in err.err

@@ -305,7 +305,9 @@ def main() -> int:
         except SchemaRegistryUnavailable as e:
             print(f"kafka_smoke: registry unreachable: {e}", file=sys.stderr)
             return 2
-    with tempfile.TemporaryDirectory(prefix="ckpt_smoke_") as ckpt:
+    with tempfile.TemporaryDirectory(
+        prefix="ckpt_smoke_", ignore_cleanup_errors=True
+    ) as ckpt:
         (
             spec_out.write_stream(enriched, "id_telef_origen", ckpt)
             .trigger(availableNow=True)
