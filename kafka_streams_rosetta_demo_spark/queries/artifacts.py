@@ -16,7 +16,10 @@ cache shape as the CC label cache (``corpus_queries._cc_labels``): the frames
 pin to executor memory via eager ``localCheckpoint`` (at cluster scale the
 equivalent is a persisted table the pipeline materializes once per corpus
 snapshot and reuses across batches/queries; it only changes when the corpus
-does).
+does). Pinning goes through ``_pin``, which enforces a graceful memory
+boundary: artifacts whose plan-size estimate exceeds the session's storage
+budget degrade to an eager ``persist(DISK_ONLY)`` instead of OOMing the JVM
+(the sf2.0 boundary finding, SCALING.md).
 
 bench.py declares the cost policy: the cache is CLEARED before each timed
 rep of the family's first member (``dedup_minhash_lsh`` builds the shingle
@@ -27,6 +30,8 @@ artifacts — the incremental cost a real pipeline pays.
 """
 
 from __future__ import annotations
+
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,6 +46,100 @@ _ORDERED_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS075_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 _WINNOW_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# Opt-in override for the in-memory pin budget ("256m", "2g", or bytes).
+# Unset = 30% of the JVM max heap — the unified-memory storage share
+# (memory.fraction 0.6 x storageFraction 0.5) a pinned artifact may use
+# without starving execution memory.
+_BUDGET_CONF = "spark.graft.artifact.storageBudget"
+
+_SIZE_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_size(s: str) -> int:
+    s = s.strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_UNITS:
+        return int(float(s[:-1]) * _SIZE_UNITS[s[-1]])
+    return int(s)
+
+
+# In-memory expansion factor over the summed leaf-scan bytes, calibrated to
+# the observed boundary (SCALING.md): an 11.8 MB documents.parquet (sf2.0)
+# killed a bare 1g-heap JVM building the winnowing index — dictionary-
+# compressed parquet text explodes through decompression (~4x), per-span
+# row explosion, boxed JVM strings (2 bytes/char + object headers), and the
+# aggregation's execution memory. 32x puts that known-fatal build just past
+# a 1g session's ~307 MiB budget while leaving every bench-scale build
+# (sf0.1 documents = 0.6 MB -> ~19 MiB estimate vs a 4.9 GiB budget) on the
+# fast in-memory path.
+_EXPANSION = 32
+
+# Catalyst marks relations it cannot size (some LogicalRDDs) with a huge
+# sentinel; anything past 1 PiB is "unknown", not a measurement.
+_UNKNOWN_SIZE = 1 << 50
+
+
+def _estimated_build_bytes(df: DataFrame) -> int:
+    """Estimate the in-memory footprint of materializing ``df``: the sum of
+    its leaf relations' size estimates (file-stat-accurate for parquet
+    scans, carried-over stats for checkpointed inputs) times ``_EXPANSION``.
+    Leaves, NOT the full optimized plan: Catalyst propagates join estimates
+    multiplicatively, so any artifact built through a join reports absurd
+    full-plan sizes (observed ~2^60 bytes for the PPJoin pair build at
+    sf0.1) — the leaf scan volume is what actually bounds the build's
+    memory pressure. Unknown-size leaves (sentinel stats) contribute
+    nothing, which degrades to the pre-boundary behavior rather than
+    forcing every such artifact onto disk."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    leaves = plan.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        size = int(leaves.apply(i).stats().sizeInBytes())
+        if 0 < size < _UNKNOWN_SIZE:
+            total += size
+    return total * _EXPANSION
+
+
+def _pin(df: DataFrame, spark: SparkSession, what: str) -> DataFrame:
+    """Materialize-and-pin an artifact with a graceful memory boundary.
+
+    The sf2.0 scaling leg showed the failure mode (SCALING.md): a bare
+    1g-heap session building the winnowing index's ``localCheckpoint``
+    OOMs INSIDE the JVM and takes the whole session down — the worst
+    possible failure for a long-running pipeline. So before pinning,
+    compare the leaf-scan build estimate (free — no job) against the
+    session's storage budget (30% of the JVM max heap, the unified-
+    memory storage share, overridable via ``spark.graft.artifact.
+    storageBudget``). Within budget → eager ``localCheckpoint`` exactly as
+    before (the fast path every existing bench/correctness number
+    measures). Over budget → an eager ``persist(DISK_ONLY)`` instead:
+    serialized blocks stream to local disk as they materialize, heap
+    pressure stays bounded, and the artifact still behaves as a
+    materialize-once table (at cluster scale the equivalent is persisting
+    the artifact as a real table, which is already this module's stated
+    scale posture). The downgrade is loud (one stderr line) but not fatal
+    — a pipeline should degrade to disk, never die."""
+    est = _estimated_build_bytes(df)
+    override = spark.conf.get(_BUDGET_CONF, None)
+    if override:
+        budget = _parse_size(override)
+    else:
+        max_heap = int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        budget = int(max_heap * 0.3)
+    if est >= budget:
+        from pyspark import StorageLevel
+
+        print(
+            f"artifacts: {what} build-estimated ~{est / (1 << 20):.0f} MiB >= "
+            f"in-memory pin budget ~{budget / (1 << 20):.0f} MiB; pinning "
+            f"DISK_ONLY instead of localCheckpoint (raise driver/executor "
+            f"memory or set {_BUDGET_CONF} to adjust)",
+            file=sys.stderr,
+        )
+        pinned = df.persist(StorageLevel.DISK_ONLY)
+        pinned.count()  # eager, matching localCheckpoint(eager=True)
+        return pinned
+    return df.localCheckpoint(eager=True)
 
 
 def clear_shingle_artifacts() -> None:
@@ -69,7 +168,7 @@ def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     if got is not None:
         return got
     docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    sh = with_shingles(docs, k=3).localCheckpoint(eager=True)
+    sh = _pin(with_shingles(docs, k=3), spark, "shingled_documents")
     _SHINGLE_CACHE[key] = sh
     return sh
 
@@ -83,9 +182,11 @@ def ordered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _ORDERED_CACHE.get(key)
     if got is not None:
         return got
-    ordered = df_ordered_shingles(
-        shingled_documents(spark, sf_dir), "doc_id"
-    ).localCheckpoint(eager=True)
+    ordered = _pin(
+        df_ordered_shingles(shingled_documents(spark, sf_dir), "doc_id"),
+        spark,
+        "ordered_shingles",
+    )
     _ORDERED_CACHE[key] = ordered
     return ordered
 
@@ -106,9 +207,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _SIG_CACHE.get(key)
     if got is not None:
         return got
-    sig = minhash_signature(
-        shingled_documents(spark, sf_dir), n_hashes=64
-    ).localCheckpoint(eager=True)
+    sig = _pin(
+        minhash_signature(shingled_documents(spark, sf_dir), n_hashes=64),
+        spark,
+        "minhash_signatures",
+    )
     _SIG_CACHE[key] = sig
     return sig
 
@@ -134,11 +237,17 @@ def jaccard_pairs_075(spark: SparkSession, sf_dir: str) -> DataFrame:
     if got is not None:
         return got
     sh = shingled_documents(spark, sf_dir)
-    pairs = jaccard_verify(
-        prefix_filter_pairs(sh, threshold=0.75, ordered=ordered_shingles(spark, sf_dir)),
-        sh,
-        threshold=0.75,
-    ).localCheckpoint(eager=True)
+    pairs = _pin(
+        jaccard_verify(
+            prefix_filter_pairs(
+                sh, threshold=0.75, ordered=ordered_shingles(spark, sf_dir)
+            ),
+            sh,
+            threshold=0.75,
+        ),
+        spark,
+        "jaccard_pairs_075",
+    )
     _PAIRS075_CACHE[key] = pairs
     return pairs
 
@@ -159,10 +268,14 @@ def winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _WINNOW_CACHE.get(key)
     if got is not None:
         return got
-    fps = winnow_fingerprints(
-        rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text")),
-        k=3,
-        w=4,
-    ).localCheckpoint(eager=True)
+    fps = _pin(
+        winnow_fingerprints(
+            rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text")),
+            k=3,
+            w=4,
+        ),
+        spark,
+        "winnowing_index",
+    )
     _WINNOW_CACHE[key] = fps
     return fps
