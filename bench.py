@@ -202,6 +202,9 @@ OPTIONAL = [
     # (the per-ingest gate run AS the ingest, three micro-batches)
     "dedup_winnowing_screen",
     "streaming_winnowing_screen",
+    # round 9: the int8 scalar-quantization retrieval-fidelity gate (third
+    # leg of the embedding-compression family)
+    "knn_scalar_quant_eval",
 ]
 
 

@@ -2659,3 +2659,158 @@ def knn_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"THEN 1 ELSE 0 END) * 1000000 DIV {_KNN_K} AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_scalar_quant_eval — int8 scalar-quantization retrieval fidelity (X145)
+# ---------------------------------------------------------------------------
+
+# Dequantized element, shared shape between Spark and the oracle: per-dim
+# [lo, hi] from the corpus min/max, 8-bit code floor((x-lo)/(hi-lo)*255+0.5)
+# (x in [lo,hi] by construction, so the code needs no clamp), reconstruction
+# lo + code*(hi-lo)/255. Constant-width dims degenerate to lo.
+_SQ_DEQ = (
+    "CASE WHEN dims.hi = dims.lo THEN dims.lo "
+    "ELSE dims.lo + floor((CAST({x} AS DOUBLE) - dims.lo) / (dims.hi - dims.lo)"
+    " * 255 + 0.5) * (dims.hi - dims.lo) / 255 END"
+)
+
+_SQ_ORACLE = f"""
+WITH dims AS (
+  SELECT s.i AS i,
+         min(CAST(embedding[s.i] AS DOUBLE)) AS lo,
+         max(CAST(embedding[s.i] AS DOUBLE)) AS hi
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+  GROUP BY 1
+),
+deq AS (
+  SELECT e.vec_id, list({_SQ_DEQ.format(x="e.embedding[dims.i]")} ORDER BY dims.i) AS dhat
+  FROM embeddings e CROSS JOIN dims
+  GROUP BY e.vec_id
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         CAST(floor({_IVF_DOT.format(a="q.embedding", b="d.embedding")}
+              / (sqrt({_IVF_DOT.format(a="q.embedding", b="q.embedding")})
+                 * sqrt({_IVF_DOT.format(a="d.embedding", b="d.embedding")}))
+              * 1000000 + 0.5) AS BIGINT) AS cos_full_ppm,
+         CAST(floor({_IVF_DOT.format(a="q.embedding", b="dd.dhat")}
+              / (sqrt({_IVF_DOT.format(a="q.embedding", b="q.embedding")})
+                 * sqrt({_IVF_DOT.format(a="dd.dhat", b="dd.dhat")}))
+              * 1000000 + 0.5) AS BIGINT) AS cos_sq_ppm
+  FROM embeddings q
+  CROSS JOIN embeddings d
+  JOIN deq dd ON dd.vec_id = d.vec_id
+  WHERE q.vec_id < {_KNN_QUERIES} AND d.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_full_ppm DESC, neighbor_id) AS r_full,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sq_ppm DESC, neighbor_id) AS r_sq
+  FROM pairs
+)
+SELECT query_id,
+       CAST({_KNN_K} AS BIGINT) AS k,
+       CAST(sum(CASE WHEN r_full <= {_KNN_K} AND r_sq <= {_KNN_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(sum(CASE WHEN r_full <= {_KNN_K} AND r_sq <= {_KNN_K}
+                THEN 1 ELSE 0 END) * 1000000 // {_KNN_K} AS BIGINT)
+         AS recall_ppm
+FROM ranked GROUP BY query_id
+"""
+
+
+@register("knn_scalar_quant_eval", oracle=_SQ_ORACLE)
+def knn_scalar_quant_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (int8) retrieval fidelity — the third leg of the
+    embedding-compression gate family: ``knn_matryoshka_eval`` gates DIM
+    truncation, IVF gates partition-pruned search, this gates PRECISION
+    truncation. Per dimension, [lo, hi] = corpus min/max; each corpus
+    component stores as the 8-bit code floor((x-lo)/(hi-lo)*255+0.5) (4x
+    smaller than float32 — at 100 TB of embeddings, that is the difference
+    between fitting the index in cluster RAM or not). Retrieval is
+    ASYMMETRIC, the production ADC shape: the query stays full-precision,
+    corpus vectors score as their dequantized reconstruction
+    lo + code*(hi-lo)/255. The query reports per-query overlap of the
+    exact top-5 with the quantized top-5 — run this before switching the
+    corpus to int8 storage, exactly like the Matryoshka gate.
+
+    Determinism: lo/hi are order-free min/max aggregates over doubles;
+    codes and reconstructions are per-element closed-form IEEE expressions
+    written identically here and in the oracle; both cosines are
+    ppm-quantized with id tiebreaks, so DuckDB replays the whole procedure
+    bit-for-bit.
+
+    Scale: the per-dim stats are ONE posexplode aggregate over 64 keys
+    (map-side combine, 64-row result — bounded model state collected to
+    the driver like the KMeans centroids); dequantization is a per-row
+    JVM ``transform`` against the 64-element literal bounds arrays; both
+    cosines ride the declared broadcast-kNN BNLJ pass (|Q| capped at
+    4096, corpus scanned once); the two rank windows share one query_id
+    shuffle. Output is |Q| rows."""
+    from ..operators.vectors import capped_query_set, const_vec, dot as vdot
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # 64-row bounded model state: per-dimension quantization bounds
+    stats = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("i")
+        .collect()
+    )
+    lo_arr = const_vec([r["lo"] for r in stats])
+    hi_arr = const_vec([r["hi"] for r in stats])
+
+    def dequant(col):
+        def elem(x, i):
+            lo = F.element_at(lo_arr, i + F.lit(1))
+            hi = F.element_at(hi_arr, i + F.lit(1))
+            return F.when(hi == lo, lo).otherwise(
+                lo + F.floor((x - lo) / (hi - lo) * 255 + F.lit(0.5)) * (hi - lo) / 255
+            )
+
+        return F.transform(col.cast("array<double>"), elem)
+
+    q = capped_query_set(emb.where(F.col("vec_id") < _KNN_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select("vec_id", "embedding", dequant(F.col("embedding")).alias("dhat"))
+    pairs = corpus.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+
+    def cos_ppm(a, b):
+        return F.floor(
+            vdot(a, b) / (F.sqrt(vdot(a, a)) * F.sqrt(vdot(b, b))) * 1000000
+            + F.lit(0.5)
+        ).cast("long")
+
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cos_ppm(F.col("q_emb"), F.col("embedding")).alias("cos_full_ppm"),
+        cos_ppm(F.col("q_emb"), F.col("dhat")).alias("cos_sq_ppm"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full_ppm"), F.asc("neighbor_id")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sq_ppm"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(ws).alias("r_sq"),
+    )
+    return ranked.groupBy("query_id").agg(
+        F.lit(_KNN_K).cast("long").alias("k"),
+        F.sum(
+            ((F.col("r_full") <= _KNN_K) & (F.col("r_sq") <= _KNN_K)).cast("long")
+        ).alias("n_overlap"),
+        F.expr(
+            f"CAST(sum(CASE WHEN r_full <= {_KNN_K} AND r_sq <= {_KNN_K} "
+            f"THEN 1 ELSE 0 END) * 1000000 DIV {_KNN_K} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "tpch_q22_sales_opportunity",
     "tpch_q11_important_parts",  # value·1000 > total residual on a 1-row side
     "knn_matryoshka_eval",  # same declared bounded-|Q| exact-kNN shape
+    "knn_scalar_quant_eval",  # same shape; int8-dequant side computed per-row (r9)
     "knn_ann_ivf",  # 1-row lazy cap-guard frame broadcast onto the query set (r8)
     "layout_zorder_pruning",  # 1-row min/max-bounds frame broadcast into the row map
     "corpus_perplexity_buckets",  # 1-row n_docs scalar broadcast for the bucket DIV

@@ -140,6 +140,51 @@ def test_artifact_pin_degrades_to_disk_under_tiny_memory_budget(spark, sf_smoke,
     artifacts.clear_winnowing_artifacts()
 
 
+def test_scalar_quant_eval_shape_and_bounds(spark, sf_smoke):
+    """X145 invariants that the oracle's hash parity can't see on its own:
+    one row per query vector, k pinned, overlap within [0, k], recall_ppm
+    derived from n_overlap exactly, and the quantization actually at work —
+    the asymmetric scores must come from a reconstruction whose per-element
+    error is at most half a quantization step (the floor(+0.5) rounding
+    bound), checked here on the operator's own dequant expression."""
+    from kafka_streams_rosetta_demo_spark.queries.pipeline_queries import (
+        _KNN_K,
+        _KNN_QUERIES,
+        knn_scalar_quant_eval,
+    )
+
+    out = knn_scalar_quant_eval(spark, sf_smoke).toPandas()
+    assert len(out) == _KNN_QUERIES
+    assert sorted(out["query_id"]) == list(range(_KNN_QUERIES))
+    assert (out["k"] == _KNN_K).all()
+    assert out["n_overlap"].between(0, _KNN_K).all()
+    assert (out["recall_ppm"] == out["n_overlap"] * 1_000_000 // _KNN_K).all()
+
+    # reconstruction bound: |x - dequant(x)| <= (hi-lo)/255/2 per dimension
+    # (the floor(+0.5) rounding bound) — replayed in numpy on the smoke
+    # corpus against the same per-dim min/max bounds the operator computes
+    import numpy as np
+
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    m = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf_smoke, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    lo, hi = m.min(axis=0), m.max(axis=0)
+    step = (hi - lo) / 255
+    assert (step > 0).all()  # the data actually exercises every dimension
+    codes = np.floor((m - lo) / (hi - lo) * 255 + 0.5)
+    assert codes.min() >= 0 and codes.max() <= 255  # int8-representable
+    err = np.abs(m - (lo + codes * (hi - lo) / 255))
+    assert (err <= step / 2 + 1e-12).all()
+
+
 def test_artifact_budget_size_parser():
     from kafka_streams_rosetta_demo_spark.queries.artifacts import _parse_size
 
