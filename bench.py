@@ -203,8 +203,10 @@ OPTIONAL = [
     "dedup_winnowing_screen",
     "streaming_winnowing_screen",
     # round 9: the int8 scalar-quantization retrieval-fidelity gate (third
-    # leg of the embedding-compression family)
+    # leg of the embedding-compression family) + the first-occurrence
+    # novelty profile behind training-order decisions
     "knn_scalar_quant_eval",
+    "text_ngram_novelty",
 ]
 
 

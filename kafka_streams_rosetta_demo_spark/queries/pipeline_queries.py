@@ -2814,3 +2814,74 @@ def knn_scalar_quant_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"THEN 1 ELSE 0 END) * 1000000 DIV {_KNN_K} AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — per-doc first-occurrence novelty profile (X146)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+gr AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w)
+),
+f AS (
+  SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY 1
+)
+SELECT gr.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+FROM gr JOIN f USING (g)
+GROUP BY 1
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    lowercase word 3-grams whose FIRST corpus occurrence (min doc_id —
+    ingest order in this corpus) is the doc itself. This is the marginal-
+    novelty curve a training-order/curriculum pipeline reads before
+    committing a shard order: documents that repeat what earlier data
+    already said score near 0 and are candidates for down-weighting or
+    dedup escalation, while high-novelty late documents argue for
+    re-ordering (the signal behind `corpus_training_order` and the
+    prune-curve queries, here measured per doc instead of assumed).
+
+    Scale: one explode of distinct per-doc shingles (the same per-row JVM
+    shingling as the dedup family, `operators/textsim.word_shingles`);
+    first-occurrence is a single min aggregate on the gram key with
+    map-side partial combine (the Zipf head pre-collapses per partition);
+    the join back is gram-key equi-partitioned with the aggregate's own
+    exchange so Catalyst reuses the partitioning on the build side; the
+    final per-doc rollup is one doc_id shuffle of (gram, flag) pairs.
+    Integer counts and ppm division — no float order anywhere."""
+    from ..operators.textsim import with_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    grams = with_shingles(docs, k=3).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(novel).alias("n_novel"),
+            F.expr(
+                "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " * 1000000 DIV count(1) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )

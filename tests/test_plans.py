@@ -321,6 +321,8 @@ SHUFFLE_BUDGET = {
     "agg_selfjoin_size_cms": 3,  # cell grid + exact per-key agg + its rollup
     # round-8 addition
     "dedup_winnowing_screen": 3,  # f-probe join + distinct-corpus count (2-level distinct agg); final left join broadcasts
+    # round-9 addition
+    "text_ngram_novelty": 3,  # gram min-agg + per-doc rollup; first-occurrence side broadcasts at gate SF (3rd exchange allowed for the at-scale shuffle-join flip)
 }
 
 
