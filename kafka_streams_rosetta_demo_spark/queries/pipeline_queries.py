@@ -2855,33 +2855,47 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ordering (the signal behind `corpus_training_order` and the
     prune-curve queries, here measured per doc instead of assumed).
 
-    Scale: one explode of distinct per-doc shingles (the same per-row JVM
-    shingling as the dedup family, `operators/textsim.word_shingles`);
-    first-occurrence is a single min aggregate on the gram key with
-    map-side partial combine (the Zipf head pre-collapses per partition);
-    the join back is gram-key equi-partitioned with the aggregate's own
-    exchange so Catalyst reuses the partitioning on the build side; the
-    final per-doc rollup is one doc_id shuffle of (gram, flag) pairs.
-    Integer counts and ppm division — no float order anywhere."""
-    from ..operators.textsim import with_shingles
+    Scale: one explode of distinct per-doc shingles (rebalanced first —
+    the same per-row JVM shingling as the dedup family,
+    `operators/textsim.word_shingles`); first-occurrence is a WINDOW
+    minimum over the gram key, so the (gram -> first doc) fact never
+    leaves the gram-partitioned exchange — no second materialization of
+    the gram table and no join (the first-occurrence side is nearly as
+    large as the gram table itself, so a broadcast or shuffle join back
+    pays twice: measured 2x slower at sf0.1); the final per-doc rollup is
+    one doc_id shuffle of (gram, flag) pairs. Integer counts and ppm
+    division — no float order anywhere."""
+    from ..operators.textsim import word_shingles
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower(F.col("text")).alias("text")
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.lower(F.col("text")).alias("text")
+        )
     )
-    grams = with_shingles(docs, k=3).select(
-        "doc_id", F.explode("shingles").alias("g")
+    # raw word_shingles, not with_shingles: the _nonnull_guard exists to
+    # stop Catalyst pushing shingling below the rebalance exchange when
+    # DOWNSTREAM null-intolerant join keys/filters reference the array
+    # (the dedup family's shape). Nothing downstream here is
+    # null-intolerant on the grams (window min + rollup), and the guard
+    # itself measures ~5x slower through the explode at sf0.1 (2.2 s vs
+    # 0.45 s for the same 260k-row gram count), so the bare expression is
+    # both safe and the fast path.
+    grams = docs.where(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g")
     )
-    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    novel = (
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("g")))
+        .cast("long")
+        .alias("novel")
+    )
     return (
-        grams.join(first, "g")
+        grams.select("doc_id", novel)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(novel).alias("n_novel"),
+            F.sum("novel").alias("n_novel"),
             F.expr(
-                "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
-                " * 1000000 DIV count(1) AS BIGINT)"
+                "CAST(sum(novel) * 1000000 DIV count(1) AS BIGINT)"
             ).alias("novelty_ppm"),
         )
     )

@@ -322,7 +322,7 @@ SHUFFLE_BUDGET = {
     # round-8 addition
     "dedup_winnowing_screen": 3,  # f-probe join + distinct-corpus count (2-level distinct agg); final left join broadcasts
     # round-9 addition
-    "text_ngram_novelty": 3,  # gram min-agg + per-doc rollup; first-occurrence side broadcasts at gate SF (3rd exchange allowed for the at-scale shuffle-join flip)
+    "text_ngram_novelty": 2,  # gram-key window min + doc_id rollup (rebalance is round-robin, not counted); no join — the first-occurrence fact never leaves the gram exchange
 }
 
 

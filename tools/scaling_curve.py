@@ -87,6 +87,9 @@ REPRESENTATIVE = [
     "layout_zorder_pruning",
     "profile_drift_psi",
     "search_rrf_fusion",
+    # round-9 families: embedding compression gate, novelty profiling
+    "knn_scalar_quant_eval",
+    "text_ngram_novelty",
 ]
 
 
