@@ -207,6 +207,9 @@ OPTIONAL = [
     # novelty profile behind training-order decisions
     "knn_scalar_quant_eval",
     "text_ngram_novelty",
+    # round 9: the redundancy-growth curve (rides the warm jaccard_pairs_075
+    # artifact like the other PPJoin family members)
+    "corpus_dedup_rate_curve",
 ]
 
 

@@ -1035,3 +1035,69 @@ def dedup_winnowing_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("long").alias("n_corpus_matches"),
         (F.coalesce("n", F.lit(0)) == 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_dedup_rate_curve — redundancy rate per ingest decile (X147)
+# ---------------------------------------------------------------------------
+
+_DEDUP_RATE_ORACLE = f"""
+WITH pairs AS ({_jaccard_pairs_oracle(k=3, threshold=0.75)}),
+dups AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+mx AS (SELECT max(doc_id) AS m FROM documents)
+SELECT CAST(d.doc_id * 10 // (mx.m + 1) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dups.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redundant,
+       CAST(sum(CASE WHEN dups.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS redundant_ppm
+FROM documents d CROSS JOIN mx
+LEFT JOIN dups ON dups.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
+@register("corpus_dedup_rate_curve", oracle=_DEDUP_RATE_ORACLE)
+def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundancy-vs-corpus-growth curve: docs in ingest order (doc_id)
+    split into 10 equal-width deciles; per decile, the fraction of docs
+    that are near-duplicates (word-3-gram Jaccard >= 0.75) of ANY earlier
+    document (a pair partner with a smaller doc_id). This is the crawl-
+    budget observable a curation pipeline tracks across snapshots: a
+    rising tail says each new crawl slice re-collects what the corpus
+    already holds and the marginal token is getting more expensive —
+    the per-slice aggregate view of what ``text_ngram_novelty`` measures
+    per document.
+
+    Scale: rides the family's memoized ``jaccard_pairs_075`` artifact
+    (pairs are already oriented doc_a < doc_b, so "has an earlier
+    partner" is just DISTINCT doc_b — no re-orientation pass); the decile
+    width comes from a 1-row max(doc_id) frame broadcast onto the doc
+    scan (the corpus_perplexity_buckets scalar pattern — constant-size
+    IdentityBroadcastMode side, no hash exchange); the rollup is a 10-key
+    aggregate with map-side combine. Integer bucket arithmetic and ppm
+    division — order-free."""
+    from .artifacts import jaccard_pairs_075
+
+    dups = (
+        jaccard_pairs_075(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .join(dups, "doc_id", "left")
+        .groupBy(
+            F.expr("CAST(doc_id * 10 DIV (m + 1) AS BIGINT)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_redundant"),
+            F.expr(
+                "CAST(sum(coalesce(is_dup, 0)) * 1000000 DIV count(1) AS BIGINT)"
+            ).alias("redundant_ppm"),
+        )
+    )

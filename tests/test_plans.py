@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "knn_ann_ivf",  # 1-row lazy cap-guard frame broadcast onto the query set (r8)
     "layout_zorder_pruning",  # 1-row min/max-bounds frame broadcast into the row map
     "corpus_perplexity_buckets",  # 1-row n_docs scalar broadcast for the bucket DIV
+    "corpus_dedup_rate_curve",  # 1-row max(doc_id) scalar broadcast for the decile width (r9)
     "agg_selfjoin_size_cms",  # 1-row sketch-estimate frame broadcast onto the exact row
 }
 
@@ -321,8 +322,9 @@ SHUFFLE_BUDGET = {
     "agg_selfjoin_size_cms": 3,  # cell grid + exact per-key agg + its rollup
     # round-8 addition
     "dedup_winnowing_screen": 3,  # f-probe join + distinct-corpus count (2-level distinct agg); final left join broadcasts
-    # round-9 addition
+    # round-9 additions
     "text_ngram_novelty": 2,  # gram-key window min + doc_id rollup (rebalance is round-robin, not counted); no join — the first-occurrence fact never leaves the gram exchange
+    "corpus_dedup_rate_curve": 3,  # dup-id distinct + doc_id join + 10-key rollup; pairs come from the checkpointed artifact (its build shuffles are charged to the family builder)
 }
 
 
