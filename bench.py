@@ -210,6 +210,8 @@ OPTIONAL = [
     # round 9: the redundancy-growth curve (rides the warm jaccard_pairs_075
     # artifact like the other PPJoin family members)
     "corpus_dedup_rate_curve",
+    # round 9: the token-budget epoch planner (metadata-sized output)
+    "corpus_token_budget_plan",
 ]
 
 

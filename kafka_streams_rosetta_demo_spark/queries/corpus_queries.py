@@ -1481,3 +1481,94 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score_milli"), "doc_id").limit(_DSIR_TOPK).select(
         "doc_id", "lang", "n_tokens", "score_milli"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_token_budget_plan — per-source epoch plan for a token budget (X148)
+# ---------------------------------------------------------------------------
+
+# Training budget as a multiple of the corpus: 4x forces the planner into
+# the interesting regime where upweighted sources need MULTIPLE epochs.
+# The repeat cap flags sources the plan would cycle more than 4 times —
+# past the point where repeated data stops substituting for fresh data
+# (the data-constrained-scaling rule of thumb), i.e. the sources whose
+# allocation should be renegotiated or backfilled with new collection.
+_BUDGET_MULT = 4
+_EPOCH_CAP_PPM = 4_000_000
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH c AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS sq
+  FROM c
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt, CAST(sum(sq) AS BIGINT) AS tsq FROM s)
+SELECT s.source, s.n_docs, s.n_tokens,
+       CAST(s.sq * 1000000 // t.tsq AS BIGINT) AS temp_weight_ppm,
+       CAST(s.sq * (t.tt * {_BUDGET_MULT}) // t.tsq AS BIGINT) AS planned_tokens,
+       CAST((s.sq * (t.tt * {_BUDGET_MULT}) // t.tsq) * 1000000 // s.n_tokens AS BIGINT)
+         AS epochs_ppm,
+       (s.sq * (t.tt * {_BUDGET_MULT}) // t.tsq) * 1000000 // s.n_tokens
+         > {_EPOCH_CAP_PPM} AS over_repeat_cap
+FROM s, t
+"""
+
+
+@register("corpus_token_budget_plan", oracle=_TOKEN_BUDGET_ORACLE)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget plan: allocate a training budget of
+    4x the corpus's total tokens across sources by temperature-scaled
+    token mass (alpha = 0.5 — the multilingual rebalancing rule,
+    here over TOKENS rather than docs), and report what each source's
+    allocation means in EPOCHS of that source: ``epochs_ppm`` is the
+    number a pipeline actually schedules by, and ``over_repeat_cap``
+    flags sources the plan would cycle more than 4 times — past the
+    data-constrained-scaling point where repetition stops substituting
+    for fresh data, i.e. exactly the sources whose share should be
+    renegotiated before training. Completes the planning chain:
+    ``sample_temperature_mixture`` chooses weights,
+    ``sample_mixture_weighted`` samples docs for a fixed epoch table,
+    this query turns weights into the epochs table itself.
+
+    Determinism: per-source token counts are integer sums; each source's
+    sqrt quantizes to integer milli-units BEFORE any total; every ratio
+    after that is integer floor-division (the established
+    quantize-before-aggregate discipline), so engine parity is exact.
+
+    Scale: ONE map-side-combining aggregate over the corpus (count +
+    token-sum per source — the only shuffle, |sources| keys), then a
+    window over the bounded source vocabulary. The plan table is
+    |sources| rows regardless of corpus size — this is a metadata query
+    at 100 TB, its cost is the one scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("toks")
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+    )
+    sq = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000).cast("long")
+    w = Window.partitionBy()
+    withs = (
+        per.withColumn("sq", sq)
+        .withColumn("tt", F.sum("n_tokens").over(w))
+        .withColumn("tsq", F.sum("sq").over(w))
+    )
+    planned = f"sq * (tt * {_BUDGET_MULT}L) DIV tsq"
+    return withs.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("sq * 1000000L DIV tsq").alias("temp_weight_ppm"),
+        F.expr(planned).alias("planned_tokens"),
+        F.expr(f"({planned}) * 1000000L DIV n_tokens").alias("epochs_ppm"),
+        F.expr(
+            f"({planned}) * 1000000L DIV n_tokens > {_EPOCH_CAP_PPM}"
+        ).alias("over_repeat_cap"),
+    )

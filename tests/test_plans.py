@@ -325,6 +325,7 @@ SHUFFLE_BUDGET = {
     # round-9 additions
     "text_ngram_novelty": 2,  # gram-key window min + doc_id rollup (rebalance is round-robin, not counted); no join — the first-occurrence fact never leaves the gram exchange
     "corpus_dedup_rate_curve": 3,  # dup-id distinct + doc_id join + 10-key rollup; pairs come from the checkpointed artifact (its build shuffles are charged to the family builder)
+    "corpus_token_budget_plan": 1,  # one per-source aggregate; the totals window is SinglePartition over |sources| rows
 }
 
 
