@@ -269,7 +269,16 @@ def section_timeout() -> int:
     """Per-section wall ceiling, scale-factor aware: 3600 s covers sf0.1
     with ~10x headroom; larger SFs scale it linearly so a legitimately
     long sf1/sf2 run is not killed as a hang. Overridable for CI."""
-    override = int(os.environ.get("SPARK_GRAFT_BENCH_SECTION_TIMEOUT", "0"))
+    try:
+        override = int(os.environ.get("SPARK_GRAFT_BENCH_SECTION_TIMEOUT", "0"))
+    except ValueError:
+        print(
+            "bench: ignoring malformed SPARK_GRAFT_BENCH_SECTION_TIMEOUT="
+            f"{os.environ['SPARK_GRAFT_BENCH_SECTION_TIMEOUT']!r} "
+            "(want integer seconds); using the scale-aware default",
+            file=sys.stderr,
+        )
+        override = 0
     if override > 0:
         return override
     return max(3600, int(3600 * sf_from_dir(SF_DIR) / 0.1))

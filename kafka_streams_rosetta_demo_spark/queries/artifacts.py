@@ -11,8 +11,9 @@ job. Each of those rebuilds two identical intermediates when written naively:
   which is THRESHOLD-INDEPENDENT, so every prefix-filter query at any
   threshold can slice the same arrays.
 
-Both are memoized here per (Spark application, sf_dir) — the same policy and
-cache shape as the CC label cache (``corpus_queries._cc_labels``): the frames
+Both are memoized here per (Spark application, sf_dir, corpus fingerprint) —
+the same policy and cache shape as the CC label cache
+(``corpus_queries._cc_labels``): the frames
 pin to executor memory via eager ``localCheckpoint`` (at cluster scale the
 equivalent is a persisted table the pipeline materializes once per corpus
 snapshot and reuses across batches/queries; it only changes when the corpus
@@ -31,6 +32,7 @@ artifacts — the incremental cost a real pipeline pays.
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,13 +41,66 @@ from ..operators import rebalance
 from ..operators.textsim import df_ordered_shingles, with_shingles
 from ..sources.parquet import load_table
 
-# Keyed by (application, sf_dir): the localCheckpoint blocks live in that
-# application's executors, so a new session must rebuild.
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
-_ORDERED_CACHE: dict[tuple[str, str], DataFrame] = {}
-_PAIRS075_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
-_WINNOW_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Keyed by (application, sf_dir, corpus fingerprint): the localCheckpoint
+# blocks live in that application's executors, so a new session must rebuild;
+# the fingerprint (file names + sizes + mtimes of the documents parquet
+# leaves, a handful of os.stat calls) makes a snapshot REWRITTEN in place
+# under the same path miss the cache instead of serving artifacts for the
+# old corpus — the staleness hazard a long-lived session could otherwise
+# fall into.
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+_ORDERED_CACHE: dict[tuple, DataFrame] = {}
+_PAIRS075_CACHE: dict[tuple, DataFrame] = {}
+_SIG_CACHE: dict[tuple, DataFrame] = {}
+_WINNOW_CACHE: dict[tuple, DataFrame] = {}
+
+
+def corpus_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
+    """Cheap content fingerprint of one parquet table under ``sf_dir``:
+    sorted (relative name, size, mtime_ns) of its data files. Pure metadata
+    — no file is opened — so it costs microseconds per cache lookup, yet
+    any in-place rewrite (new file set, new sizes, or new mtimes) changes
+    it. Missing paths fingerprint as an empty tuple (the subsequent read
+    fails with the real error, not a stale cache hit)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    entries: list[tuple[str, int, int]] = []
+    try:
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    st = os.stat(os.path.join(root, f))
+                    rel = os.path.relpath(os.path.join(root, f), path)
+                    entries.append((rel, st.st_size, st.st_mtime_ns))
+        else:
+            st = os.stat(path)
+            entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    except OSError:
+        return ()
+    return tuple(sorted(entries))
+
+
+def artifact_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """The shared cache key for corpus-derived artifacts: application id
+    (blocks live in that app's executors), sf_dir, and the documents-table
+    content fingerprint (so a rewritten snapshot can never serve stale
+    artifacts)."""
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        corpus_fingerprint(sf_dir),
+    )
+
+
+# Frames _pin had to persist(DISK_ONLY) (the degraded over-budget path),
+# grouped by which clear_* helper owns them. localCheckpoint frames need no
+# tracking — dropping the cache reference lets the ContextCleaner reclaim
+# their blocks — but persisted frames hold disk blocks until an explicit
+# unpersist, so the clear helpers release them eagerly instead of letting
+# each bench rep stack a fresh copy behind the GC.
+_SHINGLE_DISK_PINS: list[DataFrame] = []
+_WINNOW_DISK_PINS: list[DataFrame] = []
 
 # Opt-in override for the in-memory pin budget ("256m", "2g", or bytes).
 # Unset = 30% of the JVM max heap — the unified-memory storage share
@@ -93,14 +148,50 @@ def _estimated_build_bytes(df: DataFrame) -> int:
     plan = df._jdf.queryExecution().optimizedPlan()
     leaves = plan.collectLeaves()
     total = 0
+    any_known = False
     for i in range(leaves.size()):
         size = int(leaves.apply(i).stats().sizeInBytes())
         if 0 < size < _UNKNOWN_SIZE:
             total += size
+            any_known = True
+    if not any_known and leaves.size() > 0:
+        # Every leaf is unknown-size: the estimate is 0 and the OOM guard
+        # is effectively bypassed for this artifact. Say so once, loudly —
+        # a silent bypass is the exact failure class _pin exists to catch.
+        print(
+            "artifacts: build-size estimate unavailable (all "
+            f"{leaves.size()} plan leaves report unknown stats); the "
+            "in-memory pin budget check is bypassed for this artifact",
+            file=sys.stderr,
+        )
     return total * _EXPANSION
 
 
-def _pin(df: DataFrame, spark: SparkSession, what: str) -> DataFrame:
+def _storage_budget(spark: SparkSession) -> int:
+    """The in-memory pin budget: 30% of the heap the pinned blocks actually
+    live in. ``localCheckpoint``/``persist`` blocks live on EXECUTORS, so on
+    a real cluster the relevant heap is ``spark.executor.memory``; in local
+    mode driver and executor share one JVM and ``Runtime.maxMemory()`` is
+    both. Explicit override (``spark.graft.artifact.storageBudget``) always
+    wins — that is the cluster operator's direct knob."""
+    override = spark.conf.get(_BUDGET_CONF, None)
+    if override:
+        return _parse_size(override)
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        exec_mem = spark.conf.get("spark.executor.memory", None)
+        if exec_mem:
+            return int(_parse_size(exec_mem) * 0.3)
+    max_heap = int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    return int(max_heap * 0.3)
+
+
+def _pin(
+    df: DataFrame,
+    spark: SparkSession,
+    what: str,
+    pins: list[DataFrame] | None = None,
+) -> DataFrame:
     """Materialize-and-pin an artifact with a graceful memory boundary.
 
     The sf2.0 scaling leg showed the failure mode (SCALING.md): a bare
@@ -120,12 +211,7 @@ def _pin(df: DataFrame, spark: SparkSession, what: str) -> DataFrame:
     scale posture). The downgrade is loud (one stderr line) but not fatal
     — a pipeline should degrade to disk, never die."""
     est = _estimated_build_bytes(df)
-    override = spark.conf.get(_BUDGET_CONF, None)
-    if override:
-        budget = _parse_size(override)
-    else:
-        max_heap = int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
-        budget = int(max_heap * 0.3)
+    budget = _storage_budget(spark)
     if est >= budget:
         from pyspark import StorageLevel
 
@@ -138,13 +224,26 @@ def _pin(df: DataFrame, spark: SparkSession, what: str) -> DataFrame:
         )
         pinned = df.persist(StorageLevel.DISK_ONLY)
         pinned.count()  # eager, matching localCheckpoint(eager=True)
+        if pins is not None:
+            pins.append(pinned)
         return pinned
     return df.localCheckpoint(eager=True)
 
 
+def _release_disk_pins(pins: list[DataFrame]) -> None:
+    for df in pins:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — blocks are gone anyway
+    pins.clear()
+
+
 def clear_shingle_artifacts() -> None:
     """Drop the memoized shingle/prefix/pair/signature artifacts (bench cost
-    policy)."""
+    policy), eagerly unpersisting any that took the degraded DISK_ONLY path
+    so their disk blocks free now rather than at GC time."""
+    _release_disk_pins(_SHINGLE_DISK_PINS)
     _SHINGLE_CACHE.clear()
     _ORDERED_CACHE.clear()
     _PAIRS075_CACHE.clear()
@@ -154,7 +253,9 @@ def clear_shingle_artifacts() -> None:
 def clear_winnowing_artifacts() -> None:
     """Drop the memoized winnowing fingerprint index (bench cost policy:
     its build is charged to ``dedup_winnowing``, the family's first
-    member; ``dedup_winnowing_screen`` rides it warm)."""
+    member; ``dedup_winnowing_screen`` rides it warm), unpersisting any
+    DISK_ONLY-degraded copy eagerly."""
+    _release_disk_pins(_WINNOW_DISK_PINS)
     _WINNOW_CACHE.clear()
 
 
@@ -163,12 +264,12 @@ def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, word-3-gram, rebalanced, pinned with an eager localCheckpoint.
     Feeds MinHash signatures, every exact-Jaccard verify side, and the
     ordered-prefix build."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = artifact_cache_key(spark, sf_dir)
     got = _SHINGLE_CACHE.get(key)
     if got is not None:
         return got
     docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    sh = _pin(with_shingles(docs, k=3), spark, "shingled_documents")
+    sh = _pin(with_shingles(docs, k=3), spark, "shingled_documents", _SHINGLE_DISK_PINS)
     _SHINGLE_CACHE[key] = sh
     return sh
 
@@ -178,7 +279,7 @@ def ordered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shingle table. Because it covers ALL documents, any subset split
     (e.g. the incremental screen's batch/corpus halves) shares its total
     order by construction — the cross-set prefix guarantee holds."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = artifact_cache_key(spark, sf_dir)
     got = _ORDERED_CACHE.get(key)
     if got is not None:
         return got
@@ -186,6 +287,7 @@ def ordered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         df_ordered_shingles(shingled_documents(spark, sf_dir), "doc_id"),
         spark,
         "ordered_shingles",
+        _SHINGLE_DISK_PINS,
     )
     _ORDERED_CACHE[key] = ordered
     return ordered
@@ -203,7 +305,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     first member (``dedup_minhash_lsh``) and reruns ride it warm."""
     from ..operators.textsim import minhash_signature
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = artifact_cache_key(spark, sf_dir)
     got = _SIG_CACHE.get(key)
     if got is not None:
         return got
@@ -211,6 +313,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature(shingled_documents(spark, sf_dir), n_hashes=64),
         spark,
         "minhash_signatures",
+        _SHINGLE_DISK_PINS,
     )
     _SIG_CACHE[key] = sig
     return sig
@@ -232,7 +335,7 @@ def jaccard_pairs_075(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.textsim import jaccard_verify, prefix_filter_pairs
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = artifact_cache_key(spark, sf_dir)
     got = _PAIRS075_CACHE.get(key)
     if got is not None:
         return got
@@ -247,6 +350,7 @@ def jaccard_pairs_075(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
         "jaccard_pairs_075",
+        _SHINGLE_DISK_PINS,
     )
     _PAIRS075_CACHE[key] = pairs
     return pairs
@@ -264,7 +368,7 @@ def winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes next to the corpus snapshot and probes per ingest."""
     from ..operators.textsim import winnow_fingerprints
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = artifact_cache_key(spark, sf_dir)
     got = _WINNOW_CACHE.get(key)
     if got is not None:
         return got
@@ -276,6 +380,7 @@ def winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
         "winnowing_index",
+        _WINNOW_DISK_PINS,
     )
     _WINNOW_CACHE[key] = fps
     return fps

@@ -109,7 +109,9 @@ def clear_cc_labels_cache() -> None:
 
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from .artifacts import artifact_cache_key
+
+    key = artifact_cache_key(spark, sf_dir)
     got = _CC_LABELS_CACHE.get(key)
     if got is not None:
         return got
@@ -1508,15 +1510,30 @@ s AS (
          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS sq
   FROM c
 ),
-t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt, CAST(sum(sq) AS BIGINT) AS tsq FROM s)
-SELECT s.source, s.n_docs, s.n_tokens,
-       CAST(s.sq * 1000000 // t.tsq AS BIGINT) AS temp_weight_ppm,
-       CAST(s.sq * (t.tt * {_BUDGET_MULT}) // t.tsq AS BIGINT) AS planned_tokens,
-       CAST((s.sq * (t.tt * {_BUDGET_MULT}) // t.tsq) * 1000000 // s.n_tokens AS BIGINT)
-         AS epochs_ppm,
-       (s.sq * (t.tt * {_BUDGET_MULT}) // t.tsq) * 1000000 // s.n_tokens
-         > {_EPOCH_CAP_PPM} AS over_repeat_cap
-FROM s, t
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt, CAST(sum(sq) AS BIGINT) AS tsq FROM s),
+w AS (
+  SELECT s.source, s.n_docs, s.n_tokens,
+         CAST(s.sq * 1000000 // t.tsq AS BIGINT) AS w_ppm,
+         CAST(t.tt * {_BUDGET_MULT} AS BIGINT) AS budget
+  FROM s, t
+),
+p AS (
+  SELECT *, CAST(w_ppm * (budget // 1000000)
+                 + (w_ppm * (budget % 1000000)) // 1000000 AS BIGINT) AS planned
+  FROM w
+),
+e AS (
+  SELECT *, planned // n_tokens AS eq,
+            ((planned % n_tokens) * 1000) // n_tokens AS et1,
+            ((((planned % n_tokens) * 1000) % n_tokens) * 1000) // n_tokens AS et2
+  FROM p
+)
+SELECT source, n_docs, n_tokens,
+       w_ppm AS temp_weight_ppm,
+       planned AS planned_tokens,
+       CAST(eq * 1000000 + et1 * 1000 + et2 AS BIGINT) AS epochs_ppm,
+       eq * 1000000 + et1 * 1000 + et2 > {_EPOCH_CAP_PPM} AS over_repeat_cap
+FROM e
 """
 
 
@@ -1540,6 +1557,10 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt quantizes to integer milli-units BEFORE any total; every ratio
     after that is integer floor-division (the established
     quantize-before-aggregate discipline), so engine parity is exact.
+    All products are quotient/remainder-decomposed so no intermediate
+    exceeds int64 for corpora to ~9.2e15 tokens per source — the naive
+    sq*(tt*4) form would overflow silently at ~5e10 tokens, well under
+    the 100 TB scale this plans for (see the inline derivation below).
 
     Scale: ONE map-side-combining aggregate over the corpus (count +
     token-sum per source — the only shuffle, |sources| keys), then a
@@ -1559,16 +1580,43 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.withColumn("sq", sq)
         .withColumn("tt", F.sum("n_tokens").over(w))
         .withColumn("tsq", F.sum("sq").over(w))
+        # Overflow-safe int64 plan math (round-10 ADVICE): the naive
+        # sq*(tt*4) product overflows BIGINT silently around a ~5e10-token
+        # corpus — far below the 100 TB (~2.5e13 tokens) this query claims
+        # to plan for. So quantize the temperature weight to ppm FIRST,
+        # then apply it to the budget by exact quotient/remainder
+        # decomposition: floor(w*B/1e6) = w*(B div 1e6) + (w*(B mod 1e6))
+        # div 1e6 — every intermediate stays under 2^63 for budgets up to
+        # ~9.2e18 tokens. epochs_ppm uses the same split twice (planned
+        # div/mod n_tokens, then the *1e6 applied as *1e3 twice), exact
+        # for any per-source n_tokens up to ~9.2e15.
+        .withColumn("w_ppm", F.expr("sq * 1000000L DIV tsq"))
+        .withColumn("budget", F.expr(f"tt * {_BUDGET_MULT}L"))
+        .withColumn(
+            "planned",
+            F.expr(
+                "w_ppm * (budget DIV 1000000L)"
+                " + (w_ppm * (budget % 1000000L)) DIV 1000000L"
+            ),
+        )
+        .withColumn("eq", F.expr("planned DIV n_tokens"))
+        .withColumn("et1", F.expr("((planned % n_tokens) * 1000L) DIV n_tokens"))
+        .withColumn(
+            "et2",
+            F.expr(
+                "((((planned % n_tokens) * 1000L) % n_tokens) * 1000L)"
+                " DIV n_tokens"
+            ),
+        )
     )
-    planned = f"sq * (tt * {_BUDGET_MULT}L) DIV tsq"
     return withs.select(
         "source",
         "n_docs",
         "n_tokens",
-        F.expr("sq * 1000000L DIV tsq").alias("temp_weight_ppm"),
-        F.expr(planned).alias("planned_tokens"),
-        F.expr(f"({planned}) * 1000000L DIV n_tokens").alias("epochs_ppm"),
+        F.col("w_ppm").alias("temp_weight_ppm"),
+        F.col("planned").alias("planned_tokens"),
+        F.expr("eq * 1000000L + et1 * 1000L + et2").alias("epochs_ppm"),
         F.expr(
-            f"({planned}) * 1000000L DIV n_tokens > {_EPOCH_CAP_PPM}"
+            f"eq * 1000000L + et1 * 1000L + et2 > {_EPOCH_CAP_PPM}"
         ).alias("over_repeat_cap"),
     )
