@@ -212,6 +212,13 @@ OPTIONAL = [
     "corpus_dedup_rate_curve",
     # round 9: the token-budget epoch planner (metadata-sized output)
     "corpus_token_budget_plan",
+    # round 10: the corpus-trained BPE tokenizer family — train charges the
+    # word-count aggregate + merge fit + vocabulary encode (cache cleared
+    # per rep); the three consumers ride the warm merge table / word map
+    "text_bpe_train",
+    "text_bpe_tokenize",
+    "corpus_token_budget_plan_bpe",
+    "corpus_pack_sequences_bpe",
 ]
 
 
@@ -361,6 +368,18 @@ def run_section(section: int) -> dict[str, dict[str, object]]:
                 )
 
                 clear_winnowing_artifacts()
+            if name == "text_bpe_train":
+                # charges the BPE training pass (corpus word-count
+                # aggregate + merge-table fit) and the vocabulary encode;
+                # text_bpe_tokenize / corpus_token_budget_plan_bpe /
+                # corpus_pack_sequences_bpe ride the warm merge table and
+                # word->n_toks map — the incremental cost a pipeline pays
+                # after training its tokenizer once per corpus snapshot
+                from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+                    clear_bpe_artifacts,
+                )
+
+                clear_bpe_artifacts()
             if name == "dedup_cluster_cc":
                 # charges the CC label propagation itself (its pair
                 # generation rides the warm shingle/prefix artifacts);

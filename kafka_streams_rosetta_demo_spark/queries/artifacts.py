@@ -356,6 +356,60 @@ def jaccard_pairs_075(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+# BPE tokenizer artifacts: the merge table (bounded Python model state,
+# <= N_MERGES pairs) and the vocabulary token-count map (word -> n_toks,
+# pinned like the other corpus artifacts). Same cost policy: the family's
+# first member (text_bpe_train) is charged the training pass; every other
+# BPE-backed query rides the warm merge table and word map.
+_BPE_MERGES_CACHE: dict[tuple, tuple] = {}
+_BPE_WORD_TOKENS_CACHE: dict[tuple, DataFrame] = {}
+_BPE_DISK_PINS: list[DataFrame] = []
+
+
+def clear_bpe_artifacts() -> None:
+    """Drop the memoized BPE merge table and word token map (bench cost
+    policy: the build is charged to ``text_bpe_train``)."""
+    _release_disk_pins(_BPE_DISK_PINS)
+    _BPE_MERGES_CACHE.clear()
+    _BPE_WORD_TOKENS_CACHE.clear()
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> tuple:
+    """The corpus-trained BPE merge table: tuple of (left, right) pairs in
+    rank order. One corpus-wide word-count aggregate + driver-side training
+    over the capped frequency table (``operators/bpe.py`` module docstring
+    has the 100 TB argument); memoized per corpus snapshot."""
+    from ..operators.bpe import corpus_word_counts, train_bpe
+
+    key = artifact_cache_key(spark, sf_dir)
+    got = _BPE_MERGES_CACHE.get(key)
+    if got is not None:
+        return got
+    merges = tuple(train_bpe(corpus_word_counts(spark, sf_dir)))
+    _BPE_MERGES_CACHE[key] = merges
+    return merges
+
+
+def bpe_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary token-count map (word, n_toks): Arrow-batched encode
+    over the DISTINCT corpus words, pinned. Every per-document BPE count in
+    the registry is a broadcast join against this one table."""
+    from ..operators.bpe import word_token_counts
+
+    key = artifact_cache_key(spark, sf_dir)
+    got = _BPE_WORD_TOKENS_CACHE.get(key)
+    if got is not None:
+        return got
+    wt = _pin(
+        word_token_counts(spark, sf_dir, list(bpe_merges(spark, sf_dir))),
+        spark,
+        "bpe_word_tokens",
+        _BPE_DISK_PINS,
+    )
+    _BPE_WORD_TOKENS_CACHE[key] = wt
+    return wt
+
+
 def winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus winnowing fingerprint index: distinct ``(doc_id, f)``
     over ALL documents (k=3 word-grams, w=4 windows — the MOSS sampler).

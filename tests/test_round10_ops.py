@@ -102,6 +102,122 @@ class TestArtifactFingerprint:
             clear_shingle_artifacts()
 
 
+class TestBpe:
+    def test_apply_merge_equals_repeat_leftmost(self):
+        """The single-pass fold must equal repeat-leftmost application of
+        one rule (the classic BPE semantics the oracle's list_reduce also
+        implements) — including the overlapping-run case (a, a)."""
+        from kafka_streams_rosetta_demo_spark.operators.bpe import apply_merge
+
+        def repeat_leftmost(toks, a, b):
+            toks = list(toks)
+            while True:
+                for i in range(len(toks) - 1):
+                    if toks[i] == a and toks[i + 1] == b:
+                        toks[i : i + 2] = [a + b]
+                        break
+                else:
+                    return toks
+
+        cases = [
+            (list("aaaa"), "a", "a"),
+            (list("ababab"), "a", "b"),
+            (list("xaay"), "a", "a"),
+            (["ab", "a", "b", "ab"], "a", "b"),
+            (list("z"), "a", "b"),
+        ]
+        for toks, a, b in cases:
+            assert apply_merge(toks, a, b) == repeat_leftmost(toks, a, b)
+
+    def test_encode_roundtrip_and_train_determinism(self):
+        from kafka_streams_rosetta_demo_spark.operators.bpe import (
+            encode_word,
+            train_bpe,
+        )
+
+        wc = [("table", 50), ("tablet", 20), ("tab", 30), ("let", 10), ("a", 5)]
+        m1 = train_bpe(wc, n_merges=10)
+        m2 = train_bpe(list(wc), n_merges=10)
+        assert m1 == m2 and m1, "training must be deterministic and productive"
+        for w, _ in wc:
+            toks = encode_word(w, m1)
+            assert "".join(toks) == w, "tokens must concatenate back to the word"
+
+    def test_merge_table_bounded_and_compression_sane(self, spark, sf_smoke):
+        from kafka_streams_rosetta_demo_spark.queries.pipeline_queries import (
+            text_bpe_tokenize,
+            text_bpe_train,
+        )
+
+        mt = text_bpe_train(spark, sf_smoke).collect()
+        assert 0 < len(mt) <= 48
+        assert all(r.merged == r.lhs + r.rhs for r in mt)
+        counts = text_bpe_tokenize(spark, sf_smoke).collect()
+        assert counts
+        docs = {r.doc_id: r for r in counts}
+        chars = {
+            r.doc_id: r.n
+            for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+            .selectExpr(
+                "doc_id",
+                "length(replace(text, ' ', '')) AS n",
+            )
+            .collect()
+        }
+        for did, r in docs.items():
+            # every word is >= 1 token, <= its char count
+            assert r.ws_tokens <= r.bpe_tokens <= chars[did]
+
+    def test_tokenize_plan_is_vocab_broadcast_join(self, spark, sf_correctness):
+        """The corpus-sized side must never pass through Python: the encode
+        UDF (ArrowEvalPython) runs on the DISTINCT word table only, and the
+        per-doc count joins it back via broadcast."""
+        from kafka_streams_rosetta_demo_spark.operators.bpe import (
+            word_token_counts,
+        )
+        from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+            bpe_merges,
+            clear_bpe_artifacts,
+        )
+        from kafka_streams_rosetta_demo_spark.queries.pipeline_queries import (
+            text_bpe_tokenize,
+        )
+
+        wt = word_token_counts(
+            spark, sf_correctness, list(bpe_merges(spark, sf_correctness))
+        )
+        plan = wt._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, plan
+        tok_plan = (
+            text_bpe_tokenize(spark, sf_correctness)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in tok_plan, tok_plan
+        assert "CartesianProduct" not in tok_plan
+        clear_bpe_artifacts()
+
+    def test_bpe_artifact_tracks_corpus_rewrite(self, spark, tmp_path):
+        """The merge table is corpus model state — a rewritten snapshot
+        must retrain, not serve the old tokenizer."""
+        from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+            bpe_merges,
+            clear_bpe_artifacts,
+        )
+
+        sf = str(tmp_path)
+        try:
+            _write_docs(spark, sf, [(0, "aaab aaab aaab"), (1, "aaab aaab")])
+            m1 = bpe_merges(spark, sf)
+            assert m1 and m1[0] == ("a", "a")
+            _write_docs(spark, sf, [(0, "zzzq zzzq zzzq"), (1, "zzzq zzzq")])
+            m2 = bpe_merges(spark, sf)
+            assert m2 and m2[0] == ("z", "z")
+        finally:
+            clear_bpe_artifacts()
+
+
 class TestTokenBudgetOverflowSafety:
     def test_plan_math_matches_exact_bignum(self, spark, sf_correctness):
         """The decomposed int64 plan math must equal the arbitrary-precision

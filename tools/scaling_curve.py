@@ -100,6 +100,7 @@ def sf_value(d: str) -> float:
 
 def clear_caches() -> None:
     from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+        clear_bpe_artifacts,
         clear_shingle_artifacts,
         clear_winnowing_artifacts,
     )
@@ -109,6 +110,7 @@ def clear_caches() -> None:
 
     clear_shingle_artifacts()
     clear_winnowing_artifacts()
+    clear_bpe_artifacts()
     clear_cc_labels_cache()
 
 
