@@ -276,3 +276,97 @@ class TestTokenBudgetOverflowSafety:
                 eq * 1_000_000,
             ):
                 assert -I64 <= term < I64
+
+
+# ---------------------------------------------------------------------------
+# Measured watermark eviction for the two remaining stateful topologies
+# (VERDICT r9 task 5): session-window merge state and the append-mode
+# (suppress-final) window registry. Reuses the round-9 staged source /
+# curve machinery so all six curves share one methodology.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tests.test_round9_ops import (  # noqa: E402
+    _BASE,
+    _JUMP,
+    _KEYS,
+    _N_PRE,
+    _N_POST,
+    _assert_rises_then_falls,
+    _state_curve,
+    _stream,
+    _time_advancing_source,
+    _WM,
+)
+
+
+def test_suppress_final_window_state_evicts_measured(spark, tmp_path):
+    """streaming_suppress_final's exact transform
+    (`streaming_final_windowed_agg` — the SAME plan as the update-mode
+    aggregate, suppression being purely the sink's append mode): state
+    rows = live (key, window) pairs held back until the watermark closes
+    their window; the 4 h leap must both EMIT and EVICT every pre-jump
+    window in one stroke. This pins the round-9 claim that append-mode
+    suppression costs no second buffer: the curve must match the
+    update-mode topology's shape (rise while the watermark is pinned,
+    collapse at the leap), not stack suppressed rows on top of it."""
+    from kafka_streams_rosetta_demo_spark.streaming.transforms import (
+        streaming_final_windowed_agg,
+    )
+
+    root = str(tmp_path / "src")
+    _time_advancing_source(spark, root)
+    final = streaming_final_windowed_agg(_stream(spark, root), watermark=_WM)
+    rows = _state_curve(spark, final, "append")
+    _assert_rises_then_falls(rows)
+
+
+def test_session_window_merge_state_evicts_measured(spark, tmp_path):
+    """streaming_session_windows' state shape (session_window + append
+    mode): per-key state holds OPEN sessions, and sessions MERGE — the
+    curve must show both. Source: each pre-jump file adds 50 fresh keys
+    (one new open session each) PLUS one recurring 'bridge' key whose
+    events land 5 s apart, far inside the 30 min gap — so its 18 events
+    must coalesce into ONE open session, not 18. After the 4 h leap the
+    watermark passes every pre-jump session's end (last event + gap), so
+    the merged session and all the singletons must emit and leave the
+    store together."""
+    root = str(tmp_path / "srcsess")
+    for i in range(_N_PRE + _N_POST):
+        ts = _BASE + i * 5 if i < _N_PRE else _BASE + _JUMP + (i - _N_PRE) * 5
+        batch = spark.range(i * _KEYS, (i + 1) * _KEYS).select(
+            F.col("id").cast("string").alias("user_id"),
+            F.timestamp_seconds(F.lit(ts)).alias("ts"),
+            (F.col("id") % 7).cast("double").alias("value"),
+        )
+        if i < _N_PRE:
+            bridge = spark.range(1).select(
+                F.lit("bridge").alias("user_id"),
+                F.timestamp_seconds(F.lit(ts)).alias("ts"),
+                F.lit(1.0).alias("value"),
+            )
+            batch = batch.unionAll(bridge)
+        batch.coalesce(1).write.mode("append").parquet(root)
+
+    src = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    agg = (
+        src.withWatermark("ts", _WM)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    rows = _state_curve(spark, agg, "append")
+    _assert_rises_then_falls(rows)
+    # The merge pin: by the last pre-jump batch the store holds the 18*50
+    # singleton sessions plus AT MOST a handful of rows for the bridge key
+    # — if session rows did not merge, the bridge alone would add 18 rows.
+    peak_pre = rows[_N_PRE - 1]
+    assert peak_pre <= _N_PRE * _KEYS + 3, (
+        f"bridge sessions did not merge: {peak_pre} rows at the pre-jump "
+        f"peak vs {_N_PRE * _KEYS} singletons: {rows}"
+    )
+    assert peak_pre >= _N_PRE * _KEYS, rows
