@@ -219,6 +219,8 @@ OPTIONAL = [
     "text_bpe_tokenize",
     "corpus_token_budget_plan_bpe",
     "corpus_pack_sequences_bpe",
+    "doc_chunk_bpe_budget",
+    "text_bpe_fertility",
 ]
 
 

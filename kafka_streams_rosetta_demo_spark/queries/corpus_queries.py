@@ -1752,3 +1752,135 @@ def corpus_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.withColumn(
         "bin_id", F.floor(cum_before.cast("double") / _PACK_BUDGET).cast("long")
     )
+
+
+_CHUNK_BPE = 128  # BPE tokens per chunk budget
+
+_CHUNK_BPE_ORACLE = f"""WITH {{bpe}},
+{{wt}},
+dwp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+d AS (SELECT doc_id, w, pos FROM dwp WHERE w <> ''),
+r AS (
+  SELECT d.doc_id, d.pos, wt.n_toks,
+         coalesce(sum(wt.n_toks) OVER (
+           PARTITION BY d.doc_id ORDER BY d.pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d JOIN wt ON d.w = wt.word
+)
+SELECT doc_id,
+       CAST(cum_before // {_CHUNK_BPE} AS BIGINT) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens
+FROM r GROUP BY doc_id, cum_before // {_CHUNK_BPE}"""
+
+
+@register(
+    "doc_chunk_bpe_budget",
+    oracle=_CHUNK_BPE_ORACLE.format(
+        bpe=bpe_oracle_with(), wt=bpe_oracle_word_tokens()
+    ),
+)
+def doc_chunk_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget chunking: split each document into consecutive
+    chunks of ~128 REAL BPE tokens (word-atomic — a word never splits, so
+    a chunk may overrun by at most its last word's tokens, the standard
+    boundary-snapping rule), emitting per-chunk word and token counts.
+    With `corpus_token_budget_plan_bpe` (budget) and
+    `corpus_pack_sequences_bpe` (pack) this completes the re-expression of
+    the whole budget/pack/chunk chain on tokenizer tokens; the word-window
+    chunker (`doc_chunk_overlap`, X88) remains the retrieval-overlap
+    flavor.
+
+    Scale: posexplode + the vocabulary broadcast join (no shuffle), then
+    ONE exchange on doc_id for the per-doc running sum — the chunk
+    boundary is a pure function of the running count, so the window sort
+    is the only non-map stage. Chunk ids are integer floor-division of
+    integer sums: exact on both engines."""
+    from .artifacts import bpe_word_tokens
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos0", "w"),
+        )
+        .where(F.col("w") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    wt = bpe_word_tokens(spark, sf_dir)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = d.join(F.broadcast(wt), d.w == wt.word).withColumn(
+        "cum_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    )
+    return (
+        r.withColumn(
+            "chunk_idx", F.expr(f"cum_before DIV {_CHUNK_BPE}").cast("long")
+        )
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+_FERTILITY_ORACLE = f"""WITH {{bpe}},
+{{wt}},
+{_BPE_DOC_WORDS},
+j AS (SELECT dw.source, dw.w, wt.n_toks FROM dw JOIN wt ON dw.w = wt.word)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(n_toks) * 1000000 // count(*) AS BIGINT) AS fertility_ppm,
+       CAST(sum(length(w)) * 1000000 // sum(n_toks) AS BIGINT)
+         AS chars_per_token_ppm
+FROM j GROUP BY source"""
+
+
+@register(
+    "text_bpe_fertility",
+    oracle=_FERTILITY_ORACLE.format(
+        bpe=bpe_oracle_with(), wt=bpe_oracle_word_tokens()
+    ),
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by source: BPE tokens per word (ppm) and chars
+    per token (ppm) — the standard tokenizer-vs-domain mismatch signal (a
+    source whose fertility is far above the corpus norm is paying more
+    sequence length per content; it also invalidates the chars/4 estimate
+    X9 carries). Reads as a quality gate over the X149 tokenizer itself:
+    retrain or re-cap decisions key off exactly this table.
+
+    Scale: the vocabulary broadcast join + ONE map-side-combining
+    per-source aggregate (|sources| keys) — same metadata-query shape as
+    the budget planner; integer sums and ppm floor-division only."""
+    from .artifacts import bpe_word_tokens
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    wt = bpe_word_tokens(spark, sf_dir)
+    return (
+        d.join(F.broadcast(wt), d.w == wt.word)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+            F.expr("CAST(sum(n_toks) * 1000000 DIV count(1) AS BIGINT)").alias(
+                "fertility_ppm"
+            ),
+            F.expr(
+                "CAST(sum(length(w)) * 1000000 DIV sum(n_toks) AS BIGINT)"
+            ).alias("chars_per_token_ppm"),
+        )
+    )

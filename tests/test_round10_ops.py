@@ -5,9 +5,7 @@ overflow-safe token-budget plan math, and the BPE tokenizer gates."""
 from __future__ import annotations
 
 import os
-import shutil
 
-import pytest
 
 
 def _write_docs(spark, path: str, rows: list[tuple[int, str]]) -> None:
@@ -370,3 +368,60 @@ def test_session_window_merge_state_evicts_measured(spark, tmp_path):
         f"peak vs {_N_PRE * _KEYS} singletons: {rows}"
     )
     assert peak_pre >= _N_PRE * _KEYS, rows
+
+
+def test_chunk_bpe_budget_invariants(spark, sf_smoke):
+    """Word-atomic budget chunking: chunk indices are consecutive from 0
+    per doc, every chunk except possibly the last holds >= 128 tokens
+    MINUS the boundary word's overrun... the precise invariant: each
+    chunk's STARTING cumulative count lies in [idx*128, (idx+1)*128), so
+    n_bpe_tokens summed in idx order reconstructs the doc total, and any
+    chunk that is not the doc's last must END at or past its budget
+    boundary (else the next word would still belong to it)."""
+    from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+        _CHUNK_BPE,
+        doc_chunk_bpe_budget,
+    )
+    from kafka_streams_rosetta_demo_spark.queries.pipeline_queries import (
+        text_bpe_tokenize,
+    )
+
+    chunks = doc_chunk_bpe_budget(spark, sf_smoke).collect()
+    totals = {r.doc_id: r.bpe_tokens for r in text_bpe_tokenize(spark, sf_smoke).collect()}
+    per_doc: dict[int, list] = {}
+    for r in chunks:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(totals)
+    for did, rows in per_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert rows[0].chunk_idx == 0
+        cum = 0
+        for r in rows:
+            assert cum // _CHUNK_BPE == r.chunk_idx, (did, r)
+            cum += r.n_bpe_tokens
+        assert cum == totals[did]
+        for prev, nxt in zip(rows, rows[1:]):
+            # chunk indices strictly increase; gaps mean a single word
+            # overran a whole budget window (allowed only if that word
+            # alone exceeds 128 tokens — impossible on this corpus)
+            assert nxt.chunk_idx == prev.chunk_idx + 1, (did, rows)
+
+
+def test_fertility_is_consistent_with_tokenize(spark, sf_smoke):
+    from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+        text_bpe_fertility,
+    )
+    from kafka_streams_rosetta_demo_spark.queries.pipeline_queries import (
+        text_bpe_tokenize,
+    )
+
+    fert = text_bpe_fertility(spark, sf_smoke).collect()
+    assert fert
+    tok = text_bpe_tokenize(spark, sf_smoke).agg(
+        {"ws_tokens": "sum", "bpe_tokens": "sum"}
+    ).collect()[0]
+    assert sum(r.n_words for r in fert) == tok["sum(ws_tokens)"]
+    assert sum(r.n_bpe_tokens for r in fert) == tok["sum(bpe_tokens)"]
+    for r in fert:
+        assert r.fertility_ppm == r.n_bpe_tokens * 1_000_000 // r.n_words
+        assert r.fertility_ppm >= 1_000_000  # >= one token per word

@@ -35,7 +35,12 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    b = SparkSession.builder.master("local[32]").appName(f"hostile-{mode}")
+    # Concurrency override: execution memory is consumed PER CONCURRENT
+    # TASK, so heap-constrained legs (the bare-1g sf2.0 record) turn the
+    # same knob a cluster operator does — memory per core — by lowering
+    # task slots instead of raising the heap.
+    cpus = os.environ.get("SPARK_GRAFT_SWEEP_CPUS", "32")
+    b = SparkSession.builder.master(f"local[{cpus}]").appName(f"hostile-{mode}")
     # The sweep session is deliberately BARE (the driver's own session is
     # bare too), which means Spark's 1g default driver heap — correct for
     # the gate/bench scale factors, but a 20x-bench-volume leg (sf2.0) OOMs
