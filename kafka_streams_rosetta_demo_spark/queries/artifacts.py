@@ -230,6 +230,19 @@ def _pin(
     return df.localCheckpoint(eager=True)
 
 
+def pin_with_budget(
+    df: DataFrame,
+    spark: SparkSession,
+    what: str,
+    pins: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Public entry to the budget-guarded pin, for callers outside this
+    module (the streaming runner's result-snapshot adapters — the bare-1g
+    sf2.0 record showed their unguarded ``localCheckpoint`` was the next
+    OOM site after the round-9 artifact fix)."""
+    return _pin(df, spark, what, pins)
+
+
 def _release_disk_pins(pins: list[DataFrame]) -> None:
     for df in pins:
         try:

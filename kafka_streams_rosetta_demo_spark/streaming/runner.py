@@ -25,6 +25,22 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import types as T
 
 
+def _pin_result(df: DataFrame, spark: SparkSession, what: str) -> DataFrame:
+    """Pin a finished streaming result through the shared storage-budget
+    boundary (``queries.artifacts.pin_with_budget``): within budget it is
+    the eager ``localCheckpoint`` this adapter always used; over budget it
+    degrades to an eager serialized ``persist(DISK_ONLY)`` instead of
+    OOMing the JVM. The bare-1g sf2.0 sweep showed the unguarded result
+    checkpoint was the next OOM site after the round-9 artifact-layer fix:
+    the result of a 20x-volume streaming aggregate does not fit a 1g heap
+    as deserialized in-memory blocks, but streams to local disk fine.
+    Lazy import: queries -> streaming is the normal dependency direction;
+    this is the one place streaming reaches back for a shared policy."""
+    from ..queries.artifacts import pin_with_budget
+
+    return pin_with_budget(df, spark, what)
+
+
 def checkpoint_tmpdir(prefix: str) -> tempfile.TemporaryDirectory:
     """Temporary checkpoint/sink directory hardened against Spark's async
     state-store maintenance thread.
@@ -204,7 +220,7 @@ def run_update_query_to_df(
         )
         return spark.createDataFrame([], schema)
     snap = parquet_changelog_snapshot(spark, out_dir, key_cols)
-    return snap.localCheckpoint(eager=True)
+    return _pin_result(snap, spark, "streaming update-mode snapshot")
 
 
 def _changelog_has_files(out_dir: str) -> bool:
@@ -318,4 +334,8 @@ def run_append_query_to_df(
     spark = result.sparkSession
     if not _file_sink_has_commits(out_dir):
         return spark.createDataFrame([], result.schema)
-    return spark.read.schema(result.schema).parquet(out_dir).localCheckpoint(eager=True)
+    return _pin_result(
+        spark.read.schema(result.schema).parquet(out_dir),
+        spark,
+        "streaming append-mode sink read-back",
+    )

@@ -326,6 +326,15 @@ SHUFFLE_BUDGET = {
     "text_ngram_novelty": 2,  # gram-key window min + doc_id rollup (rebalance is round-robin, not counted); no join — the first-occurrence fact never leaves the gram exchange
     "corpus_dedup_rate_curve": 3,  # dup-id distinct + doc_id join + 10-key rollup; pairs come from the checkpointed artifact (its build shuffles are charged to the family builder)
     "corpus_token_budget_plan": 1,  # one per-source aggregate; the totals window is SinglePartition over |sources| rows
+    # round-10 additions (the BPE family: the vocabulary map is a pinned
+    # artifact, so Arrow never appears in these registered plans and the
+    # corpus side joins it by broadcast — no join shuffle anywhere)
+    "text_bpe_train": 0,  # returned merge table IS bounded model state (LocalTableScan); the training aggregate is charged to the artifact build
+    "text_bpe_tokenize": 1,  # ONE doc_id aggregate; vocab join broadcasts
+    "corpus_token_budget_plan_bpe": 2,  # per-source agg with countDistinct(doc_id) = 2-phase distinct
+    "corpus_pack_sequences_bpe": 2,  # doc-count agg + shard window
+    "doc_chunk_bpe_budget": 1,  # the (doc_id, chunk) rollup REUSES the running-sum window's doc_id exchange
+    "text_bpe_fertility": 1,  # one per-source aggregate
 }
 
 
