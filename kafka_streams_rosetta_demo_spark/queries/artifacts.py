@@ -225,8 +225,18 @@ def _pin(
         pinned = df.persist(StorageLevel.DISK_ONLY)
         pinned.count()  # eager, matching localCheckpoint(eager=True)
         if pins is not None:
-            pins.append(pinned)
-        return pinned
+            pins.append(pinned)  # unpersist must target the REGISTERED plan
+        # Return a FRESH Dataset over the same plan. The size probe above
+        # forced this Dataset's QueryExecution (its withCachedData phase)
+        # BEFORE the persist registered the cache, so an action on the
+        # exact returned object would silently bypass the cache and
+        # re-read source files the caller may have deleted by then
+        # (observed at sf2.0: streaming snapshot pinned DISK_ONLY, sink
+        # tmpdir deleted, collect -> FAILED_READ FILE_NOT_EXIST).
+        # select("*") builds a new QueryExecution whose cache lookup sees
+        # the registered InMemoryRelation; downstream plans on top of the
+        # artifact were never affected (they always build fresh).
+        return pinned.select("*")
     return df.localCheckpoint(eager=True)
 
 

@@ -425,3 +425,36 @@ def test_fertility_is_consistent_with_tokenize(spark, sf_smoke):
     for r in fert:
         assert r.fertility_ppm == r.n_bpe_tokens * 1_000_000 // r.n_words
         assert r.fertility_ppm >= 1_000_000  # >= one token per word
+
+
+def test_disk_pinned_result_survives_source_deletion(spark, tmp_path, capfd):
+    """The sf2.0 bare-1g finding, round 10: _pin's size probe forces the
+    input Dataset's QueryExecution BEFORE the persist registers the cache,
+    so under a degraded DISK_ONLY pin an action on the exact returned
+    object silently bypassed the cache and re-read source files the
+    caller had already deleted (streaming adapters delete their sink
+    tmpdir on return). The fix returns a fresh Dataset whose plan uses
+    the registered InMemoryRelation — pinned here end to end: collect
+    AFTER deleting the source must succeed, and the plan must show the
+    cache scan."""
+    import shutil
+
+    from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+        _BUDGET_CONF,
+        pin_with_budget,
+    )
+
+    src = str(tmp_path / "gone")
+    spark.range(500).selectExpr("id", "id * 3 AS v").write.parquet(src)
+    spark.conf.set(_BUDGET_CONF, "1")  # force the degraded path
+    try:
+        pinned = pin_with_budget(spark.read.parquet(src), spark, "qe-staleness-pin")
+        assert "pinning DISK_ONLY" in capfd.readouterr().err
+    finally:
+        spark.conf.unset(_BUDGET_CONF)
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    shutil.rmtree(src)
+    rows = pinned.collect()
+    assert len(rows) == 500 and sum(r.v for r in rows) == 3 * sum(range(500))
+    pinned.unpersist()
