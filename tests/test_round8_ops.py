@@ -229,7 +229,7 @@ def test_winnowing_query_rides_the_shared_index(spark, sf_smoke):
 
     artifacts.clear_winnowing_artifacts()
     dedup_winnowing(spark, sf_smoke).count()
-    key = (spark.sparkContext.applicationId, sf_smoke)
+    key = artifacts.artifact_cache_key(spark, sf_smoke)  # fingerprinted (r10)
     built = artifacts._WINNOW_CACHE.get(key)
     assert built is not None, "dedup_winnowing did not build the index"
     dedup_winnowing_screen(spark, sf_smoke).count()
