@@ -717,3 +717,72 @@ def test_winnowing_guarantee_property(spark, word_lists, run, data):
     assert a & b, (
         f"docs {a_idx}/{b_idx} share a {len(run)}-word run but no fingerprint"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE train/encode parity: Python trainer vs the DuckDB oracle replay
+# (round 10) — no Spark in the loop, so examples are cheap; the property
+# pins the cross-engine determinism contract (arg-max tie-breaks, the
+# single-pass fold, codepoint-level base symbols incl. non-ASCII) on
+# adversarial vocabularies the corpus never contains.
+# ---------------------------------------------------------------------------
+
+# letters + digits + a few multi-byte codepoints (é ß 中) — UTF-8 byte
+# order equals codepoint order, so Python tuple compare and DuckDB binary
+# collation must tie-break merges identically even here.
+_BPE_ALPHABET = "abcé ß中01"
+
+
+word_counts_strategy = st.lists(
+    st.tuples(
+        st.text(
+            alphabet=[c for c in _BPE_ALPHABET if c != " "],
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(wc=word_counts_strategy)
+@settings(max_examples=40, deadline=None)
+def test_bpe_training_matches_duckdb_oracle_replay(wc):
+    import duckdb
+
+    from kafka_streams_rosetta_demo_spark.operators.bpe import (
+        bpe_oracle_merge_table,
+        bpe_oracle_with,
+        bpe_oracle_word_tokens,
+        encode_word,
+        train_bpe,
+    )
+
+    n_merges = 8
+    merges_py = train_bpe(wc, n_merges=n_merges)
+
+    con = duckdb.connect()
+    # one document per vocabulary word, repeated cnt times -> the oracle's
+    # corpus word counts equal wc exactly
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    for w, c in wc:
+        con.execute("INSERT INTO documents VALUES (?)", [" ".join([w] * c)])
+
+    mt = con.execute(bpe_oracle_merge_table(n_merges)).fetchall()
+    merges_sql = [(lhs, rhs) for _rank, lhs, rhs, _m in sorted(mt)]
+    assert merges_sql == merges_py, (wc, merges_py, merges_sql)
+
+    wt = dict(
+        con.execute(
+            f"WITH {bpe_oracle_with(n_merges)},\n"
+            f"{bpe_oracle_word_tokens(n_merges)}\n"
+            "SELECT word, n_toks FROM wt"
+        ).fetchall()
+    )
+    for w, _ in wc:
+        toks = encode_word(w, merges_py)
+        assert "".join(toks) == w
+        assert wt[w] == len(toks), (w, toks, wt[w], merges_py)
