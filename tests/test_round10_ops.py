@@ -458,3 +458,26 @@ def test_disk_pinned_result_survives_source_deletion(spark, tmp_path, capfd):
     rows = pinned.collect()
     assert len(rows) == 500 and sum(r.v for r in rows) == 3 * sum(range(500))
     pinned.unpersist()
+
+
+def test_clear_helpers_release_disk_pins(spark, sf_smoke, capfd):
+    """bench clears artifact caches before each timed rep; when a rep ran
+    degraded (DISK_ONLY), the clear must unpersist the old blocks eagerly
+    rather than stacking a fresh copy per rep behind the GC."""
+    from pyspark import StorageLevel
+
+    from kafka_streams_rosetta_demo_spark.queries import artifacts
+
+    artifacts.clear_winnowing_artifacts()
+    spark.conf.set(artifacts._BUDGET_CONF, "1")
+    try:
+        artifacts.winnowing_index(spark, sf_smoke)
+        assert len(artifacts._WINNOW_DISK_PINS) == 1
+        pinned = artifacts._WINNOW_DISK_PINS[0]
+        assert pinned.storageLevel == StorageLevel.DISK_ONLY
+        artifacts.clear_winnowing_artifacts()
+        assert artifacts._WINNOW_DISK_PINS == []
+        assert pinned.storageLevel == StorageLevel.NONE, "blocks not released"
+    finally:
+        spark.conf.unset(artifacts._BUDGET_CONF)
+        artifacts.clear_winnowing_artifacts()
