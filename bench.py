@@ -338,6 +338,14 @@ def run_section(section: int) -> dict[str, dict[str, object]]:
         qfn = fns[name]
         reps = []
         for _ in range(REPS):
+            # Release any DISK_ONLY-degraded streaming result pins from the
+            # previous rep/query (a no-op on the in-budget fast path) — a
+            # degraded session must not stack result blocks per rep.
+            from kafka_streams_rosetta_demo_spark.streaming.runner import (
+                release_streaming_result_pins,
+            )
+
+            release_streaming_result_pins()
             # Artifact cost policy (mirrors a real pipeline's amortization):
             # each memoized artifact's BUILD cost is charged to exactly one
             # query — the family's first member — by clearing its cache

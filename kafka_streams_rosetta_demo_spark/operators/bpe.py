@@ -133,18 +133,27 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return t
 
 
+def corpus_words(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """Exploded non-empty corpus words (column ``w``), carrying any
+    requested document columns — the ONE Spark-side twin of the oracle's
+    word-explode CTEs (``_BPE_DOC_WORDS`` / ``wc0``). Every BPE-backed
+    query splits words through here so the split semantics can never
+    drift between queries (and any change stays in lockstep with the
+    oracle CTEs)."""
+    from ..sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        *cols, F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+
+
 def corpus_word_counts(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
     """The capped training frequency table: top ``VOCAB_CAP`` corpus words
     by (count desc, word asc). One map-side-combining aggregate over the
     corpus + a TakeOrdered — the single pass that sees all the data; the
     collect is bounded model state (<= VOCAB_CAP rows)."""
-    from ..sources.parquet import load_table
-
-    words = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("word"))
-        .where(F.col("word") != "")
-    )
+    words = corpus_words(spark, sf_dir).select(F.col("w").alias("word"))
     capped = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -185,13 +194,8 @@ def word_token_counts(
     dictionary-encode artifact every BPE-backed query joins against. The
     Python encode runs once per distinct word (Arrow-batched), not once
     per occurrence."""
-    from ..sources.parquet import load_table
-
     vocab = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("word"))
-        .where(F.col("word") != "")
-        .distinct()
+        corpus_words(spark, sf_dir).select(F.col("w").alias("word")).distinct()
     )
     udf = bpe_token_count_udf(spark, merges)
     return vocab.select("word", udf(F.col("word")).alias("n_toks"))

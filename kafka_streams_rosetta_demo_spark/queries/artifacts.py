@@ -93,6 +93,21 @@ def artifact_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
     )
 
 
+def cache_insert(cache: dict, key: tuple, value) -> None:
+    """Insert into a fingerprint-keyed artifact memo, EVICTING any entry
+    for the same (application, sf_dir) under a different fingerprint:
+    the old (app, sf_dir) keys overwrote in place, so a long-lived session
+    rewriting its corpus N times must not accumulate N dead artifact
+    copies (each pinning its checkpoint blocks until the reference drops).
+    Eviction here just deletes the stale reference — the ContextCleaner
+    reclaims localCheckpoint blocks once unreferenced; DISK_ONLY pins are
+    released by the clear_* helpers' tracking lists."""
+    stale = [k for k in cache if k[:2] == key[:2] and k != key]
+    for k in stale:
+        del cache[k]
+    cache[key] = value
+
+
 # Frames _pin had to persist(DISK_ONLY) (the degraded over-budget path),
 # grouped by which clear_* helper owns them. localCheckpoint frames need no
 # tracking — dropping the cache reference lets the ContextCleaner reclaim
@@ -293,7 +308,7 @@ def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         return got
     docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = _pin(with_shingles(docs, k=3), spark, "shingled_documents", _SHINGLE_DISK_PINS)
-    _SHINGLE_CACHE[key] = sh
+    cache_insert(_SHINGLE_CACHE, key, sh)
     return sh
 
 
@@ -312,7 +327,7 @@ def ordered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ordered_shingles",
         _SHINGLE_DISK_PINS,
     )
-    _ORDERED_CACHE[key] = ordered
+    cache_insert(_ORDERED_CACHE, key, ordered)
     return ordered
 
 
@@ -338,7 +353,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minhash_signatures",
         _SHINGLE_DISK_PINS,
     )
-    _SIG_CACHE[key] = sig
+    cache_insert(_SIG_CACHE, key, sig)
     return sig
 
 
@@ -375,7 +390,7 @@ def jaccard_pairs_075(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard_pairs_075",
         _SHINGLE_DISK_PINS,
     )
-    _PAIRS075_CACHE[key] = pairs
+    cache_insert(_PAIRS075_CACHE, key, pairs)
     return pairs
 
 
@@ -409,7 +424,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> tuple:
     if got is not None:
         return got
     merges = tuple(train_bpe(corpus_word_counts(spark, sf_dir)))
-    _BPE_MERGES_CACHE[key] = merges
+    cache_insert(_BPE_MERGES_CACHE, key, merges)
     return merges
 
 
@@ -429,7 +444,7 @@ def bpe_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bpe_word_tokens",
         _BPE_DISK_PINS,
     )
-    _BPE_WORD_TOKENS_CACHE[key] = wt
+    cache_insert(_BPE_WORD_TOKENS_CACHE, key, wt)
     return wt
 
 
@@ -459,5 +474,5 @@ def winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winnowing_index",
         _WINNOW_DISK_PINS,
     )
-    _WINNOW_CACHE[key] = fps
+    cache_insert(_WINNOW_CACHE, key, fps)
     return fps

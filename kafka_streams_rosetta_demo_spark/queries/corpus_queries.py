@@ -123,7 +123,9 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = jaccard_pairs_075(spark, sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    _CC_LABELS_CACHE[key] = comp
+    from .artifacts import cache_insert
+
+    cache_insert(_CC_LABELS_CACHE, key, comp)
     return comp
 
 
@@ -1676,13 +1678,10 @@ def corpus_token_budget_plan_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     an artifact) feeding the same map-side-combining per-source aggregate.
     Still one real shuffle (|sources| keys); still a metadata query at
     100 TB."""
+    from ..operators.bpe import corpus_words
     from .artifacts import bpe_word_tokens
 
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
-        .where(F.col("w") != "")
-    )
+    d = corpus_words(spark, sf_dir, "doc_id", "source")
     wt = bpe_word_tokens(spark, sf_dir)
     per = (
         d.join(F.broadcast(wt), d.w == wt.word)
@@ -1725,13 +1724,10 @@ def corpus_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     key + per-shard window sort); the per-doc BPE counts ride the
     vocabulary broadcast join. bin boundaries divide by 2^11 so the
     floor-of-double is exact."""
+    from ..operators.bpe import corpus_words
     from .artifacts import bpe_word_tokens
 
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .where(F.col("w") != "")
-    )
+    d = corpus_words(spark, sf_dir, "doc_id")
     wt = bpe_word_tokens(spark, sf_dir)
     t = (
         d.join(F.broadcast(wt), d.w == wt.word)
@@ -1862,13 +1858,10 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the vocabulary broadcast join + ONE map-side-combining
     per-source aggregate (|sources| keys) — same metadata-query shape as
     the budget planner; integer sums and ppm floor-division only."""
+    from ..operators.bpe import corpus_words
     from .artifacts import bpe_word_tokens
 
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("source", F.explode(F.split("text", " ")).alias("w"))
-        .where(F.col("w") != "")
-    )
+    d = corpus_words(spark, sf_dir, "source")
     wt = bpe_word_tokens(spark, sf_dir)
     return (
         d.join(F.broadcast(wt), d.w == wt.word)

@@ -2949,9 +2949,15 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays all 48 training iterations in unrolled SQL, so the
     driver independently verifies merge SELECTION (arg-max with the
     documented tie-break), not just merge application."""
-    from .artifacts import bpe_merges
+    from .artifacts import bpe_merges, bpe_word_tokens
 
     merges = bpe_merges(spark, sf_dir)
+    # Force the vocabulary token map too: the bench cost policy charges
+    # THIS query the whole tokenizer build (training + vocabulary encode),
+    # and the family's other members ride both artifacts warm — without
+    # this, the word-map build would land on text_bpe_tokenize's first rep
+    # and vanish under the median, charged to nobody.
+    bpe_word_tokens(spark, sf_dir)
     rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank long, lhs string, rhs string, merged string"
@@ -2971,13 +2977,10 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of the exploded corpus against that word->n_toks map + one
     doc-keyed aggregate. The corpus-sized stages are all JVM-side; Python
     touches only the vocabulary."""
+    from ..operators.bpe import corpus_words
     from .artifacts import bpe_word_tokens
 
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .where(F.col("w") != "")
-    )
+    d = corpus_words(spark, sf_dir, "doc_id")
     wt = bpe_word_tokens(spark, sf_dir)
     return (
         d.join(F.broadcast(wt), d.w == wt.word)

@@ -25,6 +25,28 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import types as T
 
 
+# Result frames whose pin degraded to DISK_ONLY. Unlike the artifact memos
+# these are RETURNED to the caller (who may still be reading them), so the
+# runner cannot unpersist them behind the caller's back — instead the
+# harnesses that run many queries per session (bench reps, sweeps, scaling
+# cells) call release_streaming_result_pins() between queries, once the
+# previous result is dead, so degraded sessions don't stack disk blocks
+# for the life of the process.
+_STREAM_RESULT_PINS: list[DataFrame] = []
+
+
+def release_streaming_result_pins() -> None:
+    """Unpersist every DISK_ONLY-degraded streaming result pinned so far.
+    Call between queries (after the previous result is fully consumed);
+    a no-op when nothing degraded — the common in-budget case."""
+    for df in _STREAM_RESULT_PINS:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — blocks are gone anyway
+    _STREAM_RESULT_PINS.clear()
+
+
 def _pin_result(df: DataFrame, spark: SparkSession, what: str) -> DataFrame:
     """Pin a finished streaming result through the shared storage-budget
     boundary (``queries.artifacts.pin_with_budget``): within budget it is
@@ -38,7 +60,7 @@ def _pin_result(df: DataFrame, spark: SparkSession, what: str) -> DataFrame:
     this is the one place streaming reaches back for a shared policy."""
     from ..queries.artifacts import pin_with_budget
 
-    return pin_with_budget(df, spark, what)
+    return pin_with_budget(df, spark, what, _STREAM_RESULT_PINS)
 
 
 def checkpoint_tmpdir(prefix: str) -> tempfile.TemporaryDirectory:

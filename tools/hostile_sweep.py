@@ -82,9 +82,17 @@ def main() -> int:
     reg = load_all()
     only = os.environ.get("SPARK_GRAFT_SWEEP_QUERIES")
     names = sorted(n for n in reg if not only or n in only.split(","))
+    from kafka_streams_rosetta_demo_spark.streaming.runner import (
+        release_streaming_result_pins,
+    )
+
     ok = fail = 0
     for name in names:
         q = reg[name]
+        # release the previous query's DISK_ONLY-degraded streaming result
+        # pins (no-op in-budget) — a degraded full-width sweep must not
+        # stack 200+ result copies on local disk
+        release_streaming_result_pins()
         try:
             df = q.fn(spark, sf)
             if q.oracle is None:

@@ -39,13 +39,17 @@ def main() -> int:
         return 0
     if "--commit" in sys.argv[1:]:
         subprocess.run(["git", "add", "--"] + dirty, cwd=REPO, check=True)
+        # pathspec-limited commit: anything ELSE already staged (a WIP
+        # `git add -p`, say) must not be swept into the artifact commit
         subprocess.run(
             [
                 "git",
                 "commit",
                 "-m",
                 "Commit the driver's closing bench artifact at round open",
-            ],
+                "--",
+            ]
+            + dirty,
             cwd=REPO,
             check=True,
         )

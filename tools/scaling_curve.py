@@ -108,10 +108,15 @@ def clear_caches() -> None:
         clear_cc_labels_cache,
     )
 
+    from kafka_streams_rosetta_demo_spark.streaming.runner import (
+        release_streaming_result_pins,
+    )
+
     clear_shingle_artifacts()
     clear_winnowing_artifacts()
     clear_bpe_artifacts()
     clear_cc_labels_cache()
+    release_streaming_result_pins()
 
 
 def main() -> None:
