@@ -221,6 +221,10 @@ OPTIONAL = [
     "corpus_pack_sequences_bpe",
     "doc_chunk_bpe_budget",
     "text_bpe_fertility",
+    # round 11: the large-vocabulary mapInPandas encode fallback (rides the
+    # warm merge table; its Python cost is per distinct word PER BATCH, so
+    # this row tracks the fallback's overhead vs the vocabulary-join path)
+    "text_bpe_doc_tokens",
 ]
 
 

@@ -33,9 +33,13 @@ Design for 100 TB (what is distributed, what is bounded model state):
   join of the exploded corpus against that word->n_tokens map — the
   expensive Python loop runs once per distinct word, never once per
   occurrence. For corpora whose vocabulary is itself too large to
-  materialize, the same ``encode_word`` runs per-document inside
-  ``mapInPandas`` (no distinct stage); the vocabulary-join form is the
-  fast path for natural-language vocabularies.
+  materialize (web-scale text, where the distinct-word table stops being
+  an artifact and starts being a second corpus), the same ``encode_word``
+  runs per-document inside ``mapInPandas`` with a per-batch word memo and
+  NO distinct stage — :func:`doc_bpe_token_counts_map`, pinned
+  row-identical to the vocabulary-join path in
+  ``tests/test_round11_ops.py``; the vocabulary-join form is the fast
+  path for natural-language vocabularies.
 
 Determinism contract (what makes the DuckDB oracle exact):
 
@@ -199,6 +203,65 @@ def word_token_counts(
     )
     udf = bpe_token_count_udf(spark, merges)
     return vocab.select("word", udf(F.col("word")).alias("n_toks"))
+
+
+def doc_bpe_token_counts_map(
+    docs: DataFrame,
+    spark: SparkSession,
+    merges: list[tuple[str, str]],
+    id_cols: tuple[str, ...] = ("doc_id",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token counts via ``mapInPandas`` — the
+    LARGE-VOCABULARY path the module contract describes: no distinct
+    stage, no vocabulary materialization, no join. Each Arrow batch of
+    documents is tokenized in place (split on the same single-space rule
+    as :func:`corpus_words`, empty tokens dropped), every word encoded by
+    sequential merge replay through a per-batch memo, and only the id
+    columns plus one long count come back out — the per-document map shape
+    that holds when the distinct-word table itself would be corpus-sized
+    (web-scale text), where :func:`word_token_counts`'s
+    distinct-materialize + broadcast-join fast path stops applying.
+
+    Scale: zero shuffles — a pure map over however the corpus is already
+    partitioned; Python cost is one ``encode_word`` per distinct word PER
+    BATCH (the memo resets per batch, so executor memory stays bounded by
+    a batch's vocabulary, not the corpus's). Documents with no non-empty
+    words count 0 — the left-join-coalesce semantics of the join path.
+    Pinned row-identical to the vocabulary-join path
+    (``tests/test_round11_ops.py``) so the two encode forms can never
+    drift."""
+    from pyspark.sql.types import LongType, StructType
+
+    bc = spark.sparkContext.broadcast(list(merges))
+    schema = StructType(
+        [docs.schema[c] for c in id_cols]
+    ).add("n_bpe_tokens", LongType(), nullable=False)
+    cols = list(id_cols)
+
+    def encode_batches(batches):
+        ms = bc.value
+        memo: dict[str, int] = {}
+
+        def enc(w: str) -> int:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = len(encode_word(w, ms))
+            return got
+
+        def doc_total(text: str) -> int:
+            if not text:
+                return 0
+            return sum(enc(w) for w in text.split(" ") if w)
+
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out["n_bpe_tokens"] = (
+                pdf[text_col].map(doc_total, na_action="ignore").fillna(0).astype("int64")
+            )
+            yield out
+
+    return docs.mapInPandas(encode_batches, schema)
 
 
 # ---------------------------------------------------------------------------
