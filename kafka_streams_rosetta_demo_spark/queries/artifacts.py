@@ -55,13 +55,25 @@ _SIG_CACHE: dict[tuple, DataFrame] = {}
 _WINNOW_CACHE: dict[tuple, DataFrame] = {}
 
 
+# Non-local sf_dirs whose empty fingerprint has already been warned about —
+# one line per path per process, not one per cache lookup.
+_FP_WARNED: set[str] = set()
+
+
 def corpus_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
     """Cheap content fingerprint of one parquet table under ``sf_dir``:
     sorted (relative name, size, mtime_ns) of its data files. Pure metadata
     — no file is opened — so it costs microseconds per cache lookup, yet
     any in-place rewrite (new file set, new sizes, or new mtimes) changes
-    it. Missing paths fingerprint as an empty tuple (the subsequent read
-    fails with the real error, not a stale cache hit)."""
+    it. Missing LOCAL paths fingerprint as an empty tuple (the subsequent
+    read fails with the real error, not a stale cache hit). A NON-local
+    sf_dir (``s3://``, ``hdfs://`` — anything ``os.stat`` cannot see) also
+    fingerprints empty, but there the table may well exist: every rewrite
+    of the same remote path would share one cache key and the staleness
+    guard is silently off — so that case warns, once per path (round-10
+    ADVICE; a Hadoop-FS listing upgrade is the cluster-grade fix, but this
+    module's memos are per-application scratch state, and an operator who
+    sees the warning can key rewrites by path instead)."""
     path = os.path.join(sf_dir, f"{table}.parquet")
     entries: list[tuple[str, int, int]] = []
     try:
@@ -77,6 +89,18 @@ def corpus_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
             st = os.stat(path)
             entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
     except OSError:
+        from urllib.parse import urlparse
+
+        scheme = urlparse(sf_dir).scheme
+        if scheme not in ("", "file") and sf_dir not in _FP_WARNED:
+            _FP_WARNED.add(sf_dir)
+            print(
+                f"artifacts: corpus fingerprint unavailable for non-local "
+                f"{sf_dir!r} ({scheme}://) — artifact memos for this path "
+                "cannot detect in-place corpus rewrites; rebuild the "
+                "session (or clear_* the caches) after rewriting it",
+                file=sys.stderr,
+            )
         return ()
     return tuple(sorted(entries))
 
@@ -93,29 +117,38 @@ def artifact_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
     )
 
 
-def cache_insert(cache: dict, key: tuple, value) -> None:
+def cache_insert(cache: dict, key: tuple, value, pins: dict | None = None) -> None:
     """Insert into a fingerprint-keyed artifact memo, EVICTING any entry
     for the same (application, sf_dir) under a different fingerprint:
     the old (app, sf_dir) keys overwrote in place, so a long-lived session
     rewriting its corpus N times must not accumulate N dead artifact
     copies (each pinning its checkpoint blocks until the reference drops).
-    Eviction here just deletes the stale reference — the ContextCleaner
-    reclaims localCheckpoint blocks once unreferenced; DISK_ONLY pins are
-    released by the clear_* helpers' tracking lists."""
+    Eviction deletes the stale reference — the ContextCleaner reclaims
+    localCheckpoint blocks once unreferenced — AND, when the builder's
+    key-tracked ``pins`` dict is passed, eagerly unpersists the evicted
+    entry's DISK_ONLY-degraded pins (round-10 ADVICE: a long-lived
+    library session rewriting its corpus N times otherwise holds N disk
+    copies until a clear_* helper runs, which only bench/sweep harnesses
+    call). Stale-key pins are unreachable by construction — every lookup
+    re-derives the fingerprinted key — so releasing them here is safe."""
     stale = [k for k in cache if k[:2] == key[:2] and k != key]
     for k in stale:
         del cache[k]
+        if pins is not None:
+            _release_pin_list(pins.pop(k, []))
     cache[key] = value
 
 
 # Frames _pin had to persist(DISK_ONLY) (the degraded over-budget path),
+# keyed by the SAME fingerprinted cache key as the memo entry they back and
 # grouped by which clear_* helper owns them. localCheckpoint frames need no
 # tracking — dropping the cache reference lets the ContextCleaner reclaim
 # their blocks — but persisted frames hold disk blocks until an explicit
-# unpersist, so the clear helpers release them eagerly instead of letting
-# each bench rep stack a fresh copy behind the GC.
-_SHINGLE_DISK_PINS: list[DataFrame] = []
-_WINNOW_DISK_PINS: list[DataFrame] = []
+# unpersist, so the clear helpers release them eagerly (bench cost policy)
+# and cache_insert releases a stale key's pins at eviction time (corpus
+# rewritten in place mid-session).
+_SHINGLE_DISK_PINS: dict[tuple, list[DataFrame]] = {}
+_WINNOW_DISK_PINS: dict[tuple, list[DataFrame]] = {}
 
 # Opt-in override for the in-memory pin budget ("256m", "2g", or bytes).
 # Unset = 30% of the JVM max heap — the unified-memory storage share
@@ -268,12 +301,18 @@ def pin_with_budget(
     return _pin(df, spark, what, pins)
 
 
-def _release_disk_pins(pins: list[DataFrame]) -> None:
+def _release_pin_list(pins: list[DataFrame]) -> None:
     for df in pins:
         try:
             df.unpersist(blocking=False)
         except Exception:
             pass  # session already stopped — blocks are gone anyway
+    pins.clear()
+
+
+def _release_disk_pins(pins: dict[tuple, list[DataFrame]]) -> None:
+    for lst in pins.values():
+        _release_pin_list(lst)
     pins.clear()
 
 
@@ -307,8 +346,13 @@ def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     if got is not None:
         return got
     docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    sh = _pin(with_shingles(docs, k=3), spark, "shingled_documents", _SHINGLE_DISK_PINS)
-    cache_insert(_SHINGLE_CACHE, key, sh)
+    sh = _pin(
+        with_shingles(docs, k=3),
+        spark,
+        "shingled_documents",
+        _SHINGLE_DISK_PINS.setdefault(key, []),
+    )
+    cache_insert(_SHINGLE_CACHE, key, sh, pins=_SHINGLE_DISK_PINS)
     return sh
 
 
@@ -325,9 +369,9 @@ def ordered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         df_ordered_shingles(shingled_documents(spark, sf_dir), "doc_id"),
         spark,
         "ordered_shingles",
-        _SHINGLE_DISK_PINS,
+        _SHINGLE_DISK_PINS.setdefault(key, []),
     )
-    cache_insert(_ORDERED_CACHE, key, ordered)
+    cache_insert(_ORDERED_CACHE, key, ordered, pins=_SHINGLE_DISK_PINS)
     return ordered
 
 
@@ -351,9 +395,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature(shingled_documents(spark, sf_dir), n_hashes=64),
         spark,
         "minhash_signatures",
-        _SHINGLE_DISK_PINS,
+        _SHINGLE_DISK_PINS.setdefault(key, []),
     )
-    cache_insert(_SIG_CACHE, key, sig)
+    cache_insert(_SIG_CACHE, key, sig, pins=_SHINGLE_DISK_PINS)
     return sig
 
 
@@ -388,9 +432,9 @@ def jaccard_pairs_075(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
         "jaccard_pairs_075",
-        _SHINGLE_DISK_PINS,
+        _SHINGLE_DISK_PINS.setdefault(key, []),
     )
-    cache_insert(_PAIRS075_CACHE, key, pairs)
+    cache_insert(_PAIRS075_CACHE, key, pairs, pins=_SHINGLE_DISK_PINS)
     return pairs
 
 
@@ -401,7 +445,7 @@ def jaccard_pairs_075(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE-backed query rides the warm merge table and word map.
 _BPE_MERGES_CACHE: dict[tuple, tuple] = {}
 _BPE_WORD_TOKENS_CACHE: dict[tuple, DataFrame] = {}
-_BPE_DISK_PINS: list[DataFrame] = []
+_BPE_DISK_PINS: dict[tuple, list[DataFrame]] = {}
 
 
 def clear_bpe_artifacts() -> None:
@@ -442,9 +486,9 @@ def bpe_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_token_counts(spark, sf_dir, list(bpe_merges(spark, sf_dir))),
         spark,
         "bpe_word_tokens",
-        _BPE_DISK_PINS,
+        _BPE_DISK_PINS.setdefault(key, []),
     )
-    cache_insert(_BPE_WORD_TOKENS_CACHE, key, wt)
+    cache_insert(_BPE_WORD_TOKENS_CACHE, key, wt, pins=_BPE_DISK_PINS)
     return wt
 
 
@@ -472,7 +516,7 @@ def winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
         "winnowing_index",
-        _WINNOW_DISK_PINS,
+        _WINNOW_DISK_PINS.setdefault(key, []),
     )
-    cache_insert(_WINNOW_CACHE, key, fps)
+    cache_insert(_WINNOW_CACHE, key, fps, pins=_WINNOW_DISK_PINS)
     return fps

@@ -472,11 +472,12 @@ def test_clear_helpers_release_disk_pins(spark, sf_smoke, capfd):
     spark.conf.set(artifacts._BUDGET_CONF, "1")
     try:
         artifacts.winnowing_index(spark, sf_smoke)
-        assert len(artifacts._WINNOW_DISK_PINS) == 1
-        pinned = artifacts._WINNOW_DISK_PINS[0]
+        (pin_list,) = artifacts._WINNOW_DISK_PINS.values()
+        assert len(pin_list) == 1
+        pinned = pin_list[0]
         assert pinned.storageLevel == StorageLevel.DISK_ONLY
         artifacts.clear_winnowing_artifacts()
-        assert artifacts._WINNOW_DISK_PINS == []
+        assert artifacts._WINNOW_DISK_PINS == {}
         assert pinned.storageLevel == StorageLevel.NONE, "blocks not released"
     finally:
         spark.conf.unset(artifacts._BUDGET_CONF)

@@ -149,3 +149,75 @@ class TestPpmRatioDecomposition:
             q, r = divmod(num, den)
             for term in (q * 1_000_000, r * 1000, (r * 1000 % den) * 1000):
                 assert -I64 <= term < I64
+
+
+# ---------------------------------------------------------------------------
+# 3. Artifact-cache hygiene (round-10 ADVICE, low x2): eviction releases the
+# evicted entry's DISK_ONLY pins; non-local fingerprints warn once.
+# ---------------------------------------------------------------------------
+
+
+class TestArtifactCacheHygiene:
+    def test_eviction_unpersists_stale_disk_pins(self, spark, tmp_path, capfd):
+        """A corpus rewritten in place mid-session must release the OLD
+        fingerprint's DISK_ONLY artifact blocks at cache_insert time — not
+        hold them until a bench-only clear_* helper runs."""
+        import shutil
+        import time
+
+        from pyspark import StorageLevel
+
+        from kafka_streams_rosetta_demo_spark.queries import artifacts
+
+        sf = str(tmp_path)
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i}", "s") for i in range(60)],
+            "doc_id long, text string, source string",
+        )
+        docs.write.parquet(f"{sf}/documents.parquet")
+
+        artifacts.clear_winnowing_artifacts()
+        spark.conf.set(artifacts._BUDGET_CONF, "1")  # force DISK_ONLY
+        try:
+            artifacts.winnowing_index(spark, sf)
+            (old_pins,) = artifacts._WINNOW_DISK_PINS.values()
+            old_pinned = old_pins[0]
+            assert old_pinned.storageLevel == StorageLevel.DISK_ONLY
+
+            # rewrite the corpus in place (new mtime/fileset -> new key)
+            time.sleep(0.05)
+            shutil.rmtree(f"{sf}/documents.parquet")
+            docs.limit(30).write.parquet(f"{sf}/documents.parquet")
+
+            artifacts.winnowing_index(spark, sf)
+            assert len(artifacts._WINNOW_DISK_PINS) == 1  # only the new key
+            assert (
+                old_pinned.storageLevel == StorageLevel.NONE
+            ), "evicted entry's disk pin not released at insert time"
+        finally:
+            spark.conf.unset(artifacts._BUDGET_CONF)
+            artifacts.clear_winnowing_artifacts()
+            capfd.readouterr()
+
+    def test_nonlocal_fingerprint_warns_once(self, capfd):
+        """An os.stat-invisible (remote-scheme) sf_dir fingerprints empty —
+        the staleness guard is off there — and says so exactly once."""
+        from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+            corpus_fingerprint,
+        )
+
+        path = "s3://bucket-that-does-not-exist/sfX"
+        assert corpus_fingerprint(path) == ()
+        assert corpus_fingerprint(path) == ()
+        err = capfd.readouterr().err
+        assert err.count("corpus fingerprint unavailable") == 1
+
+    def test_local_missing_path_stays_silent(self, tmp_path, capfd):
+        """A missing LOCAL path is the normal does-not-exist case — no
+        warning, just the empty fingerprint."""
+        from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+            corpus_fingerprint,
+        )
+
+        assert corpus_fingerprint(str(tmp_path / "nope")) == ()
+        assert "fingerprint unavailable" not in capfd.readouterr().err
