@@ -520,3 +520,120 @@ def winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cache_insert(_WINNOW_CACHE, key, fps, pins=_WINNOW_DISK_PINS)
     return fps
+
+
+# ---------------------------------------------------------------------------
+# Artifact persistence — write the memoized indexes as real tables, reload
+# them across sessions/jobs (VERDICT r10 task 2)
+# ---------------------------------------------------------------------------
+
+# kind -> (builder, memo cache, pins dict, shard key, column order). The
+# shard key is the column downstream consumers join/probe on, so the written
+# layout colocates a key's rows in one shard file (the X97 posture: the
+# winnowing index is "term-hash-sharded" — probes prune by `_shard`).
+ARTIFACT_SHARDS = 8
+
+
+def _artifact_specs() -> dict[str, tuple]:
+    return {
+        "winnowing_index": (
+            winnowing_index, _WINNOW_CACHE, _WINNOW_DISK_PINS, "f",
+            ("doc_id", "f"),
+        ),
+        "jaccard_pairs_075": (
+            jaccard_pairs_075, _PAIRS075_CACHE, _SHINGLE_DISK_PINS, "doc_a",
+            ("doc_a", "doc_b", "jaccard"),
+        ),
+        "minhash_signatures": (
+            minhash_signatures, _SIG_CACHE, _SHINGLE_DISK_PINS, "doc_id",
+            ("doc_id", "minhash"),
+        ),
+        "bpe_word_tokens": (
+            bpe_word_tokens, _BPE_WORD_TOKENS_CACHE, _BPE_DISK_PINS, "word",
+            ("word", "n_toks"),
+        ),
+    }
+
+
+def _write_fingerprint_meta(spark: SparkSession, path: str, sf_dir: str) -> None:
+    # Underscore-prefixed children are invisible to Spark's data discovery
+    # (the _spark_metadata convention), so the sidecar rides inside the
+    # artifact directory on ANY Hadoop filesystem without polluting reads.
+    fp = corpus_fingerprint(sf_dir)
+    spark.createDataFrame([(repr(fp),)], "fp string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_corpus_fingerprint")
+
+
+def _check_fingerprint_meta(spark: SparkSession, path: str, sf_dir: str) -> None:
+    (row,) = spark.read.parquet(f"{path}/_corpus_fingerprint").collect()
+    now = repr(corpus_fingerprint(sf_dir))
+    if row.fp != now:
+        raise ValueError(
+            f"artifact at {path!r} was built from a different snapshot of "
+            f"{sf_dir!r} (stored fingerprint != current) — rebuild and "
+            "re-save it; serving a stale index silently is the failure "
+            "mode this gate exists to stop"
+        )
+
+
+def save_artifact(spark: SparkSession, sf_dir: str, kind: str, path: str) -> None:
+    """Materialize one memoized corpus artifact (building it if cold) and
+    WRITE it as a hash-sharded parquet index at ``path`` — the step a
+    production pipeline runs once per corpus snapshot so later jobs reload
+    the index instead of rebuilding it (the winnowing probe, the PPJoin
+    pair set, the tokenizer's merge table + vocabulary map are all
+    build-once/probe-many). The corpus fingerprint is stored alongside
+    (``_corpus_fingerprint`` sidecar, invisible to data reads) and checked
+    on reload, so an index can never silently serve a different snapshot.
+
+    Layout: ``write_sharded_parquet`` on the column consumers probe/join
+    on — balanced files under key skew, exact output file count, and
+    ``_shard`` partition pruning for point probes. ``bpe_merges`` is
+    bounded model state (<= N_MERGES rows), written as one plain parquet
+    file ordered by rank."""
+    from ..sources.formats import write_sharded_parquet
+
+    if kind == "bpe_merges":
+        merges = bpe_merges(spark, sf_dir)
+        rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+        spark.createDataFrame(
+            rows, "rank long, lhs string, rhs string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        _write_fingerprint_meta(spark, path, sf_dir)
+        return
+    builder, _cache, _pins, shard_key, cols = _artifact_specs()[kind]
+    write_sharded_parquet(
+        builder(spark, sf_dir).select(*cols), path, shard_key, ARTIFACT_SHARDS
+    )
+    _write_fingerprint_meta(spark, path, sf_dir)
+
+
+def load_artifact(spark: SparkSession, sf_dir: str, kind: str, path: str):
+    """Reload a written artifact index into THIS session's memo, after
+    verifying its stored corpus fingerprint still matches ``sf_dir`` (a
+    mismatch raises — never silently serve an index of a rewritten
+    corpus; fingerprint-less remote corpora skip the check with the
+    one-time ``corpus_fingerprint`` warning). Every registered query that
+    consumes the artifact then rides the loaded table instead of
+    rebuilding — reload parity (loaded index -> query answers
+    hash-identical to the memo-built ones, with the builders blocked) is
+    pinned in ``tests/test_round11_ops.py``. Returns the loaded artifact
+    (DataFrame, or the merge tuple for ``bpe_merges``)."""
+    if corpus_fingerprint(sf_dir):
+        _check_fingerprint_meta(spark, path, sf_dir)
+    key = artifact_cache_key(spark, sf_dir)
+    if kind == "bpe_merges":
+        rows = spark.read.parquet(path).orderBy("rank").collect()
+        merges = tuple((r.lhs, r.rhs) for r in rows)
+        cache_insert(_BPE_MERGES_CACHE, key, merges)
+        return merges
+    _builder, cache, pins, _shard_key, cols = _artifact_specs()[kind]
+    df = _pin(
+        spark.read.parquet(path).select(*cols),
+        spark,
+        f"{kind} (reloaded from {path})",
+        pins.setdefault(key, []),
+    )
+    cache_insert(cache, key, df, pins=pins)
+    return df

@@ -221,3 +221,105 @@ class TestArtifactCacheHygiene:
 
         assert corpus_fingerprint(str(tmp_path / "nope")) == ()
         assert "fingerprint unavailable" not in capfd.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# 4. Artifact persist/reload parity (VERDICT r10 task 2): written index ->
+# cleared memos -> reload -> consumer queries hash-identical, with the
+# builders BLOCKED so a silent rebuild cannot fake the parity.
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestArtifactPersistReload:
+    def test_winnowing_index_reload_parity(self, spark, sf_smoke, tmp_path, monkeypatch):
+        """dedup_winnowing_screen must answer identically whether the
+        fingerprint index came from this session's build or from a written
+        parquet index reloaded cold — with the builder raising, so the
+        reload path is provably the one that served."""
+        from kafka_streams_rosetta_demo_spark.operators import textsim
+        from kafka_streams_rosetta_demo_spark.queries import artifacts
+        from kafka_streams_rosetta_demo_spark.queries.dedup_queries import (
+            dedup_winnowing_screen,
+        )
+
+        artifacts.clear_winnowing_artifacts()
+        baseline = _rows(dedup_winnowing_screen(spark, sf_smoke))
+
+        path = str(tmp_path / "winnow_idx")
+        artifacts.save_artifact(spark, sf_smoke, "winnowing_index", path)
+        artifacts.clear_winnowing_artifacts()  # simulate a fresh session
+
+        def boom(*a, **k):
+            raise AssertionError("builder ran — reload did not serve")
+
+        monkeypatch.setattr(textsim, "winnow_fingerprints", boom)
+        loaded = artifacts.load_artifact(spark, sf_smoke, "winnowing_index", path)
+        assert loaded.columns == ["doc_id", "f"]
+        assert _rows(dedup_winnowing_screen(spark, sf_smoke)) == baseline
+        monkeypatch.undo()
+        artifacts.clear_winnowing_artifacts()
+
+    def test_bpe_reload_parity(self, spark, sf_smoke, tmp_path, monkeypatch):
+        """The tokenizer's two artifacts (merge table + vocabulary map)
+        round-trip through disk and serve text_bpe_fertility identically,
+        with training and the vocabulary encode both blocked."""
+        from kafka_streams_rosetta_demo_spark.operators import bpe as bpe_mod
+        from kafka_streams_rosetta_demo_spark.queries import artifacts
+        from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+            text_bpe_fertility,
+        )
+
+        artifacts.clear_bpe_artifacts()
+        baseline = _rows(text_bpe_fertility(spark, sf_smoke))
+        saved_merges = artifacts.bpe_merges(spark, sf_smoke)
+
+        mpath = str(tmp_path / "bpe_merges")
+        wpath = str(tmp_path / "bpe_word_tokens")
+        artifacts.save_artifact(spark, sf_smoke, "bpe_merges", mpath)
+        artifacts.save_artifact(spark, sf_smoke, "bpe_word_tokens", wpath)
+        artifacts.clear_bpe_artifacts()
+
+        def boom(*a, **k):
+            raise AssertionError("builder ran — reload did not serve")
+
+        monkeypatch.setattr(bpe_mod, "train_bpe", boom)
+        monkeypatch.setattr(bpe_mod, "word_token_counts", boom)
+        monkeypatch.setattr(bpe_mod, "corpus_word_counts", boom)
+        merges = artifacts.load_artifact(spark, sf_smoke, "bpe_merges", mpath)
+        assert merges == saved_merges  # rank order survives the round trip
+        artifacts.load_artifact(spark, sf_smoke, "bpe_word_tokens", wpath)
+        assert _rows(text_bpe_fertility(spark, sf_smoke)) == baseline
+        monkeypatch.undo()
+        artifacts.clear_bpe_artifacts()
+
+    def test_stale_fingerprint_rejected_on_load(self, spark, tmp_path):
+        """An index saved from one corpus snapshot must refuse to load
+        against a rewritten snapshot of the same path — the silent-stale
+        failure the sidecar gate exists to stop."""
+        import shutil
+        import time
+
+        import pytest as _pytest
+
+        from kafka_streams_rosetta_demo_spark.queries import artifacts
+
+        sf = str(tmp_path / "corpus")
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma {i}", "s") for i in range(40)],
+            "doc_id long, text string, source string",
+        )
+        docs.write.parquet(f"{sf}/documents.parquet")
+        path = str(tmp_path / "idx")
+        artifacts.save_artifact(spark, sf, "winnowing_index", path)
+
+        time.sleep(0.05)
+        shutil.rmtree(f"{sf}/documents.parquet")
+        docs.limit(10).write.parquet(f"{sf}/documents.parquet")
+
+        with _pytest.raises(ValueError, match="different snapshot"):
+            artifacts.load_artifact(spark, sf, "winnowing_index", path)
+        artifacts.clear_winnowing_artifacts()
