@@ -225,6 +225,9 @@ OPTIONAL = [
     # warm merge table; its Python cost is per distinct word PER BATCH, so
     # this row tracks the fallback's overhead vs the vocabulary-join path)
     "text_bpe_doc_tokens",
+    # round 11: the tokenizer-throughput ingest monitor (streaming twin of
+    # text_bpe_fertility — micro-batch machinery + the broadcast vocab map)
+    "streaming_bpe_token_rate",
 ]
 
 

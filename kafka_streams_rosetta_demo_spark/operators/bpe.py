@@ -137,19 +137,28 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return t
 
 
+def explode_words(docs: DataFrame, *cols: str) -> DataFrame:
+    """The ONE word-split expression (explode on single-space, empty
+    tokens dropped) applied to any frame with a ``text`` column — batch
+    OR streaming (it is a stateless select/filter, so it runs unchanged
+    inside a micro-batch plan). Kept as the single definition so the
+    split semantics can never drift between the batch queries, their
+    streaming twins, and the oracle CTEs."""
+    return docs.select(
+        *cols, F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+
+
 def corpus_words(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     """Exploded non-empty corpus words (column ``w``), carrying any
     requested document columns — the ONE Spark-side twin of the oracle's
     word-explode CTEs (``_BPE_DOC_WORDS`` / ``wc0``). Every BPE-backed
-    query splits words through here so the split semantics can never
-    drift between queries (and any change stays in lockstep with the
-    oracle CTEs)."""
+    query splits words through here (or through :func:`explode_words`
+    for streaming inputs) so the split semantics can never drift between
+    queries (and any change stays in lockstep with the oracle CTEs)."""
     from ..sources.parquet import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        *cols, F.explode(F.split("text", " ")).alias("w")
-    ).where(F.col("w") != "")
+    return explode_words(load_table(spark, sf_dir, "documents"), *cols)
 
 
 def corpus_word_counts(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:

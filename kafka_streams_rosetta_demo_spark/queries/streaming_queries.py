@@ -1106,3 +1106,101 @@ def _winnow_screen_share_oracle() -> None:
 
 
 _winnow_screen_share_oracle()
+
+
+@register(
+    "streaming_bpe_token_rate",
+    oracle=None,  # assigned below — shares text_bpe_fertility's SQL verbatim
+)
+def streaming_bpe_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-throughput monitor run AS the ingest: documents
+    arrive as a STREAM (three staged parquet files, one per micro-batch),
+    each micro-batch explodes to words through the shared split
+    (``explode_words`` — the same single definition the batch queries and
+    the oracle CTEs use), joins the STATIC corpus-trained vocabulary map
+    (``bpe_word_tokens`` — broadcast model state, exactly how a cluster
+    ships a frozen tokenizer to every executor), and folds per-source
+    word/BPE-token/char totals into the streaming aggregation state. This
+    is how a 100 TB ingest watches its tokenizer fertility drift per
+    source batch-over-batch without rescanning history.
+
+    State bound: the aggregate is keyed by ``source``, so state is
+    |sources| rows of four longs BY CONSTRUCTION — the PSI/CMS bounded-
+    key-space shape; no watermark and no eviction are needed (nothing
+    grows with the corpus). Final compacted totals feed the same
+    overflow-safe ppm post-math as the batch query (shared
+    ``_ppm_ratio_sql``), and the result must hash-match
+    ``text_bpe_fertility``'s oracle verbatim — the proof the continuous
+    path computes the identical table."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.bpe import explode_words
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+    from .artifacts import bpe_word_tokens
+    from .corpus_queries import _ppm_ratio_sql
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    wt = bpe_word_tokens(spark, sf_dir)
+
+    staged = tempfile.mkdtemp(prefix="bpe_rate_ingest_")
+    try:
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("source", "text")
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        words = explode_words(stream, "source")
+        agg = (
+            words.join(F.broadcast(wt), words.w == wt.word)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+                F.sum(F.length("w")).cast("long").alias("n_chars"),
+            )
+        )
+        with checkpoint_tmpdir("ckpt_bpe_rate_") as ckpt, (
+            checkpoint_tmpdir("sink_bpe_rate_")
+        ) as out_dir:
+            totals = run_update_query_to_df(agg, ["source"], ckpt, out_dir)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return totals.select(
+        "source",
+        "n_words",
+        "n_bpe_tokens",
+        F.expr(_ppm_ratio_sql("n_bpe_tokens", "n_words", "DIV")).alias(
+            "fertility_ppm"
+        ),
+        F.expr(_ppm_ratio_sql("n_chars", "n_bpe_tokens", "DIV")).alias(
+            "chars_per_token_ppm"
+        ),
+    )
+
+
+def _bpe_rate_share_oracle() -> None:
+    """Bind the streaming monitor's oracle to the batch fertility query's
+    SQL — one source of truth (the _psi_share_oracle pattern)."""
+    import dataclasses
+
+    from . import REGISTRY
+    from . import corpus_queries  # noqa: F401  (registers text_bpe_fertility)
+
+    REGISTRY["streaming_bpe_token_rate"] = dataclasses.replace(
+        REGISTRY["streaming_bpe_token_rate"],
+        oracle=REGISTRY["text_bpe_fertility"].oracle,
+    )
+
+
+_bpe_rate_share_oracle()

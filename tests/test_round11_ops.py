@@ -323,3 +323,25 @@ class TestArtifactPersistReload:
         with _pytest.raises(ValueError, match="different snapshot"):
             artifacts.load_artifact(spark, sf, "winnowing_index", path)
         artifacts.clear_winnowing_artifacts()
+
+
+# ---------------------------------------------------------------------------
+# 5. Streaming twin of the tokenizer fertility monitor (VERDICT r10 task 6)
+# ---------------------------------------------------------------------------
+
+
+class TestStreamingBpeTokenRate:
+    def test_streaming_totals_match_batch(self, spark, sf_smoke):
+        """Three genuine micro-batches through the streaming aggregation
+        state must reproduce the batch fertility table exactly — the
+        continuous path computes the identical per-source totals."""
+        from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+            text_bpe_fertility,
+        )
+        from kafka_streams_rosetta_demo_spark.queries.streaming_queries import (
+            streaming_bpe_token_rate,
+        )
+
+        batch = _rows(text_bpe_fertility(spark, sf_smoke))
+        stream = _rows(streaming_bpe_token_rate(spark, sf_smoke))
+        assert stream == batch
