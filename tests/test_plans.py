@@ -109,6 +109,10 @@ def test_arrow_python_only_in_multimodal(plans):
         "agg_grouped_ols",
         "scalar_pandas_wordstats",
         "agg_pandas_trimmed",
+        # the declared LARGE-VOCABULARY BPE encode fallback: per-document
+        # mapInPandas with no distinct stage (operators/bpe.py) — Python
+        # here is the query's whole point, and its plan is zero-shuffle
+        "text_bpe_doc_tokens",
     }, f"unexpected Python stage in: {arrow}"
 
 
@@ -331,10 +335,12 @@ SHUFFLE_BUDGET = {
     # corpus side joins it by broadcast — no join shuffle anywhere)
     "text_bpe_train": 0,  # returned merge table IS bounded model state (LocalTableScan); the training aggregate is charged to the artifact build
     "text_bpe_tokenize": 1,  # ONE doc_id aggregate; vocab join broadcasts
-    "corpus_token_budget_plan_bpe": 2,  # per-source agg with countDistinct(doc_id) = 2-phase distinct
+    "corpus_token_budget_plan_bpe": 2,  # token-sum agg + the base planner's doc-count agg (broadcast back); both |sources|-key
     "corpus_pack_sequences_bpe": 2,  # doc-count agg + shard window
     "doc_chunk_bpe_budget": 1,  # the (doc_id, chunk) rollup REUSES the running-sum window's doc_id exchange
     "text_bpe_fertility": 1,  # one per-source aggregate
+    # round-11 addition
+    "text_bpe_doc_tokens": 0,  # the mapInPandas fallback IS a pure map — zero exchanges (also pinned in test_round11_ops)
 }
 
 

@@ -41,6 +41,25 @@ def main() -> int:
     # task slots instead of raising the heap.
     cpus = os.environ.get("SPARK_GRAFT_SWEEP_CPUS", "32")
     b = SparkSession.builder.master(f"local[{cpus}]").appName(f"hostile-{mode}")
+    if "SPARK_GRAFT_SWEEP_CPUS" in os.environ:
+        # Heap-constrained profile (the bare-1g sf2.0 record): an explicit
+        # SWEEP_CPUS means the operator is sizing memory-per-core, so also
+        # shrink the PER-TASK shuffle-read footprint — the round-10 record's
+        # one asterisk was tpch_q21's triple-lineitem sort-merge join
+        # intermittently OOMing a 1g heap at 8 task slots because each
+        # task's spill readers allocate ReadAhead double-buffers (1 MiB
+        # reader buffer x2 x spill-file count — and 1 MiB is the conf's
+        # hard FLOOR, so the buffer cannot shrink; disabling read-ahead
+        # halves the allocation instead) and each reducer keeps 48 MiB of
+        # fetched blocks in flight. None of these affect results, only
+        # streaming-read granularity; with them the whole 40-query sf2.0
+        # basket passes at ONE CPU setting (SWEEP_CPUS=8, SCALING.md
+        # round-11 note) instead of needing a per-query local[2] exception.
+        b = (
+            b.config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+            .config("spark.reducer.maxSizeInFlight", "8m")
+            .config("spark.shuffle.file.buffer", "16k")
+        )
     # The sweep session is deliberately BARE (the driver's own session is
     # bare too), which means Spark's 1g default driver heap — correct for
     # the gate/bench scale factors, but a 20x-bench-volume leg (sf2.0) OOMs
