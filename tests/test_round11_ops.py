@@ -345,3 +345,38 @@ class TestStreamingBpeTokenRate:
         batch = _rows(text_bpe_fertility(spark, sf_smoke))
         stream = _rows(streaming_bpe_token_rate(spark, sf_smoke))
         assert stream == batch
+
+    def test_pairs_and_signatures_reload_parity(self, spark, sf_smoke, tmp_path, monkeypatch):
+        """The remaining two registered artifact kinds — the PPJoin pair
+        set and the MinHash signature table — also round-trip: their
+        consumer queries answer identically off the reloaded indexes with
+        the pair/signature builders blocked (shingling stays allowed —
+        it is a separate artifact these two consume)."""
+        from kafka_streams_rosetta_demo_spark.operators import textsim
+        from kafka_streams_rosetta_demo_spark.queries import artifacts
+        from kafka_streams_rosetta_demo_spark.queries.dedup_queries import (
+            dedup_minhash_lsh,
+            dedup_ngram_jaccard,
+        )
+
+        artifacts.clear_shingle_artifacts()
+        pairs_baseline = _rows(dedup_ngram_jaccard(spark, sf_smoke))
+        lsh_baseline = _rows(dedup_minhash_lsh(spark, sf_smoke))
+
+        ppath = str(tmp_path / "pairs075")
+        spath = str(tmp_path / "minhash_sigs")
+        artifacts.save_artifact(spark, sf_smoke, "jaccard_pairs_075", ppath)
+        artifacts.save_artifact(spark, sf_smoke, "minhash_signatures", spath)
+        artifacts.clear_shingle_artifacts()
+
+        def boom(*a, **k):
+            raise AssertionError("builder ran — reload did not serve")
+
+        monkeypatch.setattr(textsim, "prefix_filter_pairs", boom)
+        monkeypatch.setattr(textsim, "minhash_signature", boom)
+        artifacts.load_artifact(spark, sf_smoke, "jaccard_pairs_075", ppath)
+        artifacts.load_artifact(spark, sf_smoke, "minhash_signatures", spath)
+        assert _rows(dedup_ngram_jaccard(spark, sf_smoke)) == pairs_baseline
+        assert _rows(dedup_minhash_lsh(spark, sf_smoke)) == lsh_baseline
+        monkeypatch.undo()
+        artifacts.clear_shingle_artifacts()
