@@ -228,6 +228,11 @@ OPTIONAL = [
     # round 11: the tokenizer-throughput ingest monitor (streaming twin of
     # text_bpe_fertility — micro-batch machinery + the broadcast vocab map)
     "streaming_bpe_token_rate",
+    # round 11: vocabulary-id export (charges the word->token-list artifact
+    # build) and the full flat corpus encoding riding it warm — the
+    # tokenizer artifact set's remaining two deliverables
+    "text_bpe_vocab_ids",
+    "text_bpe_encode_corpus",
 ]
 
 
@@ -397,6 +402,15 @@ def run_section(section: int) -> dict[str, dict[str, object]]:
                 )
 
                 clear_bpe_artifacts()
+            if name == "text_bpe_vocab_ids":
+                # charges the word->token-list artifact build (the merge
+                # table and count map stay warm from text_bpe_train);
+                # text_bpe_encode_corpus rides the warm list table
+                from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+                    clear_bpe_list_artifact,
+                )
+
+                clear_bpe_list_artifact()
             if name == "dedup_cluster_cc":
                 # charges the CC label propagation itself (its pair
                 # generation rides the warm shingle/prefix artifacts);

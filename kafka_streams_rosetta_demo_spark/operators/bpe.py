@@ -214,6 +214,49 @@ def word_token_counts(
     return vocab.select("word", udf(F.col("word")).alias("n_toks"))
 
 
+def bpe_token_list_udf(spark: SparkSession, merges: list[tuple[str, str]]) -> Column:
+    """Factory for the token-LIST encode surface: a scalar ``pandas_udf``
+    mapping a word column to its full BPE token sequence (array<string>).
+    Same broadcast-merge-table / per-batch-memo shape as
+    :func:`bpe_token_count_udf` — the counts UDF is ``len()`` of this one;
+    they are kept separate so count-only consumers never ship token
+    arrays through Arrow."""
+    bc = spark.sparkContext.broadcast(list(merges))
+
+    @pandas_udf("array<string>")
+    def bpe_tokens(words: pd.Series) -> pd.Series:
+        ms = bc.value
+        memo: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = encode_word(w, ms)
+            return got
+
+        return words.map(enc)
+
+    return bpe_tokens
+
+
+def word_token_lists(
+    spark: SparkSession, sf_dir: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(word, cnt, toks array<string>) over the DISTINCT corpus vocabulary
+    — the list-valued sibling of :func:`word_token_counts`, carrying the
+    corpus frequency so vocabulary-level aggregates (token frequencies,
+    id assignment) weight by occurrence without a second corpus pass. One
+    map-side-combining word aggregate (doubles as the distinct stage);
+    the Python encode runs once per distinct word."""
+    wc = (
+        corpus_words(spark, sf_dir)
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    udf = bpe_token_list_udf(spark, merges)
+    return wc.select("word", "cnt", udf(F.col("word")).alias("toks"))
+
+
 def doc_bpe_token_counts_map(
     docs: DataFrame,
     spark: SparkSession,

@@ -445,15 +445,19 @@ def jaccard_pairs_075(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE-backed query rides the warm merge table and word map.
 _BPE_MERGES_CACHE: dict[tuple, tuple] = {}
 _BPE_WORD_TOKENS_CACHE: dict[tuple, DataFrame] = {}
+_BPE_WORD_LISTS_CACHE: dict[tuple, DataFrame] = {}
 _BPE_DISK_PINS: dict[tuple, list[DataFrame]] = {}
 
 
 def clear_bpe_artifacts() -> None:
-    """Drop the memoized BPE merge table and word token map (bench cost
-    policy: the build is charged to ``text_bpe_train``)."""
+    """Drop the memoized BPE merge table, word token map, and word
+    token-list map (bench cost policy: the merge/count builds are charged
+    to ``text_bpe_train``; the list map to ``text_bpe_vocab_ids``, its
+    first consumer)."""
     _release_disk_pins(_BPE_DISK_PINS)
     _BPE_MERGES_CACHE.clear()
     _BPE_WORD_TOKENS_CACHE.clear()
+    _BPE_WORD_LISTS_CACHE.clear()
 
 
 def bpe_merges(spark: SparkSession, sf_dir: str) -> tuple:
@@ -490,6 +494,38 @@ def bpe_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cache_insert(_BPE_WORD_TOKENS_CACHE, key, wt, pins=_BPE_DISK_PINS)
     return wt
+
+
+def clear_bpe_list_artifact() -> None:
+    """Drop ONLY the word token-list memo (bench cost policy: its build is
+    charged to ``text_bpe_vocab_ids`` while the merge table and count map
+    stay warm from ``text_bpe_train``). Disk pins stay owned by
+    ``clear_bpe_artifacts`` — the list table is vocabulary-sized and does
+    not hit the degraded path at bench scale."""
+    _BPE_WORD_LISTS_CACHE.clear()
+
+
+def bpe_word_token_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary token-LIST map (word, cnt, toks array<string>):
+    the list-valued sibling of :func:`bpe_word_tokens`, carrying corpus
+    frequency. Feeds vocabulary-id assignment and the full corpus
+    encoding; pinned and memoized like the other tokenizer artifacts
+    (bench cost policy: charged to ``text_bpe_vocab_ids``, its first
+    consumer)."""
+    from ..operators.bpe import word_token_lists
+
+    key = artifact_cache_key(spark, sf_dir)
+    got = _BPE_WORD_LISTS_CACHE.get(key)
+    if got is not None:
+        return got
+    wl = _pin(
+        word_token_lists(spark, sf_dir, list(bpe_merges(spark, sf_dir))),
+        spark,
+        "bpe_word_token_lists",
+        _BPE_DISK_PINS.setdefault(key, []),
+    )
+    cache_insert(_BPE_WORD_LISTS_CACHE, key, wl, pins=_BPE_DISK_PINS)
+    return wl
 
 
 def winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,6 +587,10 @@ def _artifact_specs() -> dict[str, tuple]:
         "bpe_word_tokens": (
             bpe_word_tokens, _BPE_WORD_TOKENS_CACHE, _BPE_DISK_PINS, "word",
             ("word", "n_toks"),
+        ),
+        "bpe_word_token_lists": (
+            bpe_word_token_lists, _BPE_WORD_LISTS_CACHE, _BPE_DISK_PINS, "word",
+            ("word", "cnt", "toks"),
         ),
     }
 

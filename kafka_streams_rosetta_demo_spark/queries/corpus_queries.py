@@ -1967,3 +1967,162 @@ def text_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_bpe_token_counts_map(
         docs, spark, list(bpe_merges(spark, sf_dir))
     )
+
+
+_VOCAB_IDS_CTE = """tf AS (
+  SELECT t AS token, CAST(sum(cnt) AS BIGINT) AS freq
+  FROM (SELECT cnt, unnest(string_split(ts, chr(31))) AS t FROM s48)
+  GROUP BY t
+),
+ids AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
+           AS token_id,
+         freq
+  FROM tf
+)"""
+
+_VOCAB_IDS_ORACLE = f"""WITH {{bpe}},
+{_VOCAB_IDS_CTE}
+SELECT token, token_id, freq FROM ids"""
+
+
+def _bpe_vocab_ids_df(spark: SparkSession, lists: DataFrame) -> DataFrame:
+    """(token, token_id, freq) over the FINAL tokenizer vocabulary: every
+    token a replayed encoding can emit, ranked by corpus frequency (ties
+    by token byte order), ids dense from 0. The vocabulary is bounded BY
+    CONSTRUCTION — a replay token is either a base character or one of
+    the <= N_MERGES merge products — so the id window runs over ~150
+    rows of model state, not data."""
+    tf = (
+        lists.select(F.explode("toks").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "token")
+    return tf.select(
+        "token",
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "freq",
+    )
+
+
+@register(
+    "text_bpe_vocab_ids",
+    oracle=_VOCAB_IDS_ORACLE.format(bpe=bpe_oracle_with()),
+)
+def text_bpe_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's shippable vocabulary: every distinct token the
+    corpus-trained BPE emits, with a deterministic dense id (corpus
+    frequency desc, then token byte order — the standard
+    frequency-ranked id assignment) and the frequency itself. This is
+    the {token: id} table a training pipeline publishes next to the
+    merge list; with `text_bpe_train` (merges) and
+    `text_bpe_encode_corpus` (the encoded corpus) it completes the
+    tokenizer artifact set.
+
+    Scale: one map-side-combining word aggregate (doubles as the
+    distinct-vocabulary stage), Arrow-batched encode once per distinct
+    word, then a token-frequency aggregate whose key space is bounded BY
+    CONSTRUCTION (every emitted token is a base character or one of the
+    <= 48 merge products, so the final rank window orders ~150 rows of
+    model state — never data). The oracle derives the same table from
+    the replayed training state, so id assignment is verified end to
+    end, not just token membership. The word->token-list table is a
+    memoized tokenizer artifact (``bpe_word_token_lists``) charged to
+    this query per the bench cost policy; the encode query rides it."""
+    from .artifacts import bpe_word_token_lists
+
+    return _bpe_vocab_ids_df(spark, bpe_word_token_lists(spark, sf_dir))
+
+
+_ENCODE_CORPUS_ORACLE = f"""WITH {{bpe}},
+{_VOCAB_IDS_CTE},
+dwp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+d AS (SELECT doc_id, w, pos FROM dwp WHERE w <> ''),
+r AS (
+  SELECT d.doc_id, d.pos, string_split(s.ts, chr(31)) AS tl
+  FROM d JOIN s48 s ON d.w = s.word
+),
+o AS (
+  SELECT doc_id, tl,
+         CAST(coalesce(sum(len(tl)) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS off
+  FROM r
+),
+e AS (
+  SELECT doc_id, CAST(off + generate_subscripts(tl, 1) - 1 AS BIGINT) AS tok_idx,
+         unnest(tl) AS t
+  FROM o
+)
+SELECT e.doc_id, e.tok_idx, ids.token_id
+FROM e JOIN ids ON e.t = ids.token"""
+
+
+@register(
+    "text_bpe_encode_corpus",
+    oracle=_ENCODE_CORPUS_ORACLE.format(bpe=bpe_oracle_with()),
+)
+def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE training-data deliverable: the whole corpus tokenized — one row
+    per token, ``(doc_id, tok_idx, token_id)`` with ``tok_idx`` the
+    token's position within its document and ``token_id`` from the
+    frequency-ranked vocabulary (`text_bpe_vocab_ids`). Downstream this
+    flat form is what packs into fixed-length training sequences
+    (`corpus_pack_sequences_bpe` plans the bins; this table fills them).
+
+    Scale: the corpus explodes to words once (posexplode — a map), joins
+    the distinct-vocabulary token-list table by BROADCAST (the list table
+    is |vocab| rows — an artifact-sized side), takes ONE doc_id exchange
+    for the within-document running token offset (the same window shape
+    as the chunker), then flattens each word's token array in place; the
+    token->id map is ~150 rows of broadcast model state. Python cost is
+    once per distinct word; the token-grain volume never moves through a
+    shuffle — the offsets are computed at WORD grain and each token's
+    index is offset + its position inside the word's array. Determinism:
+    offsets are integer sums over a unique (doc_id, pos) order; id
+    assignment is the oracle-verified dense ranking. Both uses of the
+    word->token-list table (id derivation and the corpus join) read the
+    ONE pinned ``bpe_word_token_lists`` artifact, so the word-aggregate
+    stage runs once per corpus snapshot, not twice per query."""
+    from .artifacts import bpe_word_token_lists
+
+    lists = bpe_word_token_lists(spark, sf_dir)
+    ids = _bpe_vocab_ids_df(spark, lists)
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos0", "w"),
+        )
+        .where(F.col("w") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    r = d.join(
+        F.broadcast(lists.select("word", "toks")), d.w == F.col("word")
+    ).select("doc_id", "pos", "toks")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = r.withColumn(
+        "off",
+        F.coalesce(F.sum(F.size("toks")).over(w), F.lit(0)).cast("long"),
+    )
+    e = o.select(
+        "doc_id", "off", F.posexplode("toks").alias("ipos", "t")
+    ).select(
+        "doc_id",
+        (F.col("off") + F.col("ipos")).cast("long").alias("tok_idx"),
+        "t",
+    )
+    return e.join(
+        F.broadcast(ids.select("token", "token_id")), e.t == F.col("token")
+    ).select("doc_id", "tok_idx", "token_id")

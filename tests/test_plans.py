@@ -339,8 +339,10 @@ SHUFFLE_BUDGET = {
     "corpus_pack_sequences_bpe": 2,  # doc-count agg + shard window
     "doc_chunk_bpe_budget": 1,  # the (doc_id, chunk) rollup REUSES the running-sum window's doc_id exchange
     "text_bpe_fertility": 1,  # one per-source aggregate
-    # round-11 addition
+    # round-11 additions
     "text_bpe_doc_tokens": 0,  # the mapInPandas fallback IS a pure map — zero exchanges (also pinned in test_round11_ops)
+    "text_bpe_vocab_ids": 1,  # ONE bounded token-frequency agg; the id window is SinglePartition over ~150 model-state rows; word agg charged to the lists artifact
+    "text_bpe_encode_corpus": 2,  # token-frequency agg + the doc_id offset window; list/id sides broadcast; token-grain volume never shuffles
 }
 
 

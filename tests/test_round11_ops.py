@@ -380,3 +380,62 @@ class TestStreamingBpeTokenRate:
         assert _rows(dedup_minhash_lsh(spark, sf_smoke)) == lsh_baseline
         monkeypatch.undo()
         artifacts.clear_shingle_artifacts()
+
+
+# ---------------------------------------------------------------------------
+# 6. Tokenizer deliverables: vocabulary ids + the flat corpus encoding
+# ---------------------------------------------------------------------------
+
+
+class TestBpeTokenizerDeliverables:
+    def test_vocab_is_bounded_model_state(self, spark, sf_smoke):
+        """Every emitted token is a base character or a merge product, so
+        |vocab| <= |alphabet| + N_MERGES — the bound the id window's
+        single-partition sort rests on."""
+        from kafka_streams_rosetta_demo_spark.operators.bpe import N_MERGES
+        from kafka_streams_rosetta_demo_spark.queries.artifacts import bpe_merges
+        from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+            text_bpe_vocab_ids,
+        )
+
+        rows = text_bpe_vocab_ids(spark, sf_smoke).collect()
+        merged = {a + b for a, b in bpe_merges(spark, sf_smoke)}
+        for r in rows:
+            assert len(r.token) == 1 or r.token in merged, r.token
+        alphabet = {t for r in rows for t in r.token}
+        assert len(rows) <= len(alphabet) + N_MERGES
+        # dense deterministic ids: 0..n-1, frequency-desc then token asc
+        ids = sorted((r.token_id, -r.freq, r.token) for r in rows)
+        assert [i for i, _, _ in ids] == list(range(len(rows)))
+        assert ids == sorted(ids, key=lambda x: (x[1], x[2]))
+
+    def test_encode_corpus_positions_are_dense_per_doc(self, spark, sf_smoke):
+        """tok_idx runs 0..n_tokens-1 within each document with no gaps —
+        the property sequence packing depends on — and per-doc totals
+        agree with the count-only encode paths."""
+        from collections import defaultdict
+
+        from kafka_streams_rosetta_demo_spark.operators.bpe import (
+            doc_bpe_token_counts_map,
+        )
+        from kafka_streams_rosetta_demo_spark.queries.artifacts import bpe_merges
+        from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+            text_bpe_encode_corpus,
+        )
+        from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+        per_doc = defaultdict(list)
+        for r in text_bpe_encode_corpus(spark, sf_smoke).collect():
+            per_doc[r.doc_id].append(r.tok_idx)
+        for doc_id, idxs in per_doc.items():
+            assert sorted(idxs) == list(range(len(idxs))), doc_id
+
+        docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+        counts = {
+            r.doc_id: r.n_bpe_tokens
+            for r in doc_bpe_token_counts_map(
+                docs, spark, list(bpe_merges(spark, sf_smoke))
+            ).collect()
+            if r.n_bpe_tokens > 0
+        }
+        assert {d: len(v) for d, v in per_doc.items()} == counts
