@@ -677,3 +677,53 @@ def load_artifact(spark: SparkSession, sf_dir: str, kind: str, path: str):
     )
     cache_insert(cache, key, df, pins=pins)
     return df
+
+
+# Per-DOCUMENT artifacts are append-exact: each row depends only on its own
+# document (winnowing selection and MinHash signatures are per-doc
+# functions), so an ingest batch extends the written index without touching
+# existing rows. Corpus-GLOBAL artifacts are deliberately excluded — the
+# PPJoin pair set needs cross-batch candidates, and the BPE tables carry
+# corpus frequencies — those rebuild per snapshot (their builders say so).
+_APPENDABLE_KINDS = ("winnowing_index", "minhash_signatures")
+
+
+def append_artifact(
+    spark: SparkSession, sf_dir: str, kind: str, path: str, new_docs: DataFrame
+) -> None:
+    """Extend a WRITTEN per-document artifact index with an ingest batch —
+    the incremental maintenance path: fingerprint/sign ONLY ``new_docs``
+    (never rescanning the corpus), append the rows into the existing
+    hash-shard layout (same shard expression, so probes keep pruning), and
+    re-stamp the sidecar with ``sf_dir``'s CURRENT corpus fingerprint so a
+    reload against the post-ingest snapshot passes the staleness gate.
+    Call AFTER the batch lands in the corpus table; extended-index ==
+    full-rebuild parity is pinned in ``tests/test_round11_ops.py``."""
+    from pyspark.sql import functions as F
+
+    from ..operators.textsim import minhash_signature, winnow_fingerprints, with_shingles
+    from ..sources.formats import shard_column
+
+    if kind not in _APPENDABLE_KINDS:
+        raise ValueError(
+            f"artifact kind {kind!r} is not per-document/append-exact "
+            f"(appendable: {_APPENDABLE_KINDS}); rebuild it per snapshot"
+        )
+    docs = new_docs.select("doc_id", "text")
+    if kind == "winnowing_index":
+        rows, shard_key = winnow_fingerprints(docs, k=3, w=4), "f"
+    else:
+        rows = minhash_signature(with_shingles(docs, k=3), n_hashes=64)
+        shard_key = "doc_id"
+    _builder, _cache, _pins, _sk, cols = _artifact_specs()[kind]
+    out = rows.select(*cols).withColumn(
+        "_shard", shard_column(F.col(shard_key), ARTIFACT_SHARDS)
+    )
+    (
+        out.repartition(ARTIFACT_SHARDS, "_shard")
+        .sortWithinPartitions("_shard")
+        .write.mode("append")
+        .partitionBy("_shard")
+        .parquet(path)
+    )
+    _write_fingerprint_meta(spark, path, sf_dir)

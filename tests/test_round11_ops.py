@@ -324,6 +324,56 @@ class TestArtifactPersistReload:
             artifacts.load_artifact(spark, sf, "winnowing_index", path)
         artifacts.clear_winnowing_artifacts()
 
+    def test_append_extends_index_to_full_rebuild_parity(self, spark, tmp_path):
+        """The incremental-maintenance path: index saved over 80% of a
+        corpus, the remaining 20% ingested and APPENDED (only the batch is
+        fingerprinted — no corpus rescan), reload against the post-ingest
+        snapshot == the full-rebuild index row-for-row, for both
+        per-document kinds."""
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from kafka_streams_rosetta_demo_spark.queries import artifacts
+
+        sf = str(tmp_path / "corpus")
+        all_docs = spark.createDataFrame(
+            [(i, f"gamma delta epsilon zeta {i % 7} {i}", "s") for i in range(50)],
+            "doc_id long, text string, source string",
+        )
+        base = all_docs.where(F.col("doc_id") % 5 != 0)
+        batch = all_docs.where(F.col("doc_id") % 5 == 0)
+
+        for kind in ("winnowing_index", "minhash_signatures"):
+            path = str(tmp_path / f"idx_{kind}")
+            base.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+            artifacts.clear_winnowing_artifacts()
+            artifacts.clear_shingle_artifacts()
+            artifacts.save_artifact(spark, sf, kind, path)
+
+            # the ingest lands in the corpus table, then extends the index
+            batch.write.mode("append").parquet(f"{sf}/documents.parquet")
+            artifacts.append_artifact(spark, sf, kind, path, batch)
+
+            artifacts.clear_winnowing_artifacts()
+            artifacts.clear_shingle_artifacts()
+            loaded = _rows(artifacts.load_artifact(spark, sf, kind, path))
+
+            artifacts.clear_winnowing_artifacts()
+            artifacts.clear_shingle_artifacts()
+            builder = artifacts._artifact_specs()[kind][0]
+            assert loaded == _rows(builder(spark, sf).select(
+                *artifacts._artifact_specs()[kind][4]
+            )), kind
+        artifacts.clear_winnowing_artifacts()
+        artifacts.clear_shingle_artifacts()
+
+        # corpus-global kinds refuse the append path
+        with _pytest.raises(ValueError, match="not per-document"):
+            artifacts.append_artifact(
+                spark, sf, "jaccard_pairs_075", str(tmp_path / "nope"), batch
+            )
+
 
 # ---------------------------------------------------------------------------
 # 5. Streaming twin of the tokenizer fertility monitor (VERDICT r10 task 6)
