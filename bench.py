@@ -233,6 +233,18 @@ OPTIONAL = [
     # tokenizer artifact set's remaining two deliverables
     "text_bpe_vocab_ids",
     "text_bpe_encode_corpus",
+    # round 11: the preference/ranking-eval family — the win-rate matrix and
+    # BT fit both reduce to one lag-window pass + a |types|²-cell aggregate
+    # (the BT row additionally times the driver-side 20-iteration integer
+    # fit on that model state); the nDCG row times the salted two-phase
+    # top-10 over the BM25 postings; label propagation rides the warm
+    # jaccard_pairs_075 artifact like the other PPJoin family members; the
+    # streaming row is the stateful per-user pair emitter end to end
+    "preference_winrate_matrix",
+    "preference_bradley_terry",
+    "search_ndcg_mrr_eval",
+    "graph_label_propagation",
+    "streaming_preference_winrate",
 ]
 
 

@@ -188,6 +188,7 @@ def load_all() -> dict[str, Query]:
         dedup_queries,
         graph_queries,
         pipeline_queries,
+        preference_queries,
         relational_queries,
         rosetta_queries,
         sketch_queries,

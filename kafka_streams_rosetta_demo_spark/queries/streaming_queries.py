@@ -1204,3 +1204,57 @@ def _bpe_rate_share_oracle() -> None:
 
 
 _bpe_rate_share_oracle()
+
+
+@register(
+    "streaming_preference_winrate",
+    oracle=None,  # assigned below — shares preference_winrate_matrix's SQL
+)
+def streaming_preference_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The preference-comparison deriver run AS the ingest: events stream
+    through a per-user ``applyInPandasWithState`` processor whose state is
+    each user's LAST event (the Kafka Streams Processor-with-KeyValueStore
+    shape — per-key order is the keyed topic's delivery contract, exactly
+    the assumption the reference's processors make), emitting one
+    (winner, loser) comparison per qualifying consecutive pair in append
+    mode — a comparison is a fact, never revised. Emitted pairs land
+    through the production append sink (executor-side parquet, no driver
+    round-trip), and the win-rate matrix folds over the sink with the SAME
+    ``winrate_matrix`` post-math as the batch query; the result must
+    hash-match ``preference_winrate_matrix``'s oracle verbatim.
+
+    State bound: one 4-field row per active user key — bounded keyed state
+    like the KTable; cross-batch pair carry (the boundary event living in
+    the state store between micro-batches) is pinned in
+    ``tests/test_round11b_ops.py`` with a 3-file time-split replay."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import preference_pair_emitter
+    from .preference_queries import winrate_matrix
+
+    pairs = preference_pair_emitter(_events_stream(spark, sf_dir))
+    with checkpoint_tmpdir("ckpt_prefpairs_") as ckpt, (
+        checkpoint_tmpdir("sink_prefpairs_")
+    ) as out_dir:
+        emitted = run_append_query_to_df(pairs, ckpt, out_dir)
+    wins = emitted.groupBy("winner", "loser").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return winrate_matrix(wins)
+
+
+def _pref_winrate_share_oracle() -> None:
+    """Bind the streaming twin's oracle to the batch matrix's SQL — one
+    source of truth (the _psi_share_oracle pattern)."""
+    import dataclasses
+
+    from . import REGISTRY
+    from . import preference_queries  # noqa: F401  (registers the batch twin)
+
+    REGISTRY["streaming_preference_winrate"] = dataclasses.replace(
+        REGISTRY["streaming_preference_winrate"],
+        oracle=REGISTRY["preference_winrate_matrix"].oracle,
+    )
+
+
+_pref_winrate_share_oracle()

@@ -89,3 +89,87 @@ def running_totals_cents(
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def preference_pair_emitter(stream: DataFrame) -> DataFrame:
+    """Per-user consecutive-event preference pairing AS STREAMING STATE: the
+    state store holds each user's LAST event (one 4-field row per key), and
+    every arriving event is judged against it — different event types with
+    different ``value`` emit one (winner, loser) comparison row, then the
+    arrival becomes the new last event. This is exactly the Kafka Streams
+    ``Processor``-with-KeyValueStore shape (the reference's API family,
+    SURVEY §2.7): per-key sequential logic the built-in windowed operators
+    cannot express, with ordering guaranteed by the per-key partition — the
+    same contract a keyed Kafka topic gives its consumers.
+
+    Within a micro-batch, rows sort by (ts_us, event_id) — the batch twin's
+    lag-window order — and the pairing is VECTORIZED (pandas ``shift`` +
+    numpy ``where``), no per-row Python; across micro-batches the state row
+    carries the boundary event, so a pair spanning two batches emits exactly
+    once (pinned in tests). Append-mode emission: a comparison is a fact,
+    never revised.
+
+    Scale: state is one small row per active user key. No timeout here to
+    keep the gate deterministic; a production deployment sets a TTL the same
+    way the KTable notes describe."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    out_schema = "winner string, loser string"
+    state_schema = "ts_us long, event_id long, event_type string, value double"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prev = state.get if state.exists else None
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            yield pd.DataFrame({"winner": [], "loser": []}, dtype=object)
+            return
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["ts_us", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        p_type = pdf["event_type"].shift(1)
+        p_val = pdf["value"].shift(1)
+        if prev is not None:
+            p_type.iloc[0] = prev[2]
+            p_val.iloc[0] = np.nan if prev[3] is None else prev[3]
+        cur_t, cur_v = pdf["event_type"], pdf["value"]
+        mask = (
+            p_type.notna()
+            & cur_t.notna()
+            & (p_type != cur_t)
+            & p_val.notna()
+            & cur_v.notna()
+            & (p_val != cur_v)
+        ).to_numpy()
+        up = (cur_v.to_numpy() > p_val.to_numpy()) & mask
+        winner = np.where(up, cur_t.to_numpy(object), p_type.to_numpy(object))[mask]
+        loser = np.where(up, p_type.to_numpy(object), cur_t.to_numpy(object))[mask]
+        last = pdf.iloc[-1]
+        lv = last["value"]
+        state.update(
+            (
+                int(last["ts_us"]),
+                int(last["event_id"]),
+                None if pd.isna(last["event_type"]) else str(last["event_type"]),
+                None if pd.isna(lv) else float(lv),
+            )
+        )
+        yield pd.DataFrame({"winner": winner, "loser": loser})
+
+    return (
+        stream.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

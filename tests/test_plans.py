@@ -343,6 +343,10 @@ SHUFFLE_BUDGET = {
     "text_bpe_doc_tokens": 0,  # the mapInPandas fallback IS a pure map — zero exchanges (also pinned in test_round11_ops)
     "text_bpe_vocab_ids": 1,  # ONE bounded token-frequency agg; the id window is SinglePartition over ~150 model-state rows; word agg charged to the lists artifact
     "text_bpe_encode_corpus": 2,  # token-frequency agg + the doc_id offset window; list/id sides broadcast; token-grain volume never shuffles
+    "preference_winrate_matrix": 3,  # user_id lag window + (winner,loser) partial agg + |types|²-cell matrix agg
+    "preference_bradley_terry": 0,  # LocalTableScan: the fit is driver-side model state (wins agg charged at collect)
+    "search_ndcg_mrr_eval": 5,  # tf posting agg + salted local top-10 + global per-term window + n_candidates agg + tiny-frame joins
+    "graph_label_propagation": 0,  # final frame is the per-round localCheckpoint (pagerank discipline); per-round joins run eagerly at build
 }
 
 
