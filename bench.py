@@ -245,6 +245,11 @@ OPTIONAL = [
     "search_ndcg_mrr_eval",
     "graph_label_propagation",
     "streaming_preference_winrate",
+    # round 11: the second privacy audit (one QI groupBy) and the
+    # late-interaction MaxSim scorer (the knn-family broadcast-scan shape,
+    # 16 query tokens against the corpus token bags)
+    "privacy_l_diversity",
+    "search_maxsim_late_interaction",
 ]
 
 

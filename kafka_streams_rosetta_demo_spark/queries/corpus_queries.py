@@ -1041,6 +1041,55 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Privacy QA: l-diversity over the same release QIs
+# ---------------------------------------------------------------------------
+
+_L_DIVERSE = 2
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=f"""
+SELECT source AS qi_source,
+       CAST(CAST(n_chars AS BIGINT) // 200 AS BIGINT) AS qi_len_bucket,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct,
+       count(DISTINCT lang) < {_L_DIVERSE} AS at_risk
+FROM documents
+GROUP BY source, CAST(n_chars AS BIGINT) // 200
+""",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit (Machanavajjhala et al. 2007) — the check
+    k-anonymity famously misses: a quasi-identifier group can have k peers
+    and STILL leak the sensitive attribute if every peer shares the same
+    value (the homogeneity attack). Here the release QIs are (source,
+    length bucket) and the sensitive attribute is ``lang``: a group where
+    all documents share one language tells an attacker the language of any
+    member from metadata alone. Flags groups with fewer than l=2 distinct
+    sensitive values; the suppression pass consumes the flagged set next to
+    ``privacy_k_anonymity``'s.
+
+    Scale: one groupBy on the QI tuple; the distinct-count is a two-phase
+    (QI, lang) partial distinct then QI rollup — both map-side-combining
+    hash aggregates, output QI-space-sized, the corpus read once."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.col("source").alias("qi_source"),
+            F.expr("CAST(CAST(n_chars AS BIGINT) DIV 200 AS BIGINT)").alias(
+                "qi_len_bucket"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("lang").cast("long").alias("l_distinct"),
+        )
+        .withColumn("at_risk", F.col("l_distinct") < _L_DIVERSE)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus-level source-similarity matrix (shingle -> source-bitmask rollup)
 # ---------------------------------------------------------------------------
 

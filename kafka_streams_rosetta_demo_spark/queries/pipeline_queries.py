@@ -2990,3 +2990,125 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("long").alias("bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# search_maxsim_late_interaction — ColBERT-style multi-vector retrieval
+# ---------------------------------------------------------------------------
+
+_MS_TOKENS_PER_DOC = 8
+_MS_QUERY_DOCS = 2
+_MS_TOPK = 5
+
+_MAXSIM_ORACLE = f"""
+WITH tok AS MATERIALIZED (
+  SELECT vec_id // {_MS_TOKENS_PER_DOC} AS d, vec_id AS t, embedding,
+         sqrt((SELECT sum(CAST(embedding[s.i] AS DOUBLE) * CAST(embedding[s.i] AS DOUBLE))
+               FROM (SELECT unnest(range(1, 65)) AS i) s)) AS nrm
+  FROM embeddings
+),
+q AS (SELECT * FROM tok WHERE d < {_MS_QUERY_DOCS}),
+c AS (SELECT * FROM tok WHERE d >= {_MS_QUERY_DOCS}),
+cs AS (
+  SELECT q.d AS q_doc, q.t AS q_tok, c.d AS c_doc,
+         (SELECT sum(CAST(q.embedding[s.i] AS DOUBLE) * CAST(c.embedding[s.i] AS DOUBLE))
+          FROM (SELECT unnest(range(1, 65)) AS i) s) / (q.nrm * c.nrm) AS cos
+  FROM q JOIN c ON q.d <> c.d
+),
+tokmax AS (
+  SELECT q_doc, q_tok, c_doc,
+         CAST(floor(max(cos) * 1000000 + 0.5) AS BIGINT) AS mx
+  FROM cs GROUP BY q_doc, q_tok, c_doc
+),
+sims AS (
+  SELECT q_doc, c_doc, CAST(sum(mx) AS BIGINT) AS maxsim_micro
+  FROM tokmax GROUP BY q_doc, c_doc
+)
+SELECT q_doc AS query_doc, c_doc AS doc_id, maxsim_micro,
+       CAST(row_number() OVER (PARTITION BY q_doc
+                               ORDER BY maxsim_micro DESC, c_doc) AS BIGINT) AS rank
+FROM sims
+QUALIFY rank <= {_MS_TOPK}
+"""
+
+
+@register("search_maxsim_late_interaction", oracle=_MAXSIM_ORACLE)
+def search_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (multi-vector) retrieval, the ColBERT MaxSim scoring
+    rule (Khattab & Zaharia, SIGIR 2020): each document is a BAG of token
+    vectors (8 per doc — consecutive ``vec_id`` groups, the deterministic
+    multi-vector framing of the single-vector testdata);
+    a query scores a document as the SUM over query tokens of each token's
+    MAX cosine against the document's tokens. This is the retrieval model
+    between single-vector kNN (X14) and full cross-encoders — the quality
+    tier modern RAG rerankers ship.
+
+    Determinism: token cosines are the same sequential-fold doubles as the
+    kNN family (identical element order both engines), MAX of doubles is
+    exact, and each token maximum is quantized to integer micro-units
+    BEFORE the per-document sum — so the one float reduction whose order
+    Spark does not fix (the sum over query tokens) happens in integers.
+
+    Scale: the corpus token side — the 100 TB side — scans ONCE and never
+    shuffles for scoring (query tokens broadcast; the declared bounded-|Q|
+    BNLJ shape shared with ``knn_brute_force``, |Q| = query docs × tokens
+    ≤ the enforced 4096 cap). The MaxSim reduction is two map-side-
+    combining aggregates keyed on (q_tok, c_doc) then (q_doc, c_doc) —
+    partial max/sum combine before any exchange — and the top-k is a
+    per-query window over the scored docs. Production composes this with
+    the X95 IVF cell pruning (PLAID's structure) so only probed cells'
+    tokens are scored; this query is the exactness baseline that pruning
+    is measured against."""
+    toks = with_norm(
+        rebalance(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    ).select(
+        F.expr(f"vec_id DIV {_MS_TOKENS_PER_DOC}").alias("c_doc"),
+        "embedding",
+        "nrm",
+    ).where(F.col("c_doc") >= _MS_QUERY_DOCS)
+    # Query side loads separately so the vec_id predicate pushes into the
+    # parquet scan (the knn_brute_force footnote); capped_query_set enforces
+    # the broadcast-legality bound.
+    q = with_norm(
+        capped_query_set(
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .where(F.col("vec_id") < _MS_QUERY_DOCS * _MS_TOKENS_PER_DOC)
+        )
+    ).select(
+        F.expr(f"vec_id DIV {_MS_TOKENS_PER_DOC}").alias("q_doc"),
+        F.col("vec_id").alias("q_tok"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = toks.join(
+        F.broadcast(q), on=F.col("c_doc") != F.col("q_doc"), how="inner"
+    ).select(
+        "q_doc",
+        "q_tok",
+        "c_doc",
+        cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")).alias(
+            "cos"
+        ),
+    )
+    tokmax = scored.groupBy("q_doc", "q_tok", "c_doc").agg(
+        F.floor(F.max("cos") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("mx")
+    )
+    sims = tokmax.groupBy("q_doc", "c_doc").agg(
+        F.sum("mx").cast("long").alias("maxsim_micro")
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.col("maxsim_micro").desc(), F.col("c_doc")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _MS_TOPK)
+        .select(
+            F.col("q_doc").alias("query_doc"),
+            F.col("c_doc").alias("doc_id"),
+            "maxsim_micro",
+            "rank",
+        )
+    )

@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "corpus_perplexity_buckets",  # 1-row n_docs scalar broadcast for the bucket DIV
     "corpus_dedup_rate_curve",  # 1-row max(doc_id) scalar broadcast for the decile width (r9)
     "agg_selfjoin_size_cms",  # 1-row sketch-estimate frame broadcast onto the exact row
+    "search_maxsim_late_interaction",  # same declared bounded-|Q| exact scoring shape as knn_brute_force (query TOKENS broadcast, cap enforced)
 }
 
 # Queries whose parquet scan must carry pushed filters: each has a selective
@@ -347,6 +348,8 @@ SHUFFLE_BUDGET = {
     "preference_bradley_terry": 0,  # LocalTableScan: the fit is driver-side model state (wins agg charged at collect)
     "search_ndcg_mrr_eval": 5,  # tf posting agg + salted local top-10 + global per-term window + n_candidates agg + tiny-frame joins
     "graph_label_propagation": 0,  # final frame is the per-round localCheckpoint (pagerank discipline); per-round joins run eagerly at build
+    "privacy_l_diversity": 2,  # two-phase distinct: (QI, lang) partial distinct + QI rollup, both map-side-combining
+    "search_maxsim_late_interaction": 3,  # (q_tok, c_doc) max agg + (q_doc, c_doc) integer sum + the per-query top-k window; scoring itself never shuffles
 }
 
 

@@ -269,3 +269,60 @@ def test_streaming_pref_pairs_cross_batch_equals_batch(spark, sf_smoke, tmp_path
         ).collect()
     )
     assert per_file_total < sum(n for _, _, n in expected)
+
+
+# ---------------------------------------------------------------------------
+# MaxSim: third-implementation cross-check (numpy, independent of both
+# engines — a quantization-order bug SHARED by query and oracle would pass
+# the parity gate; this would catch it)
+# ---------------------------------------------------------------------------
+
+
+def test_maxsim_matches_numpy_reference(spark, sf_smoke):
+    import numpy as np
+
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    rows = (
+        load_table(spark, sf_smoke, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    docs: dict[int, list[int]] = {}
+    for vid in vecs:
+        docs.setdefault(vid // 8, []).append(vid)
+    q_docs = [d for d in docs if d < 2]
+    c_docs = [d for d in docs if d >= 2]
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    expected = {}
+    for qd in q_docs:
+        scores = []
+        for cd in c_docs:
+            s = 0
+            for qt in sorted(docs[qd]):
+                mx = max(cos(vecs[qt], vecs[ct]) for ct in docs[cd])
+                s += int(np.floor(mx * 1_000_000 + 0.5))
+            scores.append((cd, s))
+        scores.sort(key=lambda x: (-x[1], x[0]))
+        expected[qd] = scores[:5]
+
+    got: dict[int, list] = {}
+    out = load_all()["search_maxsim_late_interaction"].fn(spark, sf_smoke).collect()
+    for r in sorted(out, key=lambda r: (r["query_doc"], r["rank"])):
+        got.setdefault(r["query_doc"], []).append((r["doc_id"], r["maxsim_micro"]))
+    assert got == expected
+
+
+def test_l_diversity_flags_are_consistent(spark, sf_smoke):
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["privacy_l_diversity"].fn(spark, sf_smoke).collect()
+    assert out
+    for r in out:
+        assert r["l_distinct"] >= 1 and r["l_distinct"] <= r["group_size"]
+        assert r["at_risk"] == (r["l_distinct"] < 2)
