@@ -250,6 +250,10 @@ OPTIONAL = [
     # 16 query tokens against the corpus token bags)
     "privacy_l_diversity",
     "search_maxsim_late_interaction",
+    # round 11: the vector ingest screen (stream-static LSH band probe) and
+    # the classifier-vs-rules confusion gate (one scan, one tiny rollup)
+    "streaming_ann_screen",
+    "classifier_confusion_eval",
 ]
 
 

@@ -3112,3 +3112,140 @@ def search_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFram
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier_confusion_eval — the model-based filter graded against the
+# rule-based reference before it gates a corpus
+# ---------------------------------------------------------------------------
+
+_CCE_ORACLE = f"""
+WITH model(lang, bias, w_tokens, w_stop, w_digit, threshold) AS (
+  VALUES {", ".join(f"('{l}', {b}, {wt}, {ws}, {wd}, {th})" for l, b, wt, ws, wd, th in _QC_MODEL)}
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains({_QC_STOPS!r}, t))) AS BIGINT) AS stop_hits,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_chars
+  FROM documents
+),
+flags AS (
+  SELECT f.lang,
+         (m.bias + m.w_tokens * f.n_tokens + m.w_stop * f.stop_hits
+          + m.w_digit * f.digit_chars) >= m.threshold AS keep,
+         (f.n_tokens >= 20
+          AND CAST(f.n_distinct AS DOUBLE) / CAST(f.n_tokens AS DOUBLE) >= 0.3)
+           AS good
+  FROM feats f
+  JOIN model m
+    ON m.lang = CASE WHEN f.lang IN ({", ".join(f"'{l}'" for l, *_ in _QC_MODEL if l != "*")})
+                     THEN f.lang ELSE '*' END
+),
+cm AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN keep AND good THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN keep AND NOT good THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT keep AND good THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT keep AND NOT good THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM flags GROUP BY lang
+)
+SELECT lang, tp, fp, fn, tn,
+       CAST(CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END
+            AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) ELSE 0 END
+            AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN (CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END)
+                    + (CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) ELSE 0 END) > 0
+                 THEN (2 * (CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END)
+                         * (CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) ELSE 0 END))
+                      // ((CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END)
+                        + (CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) ELSE 0 END))
+                 ELSE 0 END AS BIGINT) AS f1_ppm
+FROM cm
+"""
+
+
+@register("classifier_confusion_eval", oracle=_CCE_ORACLE)
+def classifier_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language confusion matrix + precision/recall/F1 (ppm) of the
+    linear quality classifier (``text_quality_classifier``) graded against
+    the rule-based reference labels (``text_quality_scores``'s 'ok' bucket:
+    >= 20 words and type-token ratio >= 0.3) — the gate a model-based
+    filter must clear before it replaces the heuristic it was trained to
+    imitate (the FastText-classifier-vs-rules check every curation stack
+    runs; next to ``embedding_label_confusion``'s embedding-side version).
+
+    Determinism: the matrix cells are integer counts, both flags derive
+    from exact integer features (the one double — the type-token ratio —
+    is the same single division on both engines, compared, never summed),
+    and precision/recall/F1 are integer ppm divisions.
+
+    Scale: ONE corpus scan computes both the model score and the reference
+    flag per row (JVM higher-order functions, no Python, no explode), the
+    5-row model table broadcasts, and the confusion rollup is a map-side-
+    combining |langs|-key aggregate — nothing after the scan is
+    corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = F.split("text", " ")
+    stops = F.array(*[F.lit(s) for s in _QC_STOPS])
+    feats = docs.select(
+        "lang",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        F.size(F.filter(w, lambda t: F.array_contains(stops, t)))
+        .cast("long")
+        .alias("stop_hits"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("digit_chars"),
+    )
+    model = spark.createDataFrame(
+        _QC_MODEL, ["m_lang", "bias", "w_tokens", "w_stop", "w_digit", "threshold"]
+    )
+    known = [l for l, *_ in _QC_MODEL if l != "*"]
+    joined = feats.withColumn(
+        "m_key",
+        F.when(F.col("lang").isin(known), F.col("lang")).otherwise(F.lit("*")),
+    ).join(F.broadcast(model), F.col("m_key") == F.col("m_lang"))
+    keep = (
+        F.col("bias")
+        + F.col("w_tokens") * F.col("n_tokens")
+        + F.col("w_stop") * F.col("stop_hits")
+        + F.col("w_digit") * F.col("digit_chars")
+    ) >= F.col("threshold")
+    good = (F.col("n_tokens") >= 20) & (
+        F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+        >= 0.3
+    )
+    cm = joined.select("lang", keep.alias("keep"), good.alias("good")).groupBy(
+        "lang"
+    ).agg(
+        F.sum(F.when(F.col("keep") & F.col("good"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("keep") & ~F.col("good"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("keep") & F.col("good"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("keep") & ~F.col("good"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    p = "CASE WHEN tp + fp > 0 THEN (tp * 1000000L) DIV (tp + fp) ELSE 0L END"
+    r = "CASE WHEN tp + fn > 0 THEN (tp * 1000000L) DIV (tp + fn) ELSE 0L END"
+    return cm.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(p).alias("precision_ppm"),
+        F.expr(r).alias("recall_ppm"),
+        F.expr(
+            f"CASE WHEN ({p}) + ({r}) > 0"
+            f" THEN (2 * ({p}) * ({r})) DIV (({p}) + ({r})) ELSE 0L END"
+        ).alias("f1_ppm"),
+    )

@@ -1258,3 +1258,136 @@ def _pref_winrate_share_oracle() -> None:
 
 
 _pref_winrate_share_oracle()
+
+
+_ANN_SCREEN_ORACLE = """
+WITH inj AS (
+  SELECT vec_id + 1000000 AS new_id,
+         list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS emb
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+ni AS (
+  SELECT new_id, emb,
+         sqrt((SELECT sum(CAST(emb[s.i] AS DOUBLE) * CAST(emb[s.i] AS DOUBLE))
+               FROM (SELECT unnest(range(1, 65)) AS i) s)) AS nrm
+  FROM inj
+),
+nc AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT sum(CAST(embedding[s.i] AS DOUBLE) * CAST(embedding[s.i] AS DOUBLE))
+               FROM (SELECT unnest(range(1, 65)) AS i) s)) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT ni.new_id, nc.vec_id AS match_id,
+         (SELECT sum(CAST(ni.emb[s.i] AS DOUBLE) * CAST(nc.embedding[s.i] AS DOUBLE))
+          FROM (SELECT unnest(range(1, 65)) AS i) s) / (ni.nrm * nc.nrm) AS cos
+  FROM ni JOIN nc ON true
+)
+SELECT new_id, match_id, round(cos, 3) AS cosine
+FROM scored WHERE cos >= 0.95
+"""
+
+
+@register("streaming_ann_screen", oracle=_ANN_SCREEN_ORACLE)
+def streaming_ann_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-ingest near-duplicate screen: newly-submitted vectors
+    arrive as a STREAM (three staged micro-batches — every 20th corpus
+    vector re-submitted scaled 1.5x under a shifted id, the
+    ``dedup_embedding_cosine`` planted-pair construction) and each
+    micro-batch probes the STATIC corpus through the hyperplane-LSH band
+    index: sign-bit band keys computed map-side on the batch, equi-join
+    against the precomputed corpus band table (the persisted ANN index a
+    production embedding store maintains), exact cosine >= 0.95 verified
+    on candidates only. The vector-family member of the per-ingest screen
+    trio (winnowing text screen X143/X144, incremental jaccard screen).
+
+    Recall is exact BY CONSTRUCTION, not probability: positive scaling
+    preserves every hyperplane sign bit, so each planted pair collides in
+    all 4 bands, while the corpus's natural pairs top out near cosine 0.5
+    — so the brute-force oracle and the banded engine agree on the exact
+    match set (same argument as the batch dedup query).
+
+    Scale & state: the screen is STATELESS (winnowing-screen shape — a
+    verdict depends only on the arriving vector and the static index), so
+    there is no watermark and no state store growth; per-batch cost is
+    |batch| x matched-bucket occupancy, never |batch| x |corpus|. At
+    100 TB the corpus band table is the bucketed index a store co-partitions
+    once and every ingest batch probes."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.vectors import (
+        cosine,
+        hyperplane_band_keys,
+        hyperplanes,
+        with_norm,
+    )
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planes = hyperplanes(dim=64, n=64, seed=7)
+    corpus_bands = (
+        hyperplane_band_keys(corpus, planes, bands=4)
+        .select(F.col("vec_id").alias("match_id"), "band_id", "band_key")
+        .localCheckpoint(eager=True)  # the persisted index side, built once
+    )
+    corpus_v = with_norm(corpus).select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+
+    def screen_batch(batch_df: DataFrame) -> DataFrame:
+        nb = hyperplane_band_keys(batch_df, planes, bands=4, id_col="new_id")
+        cand = (
+            nb.join(corpus_bands, ["band_id", "band_key"])
+            .select("new_id", "match_id")
+            .distinct()
+        )
+        nv = with_norm(batch_df).select(
+            "new_id",
+            F.col("embedding").alias("n_emb"),
+            F.col("nrm").alias("n_nrm"),
+        )
+        cos = cosine(F.col("n_emb"), F.col("c_emb"), F.col("n_nrm"), F.col("c_nrm"))
+        return (
+            cand.join(nv, "new_id")
+            .join(corpus_v, "match_id")
+            .where(cos >= F.lit(0.95))
+            .select("new_id", "match_id", F.round(cos, 3).alias("cosine"))
+        )
+
+    staged = tempfile.mkdtemp(prefix="ann_ingest_")
+    try:
+        (
+            corpus.where(F.col("vec_id") % 20 == 0)
+            .select(
+                (F.col("vec_id") + 1000000).alias("new_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: (x.cast("double") * F.lit(1.5)).cast("float"),
+                ).alias("embedding"),
+            )
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        with checkpoint_tmpdir("ckpt_anns_") as ckpt, (
+            checkpoint_tmpdir("sink_anns_")
+        ) as out_dir:
+            return run_update_query_to_df(
+                stream, ["new_id", "match_id"], ckpt, out_dir, batch_fn=screen_batch
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
