@@ -254,6 +254,9 @@ OPTIONAL = [
     # the classifier-vs-rules confusion gate (one scan, one tiny rollup)
     "streaming_ann_screen",
     "classifier_confusion_eval",
+    # round 11: the Deequ-style validation report (one multi-aggregate scan
+    # per audited table + broadcast FK probes)
+    "quality_expectation_suite",
 ]
 
 

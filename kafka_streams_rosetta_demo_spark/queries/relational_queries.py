@@ -3584,3 +3584,222 @@ def agg_selfjoin_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("est").cast("double") <= bound)
         ).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_expectation_suite — declarative data-quality constraints (the
+# Deequ / Great-Expectations shape) evaluated as one pass per table
+# ---------------------------------------------------------------------------
+
+# The testdata is clean, so violations are INJECTED deterministically —
+# identically in the oracle (the dedup_exact observable-collapse pattern) —
+# to make every constraint's failure path observable: null-lang clones
+# (completeness), same-id clones (uniqueness), off-by-one n_chars clones
+# (consistency), and orphan orders (referential integrity).
+
+_EXP_PPM = (
+    "CAST(((({num}) * 1000) // ({den})) * 1000"
+    " + (((({num}) * 1000) % ({den})) * 1000) // ({den}) AS BIGINT)"
+)
+
+
+def _exp_row(table: str, constraint: str, observed_ppm, passed) -> tuple:
+    return (table, constraint, observed_ppm, passed)
+
+
+_EXPECT_ORACLE = f"""
+WITH docs_aud AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text, NULL, n_chars FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 101 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, text, lang, n_chars + 1 FROM documents WHERE doc_id % 103 = 0
+),
+orders_aud AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  UNION ALL
+  SELECT o_orderkey + 5000000, o_custkey + 10000000 FROM orders WHERE o_orderkey % 499 = 0
+),
+d AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(lang) AS BIGINT) AS n_lang,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+         CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok
+  FROM docs_aud
+),
+o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+  FROM orders_aud ord LEFT JOIN customer c ON c.c_custkey = ord.o_custkey
+),
+l AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+  FROM lineitem li LEFT JOIN orders o ON o.o_orderkey = li.l_orderkey
+)
+SELECT * FROM (
+  SELECT 'documents' AS table_name, 'lang_complete' AS constraint,
+         {_EXP_PPM.format(num="n_lang", den="n")} AS observed_ppm,
+         n_lang = n AS passed FROM d
+  UNION ALL
+  SELECT 'documents', 'doc_id_unique',
+         {_EXP_PPM.format(num="n_ids", den="n")}, n_ids = n FROM d
+  UNION ALL
+  SELECT 'documents', 'n_chars_matches_text',
+         {_EXP_PPM.format(num="n_len_ok", den="n")}, n_len_ok = n FROM d
+  UNION ALL
+  SELECT 'orders', 'custkey_fk_customer',
+         {_EXP_PPM.format(num="n_orphan", den="n")}, n_orphan = 0 FROM o
+  UNION ALL
+  SELECT 'lineitem', 'quantity_in_1_50',
+         {_EXP_PPM.format(num="n_in", den="n")}, n_in = n FROM l
+  UNION ALL
+  SELECT 'lineitem', 'orderkey_fk_orders',
+         {_EXP_PPM.format(num="n_orphan", den="n")}, n_orphan = 0 FROM l
+)
+"""
+
+
+@register("quality_expectation_suite", oracle=_EXPECT_ORACLE)
+def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ / Great-Expectations
+    contract): completeness, uniqueness, column consistency, value range,
+    and referential integrity, each reported as (table, constraint,
+    observed ppm, passed) — the validation report a pipeline gates its
+    publish step on. Violations are injected deterministically (identically
+    in the oracle) so every failure path is exercised: the suite must
+    report exactly which constraints the corrupted snapshot breaks.
+
+    Scale (the Deequ execution model): ALL of a table's metrics compute in
+    ONE pass — the documents scan feeds completeness+uniqueness+consistency
+    as a single multi-aggregate, the lineitem scan feeds range+FK; the two
+    referential checks are left joins against the (broadcastable or
+    key-partitioned) parent keys counted map-side. The report itself is six
+    rows; nothing after the scans is corpus-sized. Fractions use the exact
+    two-stage *1e3 integer split (no overflow past 9.2e15 rows)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    docs_aud = (
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                "text",
+                F.lit(None).cast("string").alias("lang"),
+                "n_chars",
+            )
+        )
+        .unionByName(docs.where(F.col("doc_id") % 101 == 0))
+        .unionByName(
+            docs.where(F.col("doc_id") % 103 == 0).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                "text",
+                "lang",
+                (F.col("n_chars") + 1).alias("n_chars"),
+            )
+        )
+    )
+    d = docs_aud.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("lang").alias("n_lang"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.sum(F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_len_ok"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    orders_aud = orders.unionByName(
+        orders.where(F.col("o_orderkey") % 499 == 0).select(
+            (F.col("o_orderkey") + 5000000).alias("o_orderkey"),
+            (F.col("o_custkey") + 10000000).alias("o_custkey"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        orders_aud.join(
+            F.broadcast(cust), orders_aud["o_custkey"] == cust["c_custkey"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphan"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    okeys = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    l = (
+        li.join(okeys, li["l_orderkey"] == okeys["o_orderkey"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_in"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphan"),
+        )
+    )
+
+    def ppm(num: str, den: str) -> str:
+        return (
+            f"((({num}) * 1000L) DIV ({den})) * 1000L"
+            f" + (((({num}) * 1000L) % ({den})) * 1000L) DIV ({den})"
+        )
+
+    rows_d = d.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("documents").alias("table_name"),
+                    F.lit("lang_complete").alias("constraint"),
+                    F.expr(ppm("n_lang", "n")).alias("observed_ppm"),
+                    F.expr("n_lang = n").alias("passed"),
+                ),
+                F.struct(
+                    F.lit("documents").alias("table_name"),
+                    F.lit("doc_id_unique").alias("constraint"),
+                    F.expr(ppm("n_ids", "n")).alias("observed_ppm"),
+                    F.expr("n_ids = n").alias("passed"),
+                ),
+                F.struct(
+                    F.lit("documents").alias("table_name"),
+                    F.lit("n_chars_matches_text").alias("constraint"),
+                    F.expr(ppm("n_len_ok", "n")).alias("observed_ppm"),
+                    F.expr("n_len_ok = n").alias("passed"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    rows_o = o.select(
+        F.lit("orders").alias("table_name"),
+        F.lit("custkey_fk_customer").alias("constraint"),
+        F.expr(ppm("n_orphan", "n")).alias("observed_ppm"),
+        F.expr("n_orphan = 0").alias("passed"),
+    )
+    rows_l = l.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem").alias("table_name"),
+                    F.lit("quantity_in_1_50").alias("constraint"),
+                    F.expr(ppm("n_in", "n")).alias("observed_ppm"),
+                    F.expr("n_in = n").alias("passed"),
+                ),
+                F.struct(
+                    F.lit("lineitem").alias("table_name"),
+                    F.lit("orderkey_fk_orders").alias("constraint"),
+                    F.expr(ppm("n_orphan", "n")).alias("observed_ppm"),
+                    F.expr("n_orphan = 0").alias("passed"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows_d.unionByName(rows_o).unionByName(rows_l)
