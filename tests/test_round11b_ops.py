@@ -326,3 +326,63 @@ def test_l_diversity_flags_are_consistent(spark, sf_smoke):
     for r in out:
         assert r["l_distinct"] >= 1 and r["l_distinct"] <= r["group_size"]
         assert r["at_risk"] == (r["l_distinct"] < 2)
+
+
+def test_pref_pair_emitter_state_is_one_row_per_user(spark, sf_smoke, tmp_path):
+    """The bounded-keyed-state claim MEASURED (the round-9/10 eviction-curve
+    discipline): after each micro-batch the pair emitter's state store holds
+    exactly one row per user seen so far — never per event, never growing
+    with the stream's volume."""
+    from kafka_streams_rosetta_demo_spark.sources.parquet import (
+        events_schema,
+        load_table,
+        normalize_event_ts,
+    )
+    from kafka_streams_rosetta_demo_spark.streaming.runner import (
+        checkpoint_tmpdir,
+        file_stream,
+    )
+    from kafka_streams_rosetta_demo_spark.streaming.stateful import (
+        preference_pair_emitter,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    rows = ev.orderBy("ts", "event_id").collect()
+    third = (len(rows) + 2) // 3
+    out = tmp_path / "stream"
+    out.mkdir()
+    users_by_batch = []
+    seen: set[int] = set()
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        seen |= {r["user_id"] for r in chunk}
+        users_by_batch.append(len(seen))
+        part_dir = tmp_path / f"part{i}"
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part_dir))
+        (pf,) = Path(part_dir).glob("part-*.parquet")
+        shutil.copy(pf, out / f"{i}.parquet")
+
+    stream = normalize_event_ts(
+        file_stream(
+            spark, str(out), events_schema(spark, f"{out}/0.parquet"),
+            max_files_per_trigger=1,
+        )
+    )
+    with checkpoint_tmpdir("ckpt_prefstate_") as ckpt:
+        q = (
+            preference_pair_emitter(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _bid: df.count())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        curve = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+    assert curve == users_by_batch, (curve, users_by_batch)
