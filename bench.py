@@ -435,6 +435,15 @@ def run_section(section: int) -> dict[str, dict[str, object]]:
                 )
 
                 clear_bpe_list_artifact()
+            if name == "streaming_ann_screen":
+                # charges the ANN band-index + normed-vector artifact build
+                # (the persisted embedding-store index; built once per
+                # corpus snapshot in a real pipeline)
+                from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+                    clear_ann_artifacts,
+                )
+
+                clear_ann_artifacts()
             if name == "dedup_cluster_cc":
                 # charges the CC label propagation itself (its pair
                 # generation rides the warm shingle/prefix artifacts);

@@ -727,3 +727,83 @@ def append_artifact(
         .parquet(path)
     )
     _write_fingerprint_meta(spark, path, sf_dir)
+
+
+# The hyperplane-LSH band index over the embeddings corpus — the persisted
+# ANN index an embedding store maintains and every ingest batch probes
+# (streaming_ann_screen). Keyed by the EMBEDDINGS table fingerprint (this
+# family derives from embeddings, not documents).
+_ANN_INDEX_CACHE: dict[tuple, DataFrame] = {}
+_ANN_VECTORS_CACHE: dict[tuple, DataFrame] = {}
+_ANN_DISK_PINS: dict[tuple, list[DataFrame]] = {}
+
+
+def clear_ann_artifacts() -> None:
+    """Drop the memoized ANN band index + normed corpus vectors (bench cost
+    policy: their build is charged to ``streaming_ann_screen``, the family's
+    only registered consumer), releasing DISK_ONLY-degraded pins eagerly."""
+    _release_disk_pins(_ANN_DISK_PINS)
+    _ANN_INDEX_CACHE.clear()
+    _ANN_VECTORS_CACHE.clear()
+
+
+def _ann_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        corpus_fingerprint(sf_dir, "embeddings"),
+    )
+
+
+def ann_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(match_id, band_id, band_key) hyperplane sign-bit bands over the
+    embeddings corpus — 4 bands of 16 bits from 64 deterministic seeded
+    hyperplanes, built once per corpus snapshot and probed by every ingest
+    batch. Pinned executor-side like the text-side indexes."""
+    from pyspark.sql import functions as F
+
+    from ..operators.vectors import hyperplane_band_keys, hyperplanes
+
+    key = _ann_cache_key(spark, sf_dir)
+    got = _ANN_INDEX_CACHE.get(key)
+    if got is not None:
+        return got
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planes = hyperplanes(dim=64, n=64, seed=7)
+    bands = _pin(
+        hyperplane_band_keys(corpus, planes, bands=4).select(
+            F.col("vec_id").alias("match_id"), "band_id", "band_key"
+        ),
+        spark,
+        "ann_band_index",
+        _ANN_DISK_PINS.setdefault(key, []),
+    )
+    cache_insert(_ANN_INDEX_CACHE, key, bands, pins=_ANN_DISK_PINS)
+    return bands
+
+
+def ann_corpus_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(match_id, c_emb, c_nrm) — the normed corpus vector side the screen's
+    exact-cosine verification joins; pinned so repeated ingest batches never
+    rescan the corpus or recompute norms."""
+    from pyspark.sql import functions as F
+
+    from ..operators.vectors import with_norm
+
+    key = _ann_cache_key(spark, sf_dir)
+    got = _ANN_VECTORS_CACHE.get(key)
+    if got is not None:
+        return got
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = _pin(
+        with_norm(corpus).select(
+            F.col("vec_id").alias("match_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        ),
+        spark,
+        "ann_corpus_vectors",
+        _ANN_DISK_PINS.setdefault(key, []),
+    )
+    cache_insert(_ANN_VECTORS_CACHE, key, vecs, pins=_ANN_DISK_PINS)
+    return vecs

@@ -100,6 +100,7 @@ def sf_value(d: str) -> float:
 
 def clear_caches() -> None:
     from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+        clear_ann_artifacts,
         clear_bpe_artifacts,
         clear_shingle_artifacts,
         clear_winnowing_artifacts,
@@ -112,6 +113,7 @@ def clear_caches() -> None:
         release_streaming_result_pins,
     )
 
+    clear_ann_artifacts()
     clear_shingle_artifacts()
     clear_winnowing_artifacts()
     clear_bpe_artifacts()
