@@ -257,6 +257,9 @@ OPTIONAL = [
     # round 11: the Deequ-style validation report (one multi-aggregate scan
     # per audited table + broadcast FK probes)
     "quality_expectation_suite",
+    # round 11: the continuous twin — per-ingest-batch constraint counters
+    # through the update-mode changelog (KTable-bounded state)
+    "streaming_expectation_monitor",
 ]
 
 

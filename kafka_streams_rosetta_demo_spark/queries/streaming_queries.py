@@ -1383,3 +1383,151 @@ def streaming_ann_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+_EXPECT_MONITOR_ORACLE = """
+WITH docs_aud AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text, NULL, n_chars FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 101 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, text, lang, n_chars + 1 FROM documents WHERE doc_id % 103 = 0
+),
+d AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(lang) AS BIGINT) AS n_lang,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+         CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok
+  FROM docs_aud
+)
+SELECT 'documents' AS table_name, 'lang_complete' AS constraint,
+       CAST(((n_lang * 1000) // n) * 1000
+            + ((n_lang * 1000) % n) * 1000 // n AS BIGINT) AS observed_ppm,
+       n_lang = n AS passed FROM d
+UNION ALL
+SELECT 'documents', 'doc_id_unique',
+       CAST(((n_ids * 1000) // n) * 1000
+            + ((n_ids * 1000) % n) * 1000 // n AS BIGINT), n_ids = n FROM d
+UNION ALL
+SELECT 'documents', 'n_chars_matches_text',
+       CAST(((n_len_ok * 1000) // n) * 1000
+            + ((n_len_ok * 1000) % n) * 1000 // n AS BIGINT), n_len_ok = n FROM d
+"""
+
+
+@register("streaming_expectation_monitor", oracle=_EXPECT_MONITOR_ORACLE)
+def streaming_expectation_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality validation — the Deequ-analyzers-on-a-stream
+    shape: the (deterministically corrupted, same injections as
+    ``quality_expectation_suite``) documents table arrives as three
+    micro-batches, and the documents-table constraints fold as ONE
+    update-mode per-doc-id aggregate — (rows seen, non-null langs, length
+    matches) per id — whose compacted changelog is simultaneously the
+    uniqueness witness (its ROW COUNT is the exact distinct-id count,
+    which streaming ``countDistinct`` cannot express but the KTable shape
+    gives for free) and the counter source for completeness/consistency.
+    The final three-row validation report must hash-match the batch
+    suite's documents rows verbatim.
+
+    State bound: one 3-counter row per distinct doc_id — the KTable
+    contract (state tracks KEY cardinality, not event volume); the
+    executor-side changelog sink and last-write-per-key compaction are the
+    production path shared with every other update-mode query here.
+
+    Scale: per micro-batch cost is one map-side-combining aggregate of the
+    batch's rows; the report fold is over the compacted per-id table —
+    at 100 TB this is the standard continuously-maintained quality
+    dashboard, paying one aggregate per ingest batch instead of a full
+    rescan per report."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    docs_aud = (
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                "text",
+                F.lit(None).cast("string").alias("lang"),
+                "n_chars",
+            )
+        )
+        .unionByName(docs.where(F.col("doc_id") % 101 == 0))
+        .unionByName(
+            docs.where(F.col("doc_id") % 103 == 0).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                "text",
+                "lang",
+                (F.col("n_chars") + 1).alias("n_chars"),
+            )
+        )
+    )
+    staged = tempfile.mkdtemp(prefix="expect_ingest_")
+    try:
+        docs_aud.repartition(3).write.mode("overwrite").parquet(staged)
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        per_id = stream.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("lang").cast("long").alias("n_lang"),
+            F.sum(F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_len_ok"),
+        )
+        with checkpoint_tmpdir("ckpt_expmon_") as ckpt, (
+            checkpoint_tmpdir("sink_expmon_")
+        ) as out_dir:
+            compacted = run_update_query_to_df(per_id, ["doc_id"], ckpt, out_dir)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    d = compacted.agg(
+        F.sum("n_rows").cast("long").alias("n"),
+        F.sum("n_lang").cast("long").alias("n_lang"),
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+        F.sum("n_len_ok").cast("long").alias("n_len_ok"),
+    )
+
+    def ppm(num: str, den: str) -> str:
+        return (
+            f"((({num}) * 1000L) DIV ({den})) * 1000L"
+            f" + (((({num}) * 1000L) % ({den})) * 1000L) DIV ({den})"
+        )
+
+    return d.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("documents").alias("table_name"),
+                    F.lit("lang_complete").alias("constraint"),
+                    F.expr(ppm("n_lang", "n")).alias("observed_ppm"),
+                    F.expr("n_lang = n").alias("passed"),
+                ),
+                F.struct(
+                    F.lit("documents").alias("table_name"),
+                    F.lit("doc_id_unique").alias("constraint"),
+                    F.expr(ppm("n_ids", "n")).alias("observed_ppm"),
+                    F.expr("n_ids = n").alias("passed"),
+                ),
+                F.struct(
+                    F.lit("documents").alias("table_name"),
+                    F.lit("n_chars_matches_text").alias("constraint"),
+                    F.expr(ppm("n_len_ok", "n")).alias("observed_ppm"),
+                    F.expr("n_len_ok = n").alias("passed"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
