@@ -260,6 +260,9 @@ OPTIONAL = [
     # round 11: the continuous twin — per-ingest-batch constraint counters
     # through the update-mode changelog (KTable-bounded state)
     "streaming_expectation_monitor",
+    # round 11: cross-lingual mirror screen (banded embedding near-dups
+    # filtered on language disagreement)
+    "dedup_crosslingual_mirror",
 ]
 
 

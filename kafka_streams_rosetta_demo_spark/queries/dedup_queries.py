@@ -1101,3 +1101,124 @@ def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("redundant_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_crosslingual_mirror — translation-mirror detection over embeddings
+# ---------------------------------------------------------------------------
+
+_XLM_ORACLE = """
+WITH mirrors AS (
+  SELECT vec_id + 2000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.1 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+samelang AS (
+  SELECT vec_id + 3000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 40 = 0
+),
+allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM mirrors
+  UNION ALL SELECT vec_id, embedding FROM samelang
+),
+langs AS (
+  SELECT doc_id, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, 'x-' || lang FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, lang FROM documents WHERE doc_id % 40 = 0
+),
+norms AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT sum(CAST(embedding[s.i] AS DOUBLE) * CAST(embedding[s.i] AS DOUBLE))
+               FROM (SELECT unnest(range(1, 65)) AS i) s)) AS nrm
+  FROM allv
+),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         (SELECT sum(CAST(a.embedding[s.i] AS DOUBLE) * CAST(b.embedding[s.i] AS DOUBLE))
+          FROM (SELECT unnest(range(1, 65)) AS i) s) / (a.nrm * b.nrm) AS cos
+  FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+)
+SELECT p.doc_a, p.doc_b, round(p.cos, 3) AS cosine,
+       la.lang AS lang_a, lb.lang AS lang_b
+FROM pairs p
+JOIN langs la ON la.doc_id = p.doc_a
+JOIN langs lb ON lb.doc_id = p.doc_b
+WHERE p.cos >= 0.95 AND la.lang <> lb.lang
+"""
+
+
+@register("dedup_crosslingual_mirror", oracle=_XLM_ORACLE)
+def dedup_crosslingual_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translation-mirror detection: embedding near-duplicate pairs whose
+    documents DISAGREE on language metadata — the cross-lingual dedup pass
+    a multilingual crawl pipeline runs (machine-translated mirror sites
+    duplicate content across language tags; monolingual text dedup is
+    structurally blind to them, but a multilingual embedding space puts a
+    document and its translation nearly on top of each other).
+
+    Observability (the planted-pair construction, both engines identical):
+    every 25th document gains a 'translation' (embedding scaled 1.1,
+    lang 'x-'||lang) and every 40th a SAME-language near-dup (scaled 1.5),
+    so the result proves both halves of the predicate — the scaled pairs
+    all clear cosine 0.95, but only the language-mismatched ones may
+    appear, and the same-language injections must be filtered out. Recall
+    on the planted pairs is exact (positive scaling preserves every
+    hyperplane sign bit); the corpus's natural pairs top out near 0.51.
+
+    Scale: sign-bit band keys map-side over the unioned corpus, banded
+    equi-join candidates, exact cosine on candidates only, language
+    metadata joined per matched pair (pair-count-sized, not corpus-sized)
+    — no crossJoin anywhere; the all-pairs form exists only inside the
+    DuckDB oracle."""
+    emb = rebalance(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+    def scaled(mod: int, shift: int, factor: float) -> DataFrame:
+        return emb.where(F.col("vec_id") % mod == 0).select(
+            (F.col("vec_id") + shift).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") * F.lit(factor)).cast("float"),
+            ).alias("embedding"),
+        )
+
+    allv = (
+        emb.unionByName(scaled(25, 2000000, 1.1))
+        .unionByName(scaled(40, 3000000, 1.5))
+        .localCheckpoint(eager=True)  # feeds band keys + both verify sides
+    )
+    planes = hyperplanes(dim=64, n=64, seed=7)
+    bands = hyperplane_band_keys(allv, planes, bands=4, id_col="vec_id")
+    cand = band_candidate_pairs(bands, id_col="vec_id")
+    verified = cosine_verify_pairs(cand, allv, threshold=0.95, round_to=3)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    langs = docs.unionByName(
+        docs.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.lit("x-"), F.col("lang")).alias("lang"),
+        )
+    ).unionByName(
+        docs.where(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"), "lang"
+        )
+    )
+    la = langs.select(F.col("doc_id").alias("vec_a"), F.col("lang").alias("lang_a"))
+    lb = langs.select(F.col("doc_id").alias("vec_b"), F.col("lang").alias("lang_b"))
+    return (
+        verified.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .where(F.col("lang_a") != F.col("lang_b"))
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            "cosine",
+            "lang_a",
+            "lang_b",
+        )
+    )

@@ -352,6 +352,7 @@ SHUFFLE_BUDGET = {
     "search_maxsim_late_interaction": 3,  # (q_tok, c_doc) max agg + (q_doc, c_doc) integer sum + the per-query top-k window; scoring itself never shuffles
     "classifier_confusion_eval": 1,  # one scan computes score + reference flag per row; the confusion rollup is the only exchange (|langs| keys)
     "quality_expectation_suite": 1,  # per-table multi-aggregates + broadcast FK probes; the one exchange is the documents countDistinct
+    "dedup_crosslingual_mirror": 1,  # banded candidate distinct is the one exchange; band keys map-side over the checkpointed union, lang joins broadcast pair-sized sides
 }
 
 
