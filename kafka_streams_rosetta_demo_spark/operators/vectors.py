@@ -302,3 +302,53 @@ def _centroid_scores(v: Column, centroids: list[tuple[int, list[float]]]) -> Col
 
 def _l2(vec: list[float]) -> float:
     return sum(x * x for x in vec) ** 0.5
+
+
+def scaled_float32_injection(
+    df: DataFrame,
+    mod: int,
+    shift: int,
+    factor: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Plant observable near-duplicates: every ``mod``-th vector re-injected
+    under ``id + shift``, scaled by a positive ``factor`` with float32
+    rounding applied explicitly — so an oracle's ``list_transform(...,
+    CAST(x * f AS FLOAT))`` reproduces the bytes exactly. Positive scaling
+    preserves every hyperplane sign bit, which is what makes LSH recall on
+    the planted pairs exact rather than probabilistic (see
+    ``hyperplane_band_keys``)."""
+    return df.where(F.col(id_col) % mod == 0).select(
+        (F.col(id_col) + shift).alias(id_col),
+        F.transform(
+            vec_col, lambda x: (x.cast("double") * F.lit(factor)).cast("float")
+        ).alias(vec_col),
+    )
+
+
+def banded_cosine_pairs(
+    allv: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    n_planes: int = 64,
+    bands: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    round_to: int = 3,
+) -> DataFrame:
+    """The full banded near-dup pipeline over one vector frame: hyperplane
+    sign-bit band keys (map-side) -> banded equi-join candidates -> exact
+    cosine verification on candidates only. ONE definition so every
+    consumer (the batch dedup query, the cross-lingual mirror screen)
+    shares the same LSH configuration as its oracle's brute-force replay —
+    the recall-exactness argument depends on these parameters staying in
+    lockstep."""
+    from .textsim import band_candidate_pairs
+
+    planes = hyperplanes(dim=dim, n=n_planes, seed=seed)
+    keys = hyperplane_band_keys(allv, planes, bands=bands, id_col=id_col)
+    cand = band_candidate_pairs(keys, id_col=id_col)
+    return cosine_verify_pairs(
+        cand, allv, threshold=threshold, id_col=id_col, round_to=round_to
+    )

@@ -42,7 +42,7 @@ from ..operators.textsim import (
     simhash_signature,
     with_shingles,
 )
-from ..operators.vectors import cosine_verify_pairs, hyperplane_band_keys, hyperplanes
+from ..operators.vectors import banded_cosine_pairs, scaled_float32_injection
 from ..sources.parquet import load_table
 from . import register
 
@@ -290,18 +290,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, exact cosine only on candidates — no crossJoin.
     """
     emb = rebalance(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    inj = emb.where(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x: (x.cast("double") * F.lit(1.5)).cast("float")
-        ).alias("embedding"),
-    )
+    inj = scaled_float32_injection(emb, mod=20, shift=1000000, factor=1.5)
     # materialized once: feeds the band-key path and both verify sides
     allv = emb.unionByName(inj).localCheckpoint(eager=True)
-    planes = hyperplanes(dim=64, n=64, seed=7)
-    bands = hyperplane_band_keys(allv, planes, bands=4, id_col="vec_id")
-    cand = band_candidate_pairs(bands, id_col="vec_id")
-    return cosine_verify_pairs(cand, allv, threshold=0.95, round_to=3)
+    return banded_cosine_pairs(allv, threshold=0.95)
 
 
 # ---------------------------------------------------------------------------
@@ -1177,25 +1169,12 @@ def dedup_crosslingual_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = rebalance(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
-
-    def scaled(mod: int, shift: int, factor: float) -> DataFrame:
-        return emb.where(F.col("vec_id") % mod == 0).select(
-            (F.col("vec_id") + shift).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x: (x.cast("double") * F.lit(factor)).cast("float"),
-            ).alias("embedding"),
-        )
-
     allv = (
-        emb.unionByName(scaled(25, 2000000, 1.1))
-        .unionByName(scaled(40, 3000000, 1.5))
+        emb.unionByName(scaled_float32_injection(emb, mod=25, shift=2000000, factor=1.1))
+        .unionByName(scaled_float32_injection(emb, mod=40, shift=3000000, factor=1.5))
         .localCheckpoint(eager=True)  # feeds band keys + both verify sides
     )
-    planes = hyperplanes(dim=64, n=64, seed=7)
-    bands = hyperplane_band_keys(allv, planes, bands=4, id_col="vec_id")
-    cand = band_candidate_pairs(bands, id_col="vec_id")
-    verified = cosine_verify_pairs(cand, allv, threshold=0.95, round_to=3)
+    verified = banded_cosine_pairs(allv, threshold=0.95)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     langs = docs.unionByName(

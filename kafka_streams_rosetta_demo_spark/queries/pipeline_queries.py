@@ -793,8 +793,12 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TOPK = 20
 
-# CTE block shared by text_bm25_search and the hybrid reranker.
-_BM25_CTES = f"""stats AS (
+# Base CTEs (corpus stats + matched postings + document frequency) and the
+# ONE per-(doc, term) integer-micro-unit score expression — shared by
+# text_bm25_search, the hybrid reranker, AND search_ndcg_mrr_eval's oracle,
+# so a k1/b or quantization change to the ranker propagates to its own eval
+# by construction.
+_BM25_BASE_CTES = f"""stats AS (
   SELECT count(*) AS n_docs,
          CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
   FROM documents
@@ -807,14 +811,18 @@ tf AS (
   FROM tok WHERE term IN {repr(tuple(_BM25_TERMS))}
   GROUP BY doc_id, dl, term
 ),
-dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-contrib AS (
-  SELECT tf.doc_id,
-         CAST(floor(
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"""
+
+_BM25_SCORE_SQL = f"""CAST(floor(
            ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
            * (tf.tf * {_BM25_K1 + 1!r})
            / (tf.tf + {_BM25_K1!r} * (1 - {_BM25_B!r} + {_BM25_B!r} * tf.dl / stats.avgdl))
-           * 1000000 + 0.5) AS BIGINT) AS c
+           * 1000000 + 0.5) AS BIGINT)"""
+
+_BM25_CTES = f"""{_BM25_BASE_CTES},
+contrib AS (
+  SELECT tf.doc_id,
+         {_BM25_SCORE_SQL} AS c
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
 )"""
 
@@ -826,14 +834,14 @@ ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
 """
 
 
-def _bm25_micro_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document BM25 score on the exact integer micro-unit grain
-    (``sum`` of per-term ``floor(x*1e6+0.5)`` contributions) — the shared
-    scoring frame under ``text_bm25_search`` (which renders it as a
-    rounded double; ``round(s/1e6, 6)`` keeps all six decimals, so the
-    ordering is the same bijection) and ``search_rrf_fusion`` (which
-    ranks the raw integers). One posting-list shuffle; the tf table
-    materializes once and the 3-row df table broadcasts back."""
+def _bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) BM25 contribution on the exact integer micro-unit
+    grain (``floor(x*1e6+0.5)``) — the ONE Spark-side definition of the
+    scoring formula, consumed by ``text_bm25_search``/``search_rrf_fusion``
+    (summed per doc) and ``search_ndcg_mrr_eval`` (ranked per term), the
+    mirror of ``_BM25_SCORE_SQL`` on the oracle side. One posting-list
+    shuffle; the tf table materializes once and the 3-row df table
+    broadcasts back. Returns (doc_id, term, tf, c)."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_docs, sum_dl = docs.agg(
@@ -864,9 +872,19 @@ def _bm25_micro_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(1000000.0)
         + F.lit(0.5)
     )
+    return tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id", "term", "tf", contrib.alias("c")
+    )
+
+
+def _bm25_micro_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score: the per-term micro-unit contributions
+    summed — integer, so independent of float summation order in either
+    engine. ``text_bm25_search`` renders it as a rounded double
+    (``round(s/1e6, 6)`` keeps all six decimals, the same bijection);
+    ``search_rrf_fusion`` ranks the raw integers."""
     return (
-        tf.join(F.broadcast(dfreq), "term")
-        .select("doc_id", contrib.alias("c"))
+        _bm25_term_scores(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.sum("c").cast("long").alias("s"))
     )

@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..operators import rebalance
 from ..operators.preference import (
     BT_ITERATIONS,
     BT_SCALE,
@@ -38,6 +37,7 @@ from ..operators.preference import (
 )
 from ..sources.parquet import load_table
 from . import register
+from .corpus_queries import _ppm_ratio_sql  # the shared exact ppm split
 
 # ---------------------------------------------------------------------------
 # Shared comparison derivation (events -> ordered (winner, loser, n) counts)
@@ -108,11 +108,11 @@ def wins_from_events(events: DataFrame) -> DataFrame:
 
 
 def winrate_matrix(wins: DataFrame) -> DataFrame:
-    """Unordered win-rate matrix from ordered win counts. The ppm ratio uses
-    the two-stage *1e3 quotient/remainder split (the ``_budget_plan_math``
-    discipline): exact floor(wins_a·1e6 / n) without ever forming wins_a·1e6,
-    so the int64 math stays exact past 9.2e15 comparisons per type pair —
-    a naive *1000000 wraps three orders of magnitude earlier."""
+    """Unordered win-rate matrix from ordered win counts. The ppm ratio is
+    the shared exact quotient/remainder split (``_ppm_ratio_sql`` — the
+    ``_budget_plan_math`` discipline): exact floor(wins_a·1e6 / n) without
+    ever forming wins_a·1e6, so the int64 math stays exact past 9.2e15
+    comparisons per type pair on both engines."""
     a_first = F.col("winner") < F.col("loser")
     m = wins.select(
         F.least("winner", "loser").alias("type_a"),
@@ -131,10 +131,9 @@ def winrate_matrix(wins: DataFrame) -> DataFrame:
         "n_comparisons",
         "wins_a",
         "wins_b",
-        F.expr(
-            "((wins_a * 1000L) DIV n_comparisons) * 1000L"
-            " + (((wins_a * 1000L) % n_comparisons) * 1000L) DIV n_comparisons"
-        ).alias("winrate_a_ppm"),
+        F.expr(_ppm_ratio_sql("wins_a", "n_comparisons", "DIV")).alias(
+            "winrate_a_ppm"
+        ),
     )
 
 
@@ -155,9 +154,7 @@ agg AS (
   FROM m GROUP BY type_a, type_b
 )
 SELECT type_a, type_b, n_comparisons, wins_a, wins_b,
-       CAST(((wins_a * 1000) // n_comparisons) * 1000
-            + (((wins_a * 1000) % n_comparisons) * 1000) // n_comparisons
-            AS BIGINT) AS winrate_a_ppm
+       {_ppm_ratio_sql("wins_a", "n_comparisons", "//")} AS winrate_a_ppm
 FROM agg
 """
 
@@ -187,9 +184,10 @@ def _bt_oracle() -> str:
 WITH {_CMP_CTES},
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM wcnt),
 wppm AS MATERIALIZED (
-  SELECT winner, loser, CAST((n * {s}) // (SELECT t FROM tot) AS BIGINT) AS w
+  SELECT winner, loser,
+         CAST((CAST(n AS HUGEINT) * {s}) // (SELECT t FROM tot) AS BIGINT) AS w
   FROM wcnt
-  WHERE (n * {s}) // (SELECT t FROM tot) > 0
+  WHERE (CAST(n AS HUGEINT) * {s}) // (SELECT t FROM tot) > 0
 ),
 items AS MATERIALIZED (SELECT winner AS item FROM wppm UNION SELECT loser AS item FROM wppm),
 kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM items),
@@ -271,8 +269,9 @@ def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the quantization itself cannot overflow, at any raw count), and the
     20-iteration fit runs on model state only — scale-invariant past the
     aggregate. The DuckDB oracle replays the identical integer trajectory
-    as 20 unrolled CTE iterations (HUGEINT headroom on the one product
-    that can exceed int64), so values hash-match exactly.
+    as 20 unrolled CTE iterations (HUGEINT headroom on the quantization
+    and renormalization products that can exceed int64), so values
+    hash-match exactly.
     """
     from ..operators.preference import MAX_BT_ITEMS
 
@@ -300,8 +299,13 @@ _NDCG_K = 10
 _NDCG_DISC = ndcg_discount_micro(_NDCG_K)
 _NDCG_SALT = 32
 
-# Same query-term set and scoring constants as text_bm25_search.
-from .pipeline_queries import _BM25_B, _BM25_K1, _BM25_TERMS  # noqa: E402
+# The SAME scoring definition as text_bm25_search — shared code, not
+# copy-paste, so a ranker change propagates to its own eval by construction.
+from .pipeline_queries import (  # noqa: E402
+    _BM25_BASE_CTES,
+    _BM25_SCORE_SQL,
+    _bm25_term_scores,
+)
 
 
 def _disc_case_sql(rank_col: str) -> str:
@@ -312,28 +316,11 @@ def _disc_case_sql(rank_col: str) -> str:
 
 
 _NDCG_ORACLE = f"""
-WITH stats AS (
-  SELECT count(*) AS n_docs,
-         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
-  FROM documents
-),
-tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents),
-tf AS (
-  SELECT doc_id, dl, term, count(*) AS tf
-  FROM tok WHERE term IN {repr(tuple(_BM25_TERMS))}
-  GROUP BY doc_id, dl, term
-),
-dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+WITH {_BM25_BASE_CTES},
 cand AS (
   SELECT tf.doc_id, tf.term,
          CAST(least(3, tf.tf) AS BIGINT) AS rel,
-         CAST(floor(
-           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-           * (tf.tf * {_BM25_K1 + 1!r})
-           / (tf.tf + {_BM25_K1!r} * (1 - {_BM25_B!r} + {_BM25_B!r} * tf.dl / stats.avgdl))
-           * 1000000 + 0.5) AS BIGINT) AS c
+         {_BM25_SCORE_SQL} AS c
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
 ),
 ranked AS (
@@ -387,44 +374,13 @@ def search_ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     local top-10 — then the global window ranks ≤ {_NDCG_SALT}·10 rows per
     term. No single-reducer corpus-sized sort anywhere; the candidate count
     rides the same pruned aggregate's sibling group-by."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split("text", " ")
-    n_docs, sum_dl = docs.agg(
-        F.count("*"), F.sum(F.size(words)).cast("long")
-    ).first()
-    avgdl = float(sum_dl) / n_docs
-    tf = (
-        rebalance(docs.select("doc_id", words.alias("words")))
-        .select(
-            "doc_id", F.size("words").alias("dl"), F.explode("words").alias("term")
-        )
-        .where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    contrib = F.floor(
-        idf
-        * (F.col("tf") * F.lit(_BM25_K1 + 1))
-        / (
-            F.col("tf")
-            + F.lit(_BM25_K1)
-            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl))
-        )
-        * F.lit(1000000.0)
-        + F.lit(0.5)
-    )
     cand = (
-        tf.join(F.broadcast(dfreq), "term")
+        _bm25_term_scores(spark, sf_dir)
         .select(
             "term",
             "doc_id",
             F.least(F.lit(3), F.col("tf")).cast("long").alias("rel"),
-            contrib.cast("long").alias("c"),
+            F.col("c").cast("long").alias("c"),
             F.pmod(F.col("doc_id"), F.lit(_NDCG_SALT)).alias("salt"),
         )
         .localCheckpoint(eager=True)  # feeds counts + both top-k paths once

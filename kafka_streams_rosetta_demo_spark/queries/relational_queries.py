@@ -3595,20 +3595,12 @@ def agg_selfjoin_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identically in the oracle (the dedup_exact observable-collapse pattern) —
 # to make every constraint's failure path observable: null-lang clones
 # (completeness), same-id clones (uniqueness), off-by-one n_chars clones
-# (consistency), and orphan orders (referential integrity).
+# (consistency), and orphan orders (referential integrity). The injections
+# live ONCE — the builder below and its oracle CTE constant — and both the
+# batch suite and the streaming monitor consume them, so the monitor's
+# hash-matches-the-batch-rows contract cannot drift by edits to one copy.
 
-_EXP_PPM = (
-    "CAST(((({num}) * 1000) // ({den})) * 1000"
-    " + (((({num}) * 1000) % ({den})) * 1000) // ({den}) AS BIGINT)"
-)
-
-
-def _exp_row(table: str, constraint: str, observed_ppm, passed) -> tuple:
-    return (table, constraint, observed_ppm, passed)
-
-
-_EXPECT_ORACLE = f"""
-WITH docs_aud AS (
+DOCS_AUD_CTE = """docs_aud AS (
   SELECT doc_id, text, lang, n_chars FROM documents
   UNION ALL
   SELECT doc_id + 3000000, text, NULL, n_chars FROM documents WHERE doc_id % 97 = 0
@@ -3616,7 +3608,38 @@ WITH docs_aud AS (
   SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 101 = 0
   UNION ALL
   SELECT doc_id + 4000000, text, lang, n_chars + 1 FROM documents WHERE doc_id % 103 = 0
-),
+)"""
+
+
+def audited_documents(docs: DataFrame) -> DataFrame:
+    """The deterministically-corrupted documents frame the expectation
+    queries audit — byte-identical semantics to ``DOCS_AUD_CTE``."""
+    return (
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                "text",
+                F.lit(None).cast("string").alias("lang"),
+                "n_chars",
+            )
+        )
+        .unionByName(docs.where(F.col("doc_id") % 101 == 0))
+        .unionByName(
+            docs.where(F.col("doc_id") % 103 == 0).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                "text",
+                "lang",
+                (F.col("n_chars") + 1).alias("n_chars"),
+            )
+        )
+    )
+
+
+from .corpus_queries import _ppm_ratio_sql  # noqa: E402  (shared exact split)
+
+
+_EXPECT_ORACLE = f"""
+WITH {DOCS_AUD_CTE},
 orders_aud AS (
   SELECT o_orderkey, o_custkey FROM orders
   UNION ALL
@@ -3642,23 +3665,23 @@ l AS (
 )
 SELECT * FROM (
   SELECT 'documents' AS table_name, 'lang_complete' AS constraint,
-         {_EXP_PPM.format(num="n_lang", den="n")} AS observed_ppm,
+         {_ppm_ratio_sql("n_lang", "n", "//")} AS observed_ppm,
          n_lang = n AS passed FROM d
   UNION ALL
   SELECT 'documents', 'doc_id_unique',
-         {_EXP_PPM.format(num="n_ids", den="n")}, n_ids = n FROM d
+         {_ppm_ratio_sql("n_ids", "n", "//")}, n_ids = n FROM d
   UNION ALL
   SELECT 'documents', 'n_chars_matches_text',
-         {_EXP_PPM.format(num="n_len_ok", den="n")}, n_len_ok = n FROM d
+         {_ppm_ratio_sql("n_len_ok", "n", "//")}, n_len_ok = n FROM d
   UNION ALL
   SELECT 'orders', 'custkey_fk_customer',
-         {_EXP_PPM.format(num="n_orphan", den="n")}, n_orphan = 0 FROM o
+         {_ppm_ratio_sql("n_orphan", "n", "//")}, n_orphan = 0 FROM o
   UNION ALL
   SELECT 'lineitem', 'quantity_in_1_50',
-         {_EXP_PPM.format(num="n_in", den="n")}, n_in = n FROM l
+         {_ppm_ratio_sql("n_in", "n", "//")}, n_in = n FROM l
   UNION ALL
   SELECT 'lineitem', 'orderkey_fk_orders',
-         {_EXP_PPM.format(num="n_orphan", den="n")}, n_orphan = 0 FROM l
+         {_ppm_ratio_sql("n_orphan", "n", "//")}, n_orphan = 0 FROM l
 )
 """
 
@@ -3683,26 +3706,7 @@ def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
-    docs_aud = (
-        docs.unionByName(
-            docs.where(F.col("doc_id") % 97 == 0).select(
-                (F.col("doc_id") + 3000000).alias("doc_id"),
-                "text",
-                F.lit(None).cast("string").alias("lang"),
-                "n_chars",
-            )
-        )
-        .unionByName(docs.where(F.col("doc_id") % 101 == 0))
-        .unionByName(
-            docs.where(F.col("doc_id") % 103 == 0).select(
-                (F.col("doc_id") + 4000000).alias("doc_id"),
-                "text",
-                "lang",
-                (F.col("n_chars") + 1).alias("n_chars"),
-            )
-        )
-    )
-    d = docs_aud.agg(
+    d = audited_documents(docs).agg(
         F.count(F.lit(1)).alias("n"),
         F.count("lang").alias("n_lang"),
         F.countDistinct("doc_id").alias("n_ids"),
@@ -3749,10 +3753,7 @@ def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ppm(num: str, den: str) -> str:
-        return (
-            f"((({num}) * 1000L) DIV ({den})) * 1000L"
-            f" + (((({num}) * 1000L) % ({den})) * 1000L) DIV ({den})"
-        )
+        return _ppm_ratio_sql(num, den, "DIV")
 
     rows_d = d.select(
         F.explode(

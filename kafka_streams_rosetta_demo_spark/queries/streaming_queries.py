@@ -1354,17 +1354,13 @@ def streaming_ann_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("new_id", "match_id", F.round(cos, 3).alias("cosine"))
         )
 
+    from ..operators.vectors import scaled_float32_injection
+
     staged = tempfile.mkdtemp(prefix="ann_ingest_")
     try:
         (
-            corpus.where(F.col("vec_id") % 20 == 0)
-            .select(
-                (F.col("vec_id") + 1000000).alias("new_id"),
-                F.transform(
-                    "embedding",
-                    lambda x: (x.cast("double") * F.lit(1.5)).cast("float"),
-                ).alias("embedding"),
-            )
+            scaled_float32_injection(corpus, mod=20, shift=1000000, factor=1.5)
+            .withColumnRenamed("vec_id", "new_id")
             .repartition(3)  # three files -> three genuine micro-batches
             .write.mode("overwrite")
             .parquet(staged)
@@ -1385,16 +1381,12 @@ def streaming_ann_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staged, ignore_errors=True)
 
 
-_EXPECT_MONITOR_ORACLE = """
-WITH docs_aud AS (
-  SELECT doc_id, text, lang, n_chars FROM documents
-  UNION ALL
-  SELECT doc_id + 3000000, text, NULL, n_chars FROM documents WHERE doc_id % 97 = 0
-  UNION ALL
-  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 101 = 0
-  UNION ALL
-  SELECT doc_id + 4000000, text, lang, n_chars + 1 FROM documents WHERE doc_id % 103 = 0
-),
+from .relational_queries import DOCS_AUD_CTE as _DOCS_AUD_CTE
+from .relational_queries import audited_documents as _audited_documents
+from .corpus_queries import _ppm_ratio_sql as _ppm_split
+
+_EXPECT_MONITOR_ORACLE = f"""
+WITH {_DOCS_AUD_CTE},
 d AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(count(lang) AS BIGINT) AS n_lang,
@@ -1403,17 +1395,14 @@ d AS (
   FROM docs_aud
 )
 SELECT 'documents' AS table_name, 'lang_complete' AS constraint,
-       CAST(((n_lang * 1000) // n) * 1000
-            + ((n_lang * 1000) % n) * 1000 // n AS BIGINT) AS observed_ppm,
+       {_ppm_split("n_lang", "n", "//")} AS observed_ppm,
        n_lang = n AS passed FROM d
 UNION ALL
 SELECT 'documents', 'doc_id_unique',
-       CAST(((n_ids * 1000) // n) * 1000
-            + ((n_ids * 1000) % n) * 1000 // n AS BIGINT), n_ids = n FROM d
+       {_ppm_split("n_ids", "n", "//")}, n_ids = n FROM d
 UNION ALL
 SELECT 'documents', 'n_chars_matches_text',
-       CAST(((n_len_ok * 1000) // n) * 1000
-            + ((n_len_ok * 1000) % n) * 1000 // n AS BIGINT), n_len_ok = n FROM d
+       {_ppm_split("n_len_ok", "n", "//")}, n_len_ok = n FROM d
 """
 
 
@@ -1453,25 +1442,7 @@ def streaming_expectation_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
-    docs_aud = (
-        docs.unionByName(
-            docs.where(F.col("doc_id") % 97 == 0).select(
-                (F.col("doc_id") + 3000000).alias("doc_id"),
-                "text",
-                F.lit(None).cast("string").alias("lang"),
-                "n_chars",
-            )
-        )
-        .unionByName(docs.where(F.col("doc_id") % 101 == 0))
-        .unionByName(
-            docs.where(F.col("doc_id") % 103 == 0).select(
-                (F.col("doc_id") + 4000000).alias("doc_id"),
-                "text",
-                "lang",
-                (F.col("n_chars") + 1).alias("n_chars"),
-            )
-        )
-    )
+    docs_aud = _audited_documents(docs)
     staged = tempfile.mkdtemp(prefix="expect_ingest_")
     try:
         docs_aud.repartition(3).write.mode("overwrite").parquet(staged)
@@ -1502,10 +1473,7 @@ def streaming_expectation_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     def ppm(num: str, den: str) -> str:
-        return (
-            f"((({num}) * 1000L) DIV ({den})) * 1000L"
-            f" + (((({num}) * 1000L) % ({den})) * 1000L) DIV ({den})"
-        )
+        return _ppm_split(num, den, "DIV")
 
     return d.select(
         F.explode(

@@ -386,3 +386,20 @@ def test_pref_pair_emitter_state_is_one_row_per_user(spark, sf_smoke, tmp_path):
             if p.get("stateOperators")
         ]
     assert curve == users_by_batch, (curve, users_by_batch)
+
+
+def test_planted_clone_id_envelope_holds(spark, sf_smoke, sf_correctness):
+    """The planted-clone constructions (dedup_exact +1M, embedding dups +1M,
+    cross-lingual mirrors +2M/+3M, expectation clones +3M/+4M, orphan
+    orders +5M/+10M) assume base ids stay below 1,000,000 — otherwise clone
+    ids collide across injection families and the observability contracts
+    degrade silently (parity would still pass, since the oracle replays the
+    same collision). Make the envelope LOUD: if the generator ever grows
+    past it, this fails and the shifts must be re-derived."""
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    for sf in (sf_smoke, sf_correctness):
+        for table, col in (("documents", "doc_id"), ("embeddings", "vec_id"),
+                           ("orders", "o_orderkey"), ("customer", "c_custkey")):
+            mx = load_table(spark, sf, table).agg({col: "max"}).first()[0]
+            assert mx < 1_000_000, (sf, table, mx)
