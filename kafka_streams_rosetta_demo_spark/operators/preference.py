@@ -35,7 +35,15 @@ MAX_BT_ITEMS = 64  # model-state cap: the fit is |items|²; refuse unbounded key
 
 def quantize_wins_ppm(wins: dict[tuple[str, str], int]) -> dict[tuple[str, str], int]:
     """Ordered (winner, loser) -> raw count, quantized to ppm of the total
-    comparison count. Exact unbounded-int arithmetic; drops zero cells."""
+    comparison count. Exact unbounded-int arithmetic; drops zero cells.
+
+    Dropping is a DOCUMENTED semantic, not an accident: a cell whose count
+    floors to 0 ppm (< one millionth of all comparisons) is removed, and an
+    item whose EVERY win cell quantizes to zero disappears from the fit
+    entirely — it is absent from the output, not reported with theta 0.
+    Both engines drop identically (the oracle replays the same floor), so
+    parity holds; consumers who need 'present but ~0 wins' distinguished
+    from 'no data' must pre-bucket rare items before quantization."""
     total = sum(wins.values())
     if total <= 0:
         return {}

@@ -3137,6 +3137,8 @@ def search_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFram
 # rule-based reference before it gates a corpus
 # ---------------------------------------------------------------------------
 
+from .corpus_queries import _ppm_ratio_sql  # noqa: E402  (shared exact split)
+
 _CCE_ORACLE = f"""
 WITH model(lang, bias, w_tokens, w_stop, w_digit, threshold) AS (
   VALUES {", ".join(f"('{l}', {b}, {wt}, {ws}, {wd}, {th})" for l, b, wt, ws, wd, th in _QC_MODEL)}
@@ -3169,20 +3171,23 @@ cm AS (
          CAST(sum(CASE WHEN NOT keep AND good THEN 1 ELSE 0 END) AS BIGINT) AS fn,
          CAST(sum(CASE WHEN NOT keep AND NOT good THEN 1 ELSE 0 END) AS BIGINT) AS tn
   FROM flags GROUP BY lang
+),
+pr AS (
+  SELECT lang, tp, fp, fn, tn,
+         CAST(CASE WHEN tp + fp > 0
+                   THEN {_ppm_ratio_sql("tp", "(tp + fp)")} ELSE 0 END
+              AS BIGINT) AS precision_ppm,
+         CAST(CASE WHEN tp + fn > 0
+                   THEN {_ppm_ratio_sql("tp", "(tp + fn)")} ELSE 0 END
+              AS BIGINT) AS recall_ppm
+  FROM cm
 )
-SELECT lang, tp, fp, fn, tn,
-       CAST(CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END
-            AS BIGINT) AS precision_ppm,
-       CAST(CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) ELSE 0 END
-            AS BIGINT) AS recall_ppm,
-       CAST(CASE WHEN (CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END)
-                    + (CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) ELSE 0 END) > 0
-                 THEN (2 * (CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END)
-                         * (CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) ELSE 0 END))
-                      // ((CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END)
-                        + (CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) ELSE 0 END))
+SELECT lang, tp, fp, fn, tn, precision_ppm, recall_ppm,
+       CAST(CASE WHEN precision_ppm + recall_ppm > 0
+                 THEN (2 * precision_ppm * recall_ppm)
+                      // (precision_ppm + recall_ppm)
                  ELSE 0 END AS BIGINT) AS f1_ppm
-FROM cm
+FROM pr
 """
 
 
@@ -3199,7 +3204,10 @@ def classifier_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the matrix cells are integer counts, both flags derive
     from exact integer features (the one double — the type-token ratio —
     is the same single division on both engines, compared, never summed),
-    and precision/recall/F1 are integer ppm divisions.
+    and precision/recall use the shared overflow-safe quotient/remainder
+    split (``_ppm_ratio_sql``, exact to ~9.2e15 rows per lang — the house
+    100 TB envelope discipline); F1 derives from the already-ppm-scaled
+    pair, so its product is bounded by 2e12 regardless of corpus size.
 
     Scale: ONE corpus scan computes both the model score and the reference
     flag per row (JVM higher-order functions, no Python, no explode), the
@@ -3252,8 +3260,16 @@ def classifier_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tn"),
     )
-    p = "CASE WHEN tp + fp > 0 THEN (tp * 1000000L) DIV (tp + fp) ELSE 0L END"
-    r = "CASE WHEN tp + fn > 0 THEN (tp * 1000000L) DIV (tp + fn) ELSE 0L END"
+    p = (
+        "CASE WHEN tp + fp > 0 THEN "
+        + _ppm_ratio_sql("tp", "(tp + fp)", "DIV")
+        + " ELSE 0L END"
+    )
+    r = (
+        "CASE WHEN tp + fn > 0 THEN "
+        + _ppm_ratio_sql("tp", "(tp + fn)", "DIV")
+        + " ELSE 0L END"
+    )
     return cm.select(
         "lang",
         "tp",
@@ -3262,8 +3278,11 @@ def classifier_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tn",
         F.expr(p).alias("precision_ppm"),
         F.expr(r).alias("recall_ppm"),
+    ).select(
+        "*",
         F.expr(
-            f"CASE WHEN ({p}) + ({r}) > 0"
-            f" THEN (2 * ({p}) * ({r})) DIV (({p}) + ({r})) ELSE 0L END"
+            "CASE WHEN precision_ppm + recall_ppm > 0"
+            " THEN (2 * precision_ppm * recall_ppm)"
+            " DIV (precision_ppm + recall_ppm) ELSE 0L END"
         ).alias("f1_ppm"),
     )

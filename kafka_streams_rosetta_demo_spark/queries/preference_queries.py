@@ -272,6 +272,12 @@ def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     as 20 unrolled CTE iterations (HUGEINT headroom on the quantization
     and renormalization products that can exceed int64), so values
     hash-match exactly.
+
+    Rare-item semantics: an event type whose every win cell floors to
+    0 ppm of the total comparison count is DROPPED by the quantization
+    (``quantize_wins_ppm``) and is absent from this output — not emitted
+    with theta 0. Both engines drop identically, so parity holds; a
+    consumer needing those types listed must pre-bucket rare items.
     """
     from ..operators.preference import MAX_BT_ITEMS
 

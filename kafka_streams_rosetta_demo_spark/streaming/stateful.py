@@ -109,6 +109,14 @@ def preference_pair_emitter(stream: DataFrame) -> DataFrame:
     once (pinned in tests). Append-mode emission: a comparison is a fact,
     never revised.
 
+    Cross-batch order is a CONTRACT, not an assumption: if a later
+    micro-batch delivers an event that sorts before the stored state row
+    (by the same (ts_us, event_id) order the batch twin uses), the pairing
+    would silently diverge from the lag-window semantics — so the emitter
+    raises instead of pairing it (pinned in tests). A keyed Kafka topic
+    guarantees per-key order; a source that breaks it needs a watermarked
+    re-sort upstream, not a quietly different pair set.
+
     Scale: state is one small row per active user key. No timeout here to
     keep the gate deterministic; a production deployment sets a TTL the same
     way the KTable notes describe."""
@@ -131,6 +139,21 @@ def preference_pair_emitter(stream: DataFrame) -> DataFrame:
             .sort_values(["ts_us", "event_id"], kind="mergesort")
             .reset_index(drop=True)
         )
+        if prev is not None:
+            first = pdf.iloc[0]
+            if (int(first["ts_us"]), int(first["event_id"])) < (
+                int(prev[0]),
+                int(prev[1]),
+            ):
+                raise ValueError(
+                    "preference_pair_emitter: cross-batch event-time "
+                    f"regression for key {key[0]!r} — arriving event "
+                    f"(ts_us={int(first['ts_us'])}, "
+                    f"event_id={int(first['event_id'])}) sorts before the "
+                    f"state row (ts_us={int(prev[0])}, "
+                    f"event_id={int(prev[1])}); per-key order is the "
+                    "pairing contract (re-sort upstream with a watermark)"
+                )
         p_type = pdf["event_type"].shift(1)
         p_val = pdf["value"].shift(1)
         if prev is not None:

@@ -1,0 +1,93 @@
+"""Round-12 additions: the advisor's loud-failure guard on the streaming
+pair emitter (cross-batch event-time regression must raise, not silently
+diverge from the batch lag-window twin), plus the overflow-safe ppm split
+in the classifier confusion eval."""
+
+from __future__ import annotations
+
+import shutil
+from collections import Counter
+from pathlib import Path
+
+import pytest
+
+# ---------------------------------------------------------------------------
+# preference_pair_emitter: cross-batch disorder fails loudly (ADVICE r11)
+# ---------------------------------------------------------------------------
+
+
+def test_pref_pair_emitter_rejects_cross_batch_disorder(
+    spark, sf_smoke, tmp_path
+):
+    """Deliver a user's EARLIEST event in a micro-batch AFTER the one that
+    carried their latest: the state row now sorts after the arrival, which
+    would pair against the wrong neighbour under the lag-window semantics —
+    the emitter must raise (the documented per-key order contract), never
+    emit a quietly different pair set."""
+    from kafka_streams_rosetta_demo_spark.sources.parquet import (
+        events_schema,
+        load_table,
+        normalize_event_ts,
+    )
+    from kafka_streams_rosetta_demo_spark.streaming.runner import (
+        file_stream,
+        run_append_query_to_df,
+    )
+    from kafka_streams_rosetta_demo_spark.streaming.stateful import (
+        preference_pair_emitter,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    rows = ev.orderBy("ts", "event_id").collect()
+    counts = Counter(r["user_id"] for r in rows)
+    user = next(u for u, n in counts.items() if n >= 2)
+    urows = [r for r in rows if r["user_id"] == user]
+    out = tmp_path / "stream"
+    out.mkdir()
+    # batch 0: the user's last event; batch 1: their first — a regression
+    for i, chunk in enumerate([[urows[-1]], [urows[0]]]):
+        part_dir = tmp_path / f"part{i}"
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part_dir))
+        (pf,) = Path(part_dir).glob("part-*.parquet")
+        shutil.copy(pf, out / f"{i}.parquet")
+
+    stream = normalize_event_ts(
+        file_stream(
+            spark,
+            str(out),
+            events_schema(spark, f"{out}/0.parquet"),
+            max_files_per_trigger=1,
+        )
+    )
+    with pytest.raises(Exception) as ei:
+        run_append_query_to_df(
+            preference_pair_emitter(stream),
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "sink"),
+        )
+    assert "event-time regression" in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# classifier_confusion_eval: the shared split equals the naive ppm formula
+# wherever the naive one is exact (it only diverges past int64 overflow)
+# ---------------------------------------------------------------------------
+
+
+def test_cce_ppm_split_matches_naive_below_overflow(spark, sf_smoke):
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["classifier_confusion_eval"].fn(spark, sf_smoke).collect()
+    assert out
+    for r in out:
+        tp, fp, fn = r["tp"], r["fp"], r["fn"]
+        p = (tp * 1_000_000) // (tp + fp) if tp + fp > 0 else 0
+        rec = (tp * 1_000_000) // (tp + fn) if tp + fn > 0 else 0
+        f1 = (2 * p * rec) // (p + rec) if p + rec > 0 else 0
+        assert (r["precision_ppm"], r["recall_ppm"], r["f1_ppm"]) == (
+            p,
+            rec,
+            f1,
+        )
