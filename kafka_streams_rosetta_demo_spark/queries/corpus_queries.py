@@ -2175,3 +2175,212 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(
         F.broadcast(ids.select("token", "token_id")), e.t == F.col("token")
     ).select("doc_id", "tok_idx", "token_id")
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate_scrub — CCNet/C4-style paragraph-frequency cleaning
+# ---------------------------------------------------------------------------
+
+# Paragraph grain: fixed 12-word chunks of each document (the corpus has no
+# newline structure, so the paragraphizer is part of the contract — both
+# engines chunk identically). A paragraph is boilerplate within its SOURCE
+# when it appears in >= BOILER_DF_PERMILLE/1000 of that source's documents.
+_PARA_WORDS = 12
+BOILER_DF_PERMILLE = 500
+
+# Planted construction (the text_pii_scrub / dedup_exact discipline): the
+# synthetic corpus has no natural boilerplate, so both engines inject — the
+# per-source cookie-banner footer into ~90% of docs (doc_id % 10 != 7) and a
+# doc-unique "rare" paragraph into docs with doc_id % 25 = 3 — making the
+# scrub observable: the footer must drop, the rare paragraph must survive.
+_BPS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+nch AS (
+  SELECT doc_id, source,
+         CAST((len(ws) - 1) // {_PARA_WORDS} + 1 AS BIGINT) AS n FROM base
+),
+chunks AS (
+  SELECT doc_id, source, CAST(i AS BIGINT) AS para_idx,
+         array_to_string(
+           ws[CAST(i * {_PARA_WORDS} + 1 AS BIGINT)
+              :CAST((i + 1) * {_PARA_WORDS} AS BIGINT)], ' ') AS para
+  FROM base,
+       LATERAL unnest(generate_series(0, (len(ws) - 1) // {_PARA_WORDS})) AS t(i)
+),
+planted AS (
+  SELECT n2.doc_id, n2.source, n2.n AS para_idx,
+         'cookie consent banner for ' || n2.source || ' all rights reserved'
+           AS para
+  FROM nch n2 WHERE n2.doc_id % 10 <> 7
+  UNION ALL
+  SELECT n3.doc_id, n3.source, n3.n + 1 AS para_idx,
+         'unique insight paragraph ' || CAST(n3.doc_id AS VARCHAR) AS para
+  FROM nch n3 WHERE n3.doc_id % 25 = 3
+),
+paras AS (
+  SELECT * FROM chunks UNION ALL SELECT * FROM planted
+),
+src_docs AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+freq AS (
+  SELECT source, md5(para) AS ph,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM paras GROUP BY 1, 2
+),
+flagged AS (
+  SELECT p.doc_id, p.source, p.para_idx, p.para,
+         (f.df * 1000 >= {BOILER_DF_PERMILLE} * s.n_docs) AS boiler
+  FROM paras p
+  JOIN freq f ON f.source = p.source AND f.ph = md5(p.para)
+  JOIN src_docs s ON s.source = p.source
+)
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN boiler THEN length(para) ELSE 0 END) AS BIGINT)
+         AS dropped_chars,
+       CAST(sum(CASE WHEN boiler THEN 0 ELSE length(para) END) AS BIGINT)
+         AS kept_chars,
+       md5(coalesce(string_agg(CASE WHEN NOT boiler THEN para END, chr(10)
+                               ORDER BY para_idx), '')) AS scrubbed_md5,
+       (doc_id % 10 <> 7) AS had_footer,
+       bool_or(boiler AND para LIKE 'cookie consent banner%')
+         AS footer_dropped,
+       bool_or(NOT boiler AND para LIKE 'unique insight paragraph%')
+         AS rare_kept
+FROM flagged
+GROUP BY doc_id, source
+"""
+
+
+@register("text_boilerplate_scrub", oracle=_BPS_ORACLE)
+def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style paragraph-frequency boilerplate scrub — the most-used
+    web-crawl cleaning pass after dedup: paragraphs (12-word chunks; the
+    paragraphizer is part of the contract) that occur in >= 50% of a
+    source's documents are navigation/footer boilerplate and are dropped;
+    everything else is kept IN ORDER. Per doc: paragraph counts, char
+    totals, and an md5 of the scrubbed text (order-sensitive, so the
+    reassembly itself is oracle-checked), plus observability flags for the
+    planted construction — ``footer_dropped`` must equal ``had_footer`` and
+    the doc-unique rare paragraph must always survive (pinned in tests).
+
+    Determinism: chunk boundaries are pure integer arithmetic on the word
+    array; the boilerplate flag is an exact integer cross-multiply
+    (df*1000 >= permille*n_docs — no division); the scrubbed hash orders by
+    the unique para_idx.
+
+    Scale (the two-shuffle CCNet shape): paragraphize is a map-side
+    projection + explode; document frequency is ONE map-side-combining
+    aggregate keyed on (source, md5-digest) — 16-byte keys, never raw
+    paragraph strings, on the wire; flagging is ONE co-partitioned
+    equi-join back on the same key (both sides already hash-partition on
+    it); the per-doc rollup shuffles by doc_id. The source-size table is
+    |sources|-rows and broadcasts. Nothing is all-pairs, nothing collects.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    pw = _PARA_WORDS
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST((size(split(text, ' ')) - 1)"
+                f" DIV {pw} AS INT)),"
+                f" i -> array_join(slice(split(text, ' '), i * {pw} + 1, {pw}), ' '))"
+            )
+        ).alias("para_idx0", "para"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("para_idx0").cast("long").alias("para_idx"),
+        "para",
+    )
+    nch = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST((size(split(text, ' ')) - 1) DIV {pw} + 1 AS BIGINT)").alias(
+            "n"
+        ),
+    )
+    footer = nch.where("doc_id % 10 != 7").select(
+        "doc_id",
+        "source",
+        F.col("n").alias("para_idx"),
+        F.concat(
+            F.lit("cookie consent banner for "),
+            F.col("source"),
+            F.lit(" all rights reserved"),
+        ).alias("para"),
+    )
+    rare = nch.where("doc_id % 25 = 3").select(
+        "doc_id",
+        "source",
+        (F.col("n") + 1).alias("para_idx"),
+        F.concat(
+            F.lit("unique insight paragraph "), F.col("doc_id").cast("string")
+        ).alias("para"),
+    )
+    paras = chunks.unionByName(footer).unionByName(rare).withColumn(
+        "ph", F.md5("para")
+    )
+    src_docs = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    freq = paras.groupBy("source", "ph").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    flagged = (
+        paras.join(freq, ["source", "ph"])
+        .join(F.broadcast(src_docs), "source")
+        .withColumn(
+            "boiler",
+            F.col("df") * F.lit(1000) >= F.lit(BOILER_DF_PERMILLE) * F.col("n_docs"),
+        )
+    )
+    kept_struct = F.when(~F.col("boiler"), F.struct("para_idx", "para"))
+    return flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("boiler"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("boiler"), 0).otherwise(1)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("boiler"), F.length("para")).otherwise(0))
+        .cast("long")
+        .alias("dropped_chars"),
+        F.sum(F.when(F.col("boiler"), 0).otherwise(F.length("para")))
+        .cast("long")
+        .alias("kept_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            )
+        ).alias("scrubbed_md5"),
+        F.max(F.expr("boiler AND para LIKE 'cookie consent banner%'")).alias(
+            "footer_dropped"
+        ),
+        F.max(
+            F.expr("NOT boiler AND para LIKE 'unique insight paragraph%'")
+        ).alias("rare_kept"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_paras",
+        "n_dropped",
+        "n_kept",
+        "dropped_chars",
+        "kept_chars",
+        "scrubbed_md5",
+        F.expr("doc_id % 10 != 7").alias("had_footer"),
+        "footer_dropped",
+        "rare_kept",
+    )

@@ -353,6 +353,8 @@ SHUFFLE_BUDGET = {
     "classifier_confusion_eval": 1,  # one scan computes score + reference flag per row; the confusion rollup is the only exchange (|langs| keys)
     "quality_expectation_suite": 1,  # per-table multi-aggregates + broadcast FK probes; the one exchange is the documents countDistinct
     "dedup_crosslingual_mirror": 1,  # banded candidate distinct is the one exchange; band keys map-side over the checkpointed union, lang joins broadcast pair-sized sides
+    # round-12 additions
+    "text_boilerplate_scrub": 5,  # two exact-distinct aggs (2 exchanges each: (keys, doc_id) partial + rollup) + the per-doc rollup; at test SF the freq/src joins broadcast (at scale the paras side adds one co-partitioned (source, ph) exchange)
 }
 
 

@@ -91,3 +91,29 @@ def test_cce_ppm_split_matches_naive_below_overflow(spark, sf_smoke):
             rec,
             f1,
         )
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate_scrub: the planted construction is provably scrubbed
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_scrub_drops_footer_keeps_rare(spark, sf_smoke):
+    """The done-criterion made executable: every planted footer is removed
+    (footer_dropped == had_footer, row by row), every doc-unique rare
+    paragraph survives, and the counts reconcile."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["text_boilerplate_scrub"].fn(spark, sf_smoke).collect()
+    assert out
+    rare_docs = {r["doc_id"] for r in out if r["doc_id"] % 25 == 3}
+    assert rare_docs  # the construction must actually plant some
+    for r in out:
+        assert r["footer_dropped"] == r["had_footer"], r
+        assert r["n_kept"] + r["n_dropped"] == r["n_paras"], r
+        if r["doc_id"] in rare_docs:
+            assert r["rare_kept"], r
+        # content paragraphs are doc-unique in the synthetic corpus, so a
+        # doc never loses more than the footer (rare paragraphs are kept)
+        assert r["n_dropped"] <= (1 if r["had_footer"] else 0) + 1, r
+        assert len(r["scrubbed_md5"]) == 32
