@@ -2384,3 +2384,159 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "footer_dropped",
         "rare_kept",
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_domain_profile — registered-domain-grain crawl curation
+# ---------------------------------------------------------------------------
+
+# Per-domain share cap for the mix recommendation: no registered domain may
+# contribute more than 10% of the corpus (the C4/RefinedWeb-style guard
+# against a single crawl-heavy site dominating the training mix).
+DOMAIN_CAP_PERMILLE = 100
+
+# Synthetic URL injection (the text_pii_scrub discipline — the corpus has no
+# url column, so both engines derive one identically): sources map onto 7
+# registered domains (source n -> site{n%7}.example.com) behind rotating
+# subdomains (www./cdn./bare by doc_id % 3), so the registered-domain
+# extraction — host parse, then one-label+public-suffix match that strips
+# subdomains — is exercised, not assumed.
+_DOMPROF_ORACLE = f"""
+WITH RECURSIVE {{cc}},
+inj AS (
+  SELECT doc_id, source, text,
+         'https://'
+         || CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END
+         || 'site' || CAST(CAST(substr(source, 4) AS INT) % 7 AS VARCHAR)
+         || '.example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+dom AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         regexp_extract(regexp_extract(url, '^https://([^/]+)', 1),
+                        '([a-z0-9-]+\\.example\\.com)$', 1) AS domain
+  FROM inj
+),
+dup_ids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id FROM pairs
+  )
+),
+prof AS (
+  SELECT domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+         CAST(sum(d.n_toks) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS dup_docs
+  FROM dom d LEFT JOIN dup_ids du USING (doc_id)
+  GROUP BY domain
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM prof)
+SELECT domain, n_docs, n_sources, n_tokens, dup_docs,
+       {{dup_ppm}} AS dup_ppm,
+       {{share_ppm}} AS share_ppm,
+       least(n_docs, total_docs * {DOMAIN_CAP_PERMILLE} // 1000) AS cap_docs,
+       {{kept_ppm}} AS kept_ppm
+FROM prof CROSS JOIN tot
+""".format(
+    cc=_CC_CTES,
+    dup_ppm=_ppm_ratio_sql("dup_docs", "n_docs"),
+    share_ppm=_ppm_ratio_sql("n_docs", "total_docs"),
+    kept_ppm=_ppm_ratio_sql(
+        f"least(n_docs, total_docs * {DOMAIN_CAP_PERMILLE} // 1000)", "n_docs"
+    ),
+)
+
+
+@register("corpus_domain_profile", oracle=_DOMPROF_ORACLE)
+def corpus_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain-grain crawl profile + mix recommendation — the
+    grain real crawl curation operates at (source-grain profiles exist;
+    domains aggregate many sources): per domain, doc/source/token counts,
+    near-dup participation rate (riding the shared ``jaccard_pairs_075``
+    artifact — the SAME verified pair graph every dedup pass consumes),
+    corpus share, and the capped doc count under the 10%-per-domain mix
+    guard (C4/RefinedWeb's defense against one crawl-heavy site dominating
+    the training distribution). ``kept_ppm`` < 1e6 is the actionable
+    output: that domain must be downsampled before mixing.
+
+    URL handling is exercised end-to-end: both engines inject the same
+    synthetic URLs (rotating www./cdn./bare subdomains over 7 registered
+    domains), parse the host, and extract the registered domain by
+    leftmost one-label+suffix match — subdomains provably stripped (both
+    engines share regex semantics; RE2-compatible, no backrefs).
+
+    Determinism: all counts are integers; every rate is the shared exact
+    quotient/remainder ppm split; the cap is an integer cross-multiply.
+
+    Scale: domain derivation is per-row regex (map-side); the profile is
+    ONE map-side-combining aggregate over |domains| keys (distinct-source
+    via the standard two-phase expand); the dup side joins the PAIR-sized
+    distinct-id frame (never the corpus) on the doc_id key; the corpus
+    total is a SinglePartition window over |domains| rows — bounded model
+    state, the corpus_token_budget_plan discipline."""
+    from .artifacts import jaccard_pairs_075
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END"
+        ),
+        F.lit("site"),
+        F.expr("CAST(CAST(substring(source, 4) AS INT) % 7 AS STRING)"),
+        F.lit(".example.com/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    host = F.regexp_extract(url, "^https://([^/]+)", 1)
+    dom = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        F.regexp_extract(host, "([a-z0-9-]+\\.example\\.com)$", 1).alias(
+            "domain"
+        ),
+    )
+    pairs = jaccard_pairs_075(spark, sf_dir)
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    prof = (
+        dom.join(dup_ids, "doc_id", "left")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("dup_docs"),
+        )
+    )
+    w_all = Window.partitionBy()  # |domains| rows — bounded
+    t = prof.withColumn("total_docs", F.sum("n_docs").over(w_all).cast("long"))
+    cap = f"least(n_docs, total_docs * {DOMAIN_CAP_PERMILLE} DIV 1000)"
+    return t.select(
+        "domain",
+        "n_docs",
+        "n_sources",
+        "n_tokens",
+        "dup_docs",
+        F.expr(_ppm_ratio_sql("dup_docs", "n_docs", "DIV")).alias("dup_ppm"),
+        F.expr(_ppm_ratio_sql("n_docs", "total_docs", "DIV")).alias(
+            "share_ppm"
+        ),
+        F.expr(cap).alias("cap_docs"),
+        F.expr(_ppm_ratio_sql(cap, "n_docs", "DIV")).alias("kept_ppm"),
+    )

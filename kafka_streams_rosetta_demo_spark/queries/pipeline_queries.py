@@ -2835,6 +2835,210 @@ def knn_scalar_quant_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# knn_pq_eval — product-quantization (PQ/ADC) retrieval fidelity
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (64 dims / 8 = 8 dims each)
+_PQ_K = 16  # codebook entries per subspace
+
+# Squared L2 over an index range, the _IVF_DOT idiom (sequential order,
+# multiplication not pow — both engines accumulate identically).
+_PQ_SQDIST = (
+    "(SELECT sum(({a} - {b}) * ({a} - {b})) "
+    "FROM (SELECT unnest(range({lo}, {hi})) AS i) s)"
+)
+
+_PQ_ASSIGN_DIST = _PQ_SQDIST.format(
+    a="CAST(e.embedding[cb.m * 8 + s.i] AS DOUBLE)", b="cb.sub[s.i]", lo=1, hi=9
+)
+
+_PQ_ORACLE = f"""
+WITH seeds AS (
+  SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT {_PQ_K})
+),
+cb AS (
+  SELECT mm.m, s.j,
+         list_transform(s.embedding[mm.m * 8 + 1 : mm.m * 8 + 8],
+                        x -> CAST(x AS DOUBLE)) AS sub
+  FROM seeds s CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m) mm
+),
+codes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT e.vec_id, cb.m, cb.j,
+           row_number() OVER (PARTITION BY e.vec_id, cb.m
+                              ORDER BY {_PQ_ASSIGN_DIST} ASC, cb.j ASC) AS rn
+    FROM embeddings e CROSS JOIN cb
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.m)) AS r
+  FROM codes c JOIN cb ON cb.m = c.m AND cb.j = c.j
+  GROUP BY c.vec_id
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         CAST(floor({_PQ_SQDIST.format(
+             a="CAST(q.embedding[s.i] AS DOUBLE)",
+             b="CAST(d.embedding[s.i] AS DOUBLE)", lo=1, hi=65)}
+              * 1000000 + 0.5) AS BIGINT) AS d_exact_micro,
+         CAST(floor({_PQ_SQDIST.format(
+             a="CAST(q.embedding[s.i] AS DOUBLE)", b="r.r[s.i]", lo=1, hi=65)}
+              * 1000000 + 0.5) AS BIGINT) AS d_adc_micro
+  FROM embeddings q
+  CROSS JOIN embeddings d
+  JOIN recon r ON r.vec_id = d.vec_id
+  WHERE q.vec_id < {_KNN_QUERIES} AND d.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d_exact_micro ASC, neighbor_id) AS r_exact,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d_adc_micro ASC, neighbor_id) AS r_pq
+  FROM pairs
+)
+SELECT query_id,
+       CAST({_KNN_K} AS BIGINT) AS k,
+       CAST(sum(CASE WHEN r_exact <= {_KNN_K} AND r_pq <= {_KNN_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(sum(CASE WHEN r_exact <= {_KNN_K} AND r_pq <= {_KNN_K}
+                THEN 1 ELSE 0 END) * 1000000 // {_KNN_K} AS BIGINT)
+         AS recall_ppm
+FROM ranked GROUP BY query_id
+"""
+
+
+@register("knn_pq_eval", oracle=_PQ_ORACLE)
+def knn_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization (PQ, Jegou et al. 2011) retrieval fidelity with
+    asymmetric distance computation (ADC) — the fourth leg of the
+    embedding-compression gate family and the production compression for a
+    100 TB vector index: ``knn_matryoshka_eval`` gates DIM truncation,
+    ``knn_scalar_quant_eval`` gates PRECISION truncation, IVF gates
+    partition pruning; PQ compresses each 64-dim float32 vector (256 B) to
+    8 one-byte codes (32x). Each of the 8 subspaces (8 dims) has a 16-entry
+    codebook — a deterministic id-sampled subset (the knn_ann_ivf centroid
+    discipline: seed-free, engine-reproducible; the Lloyd trainer in
+    operators/kmeans.py refines such an init per-subspace when index
+    quality matters). Encoding picks the nearest codebook entry per
+    subspace (squared L2, smaller index on ties); retrieval is ASYMMETRIC,
+    the production ADC shape: the query stays full-precision and corpus
+    vectors score as their reconstruction (concatenated codebook entries).
+    Per query: overlap of the exact L2 top-5 with the ADC top-5.
+
+    Determinism: codebooks are literal doubles of id-sampled float32 rows
+    (exactly representable), every distance is the same sequential
+    multiply-accumulate in both engines (the _IVF_DOT idiom), distances are
+    micro-quantized BEFORE ranking, ranks tie-break on neighbor_id, and
+    encoding tie-breaks on the smaller codebook index — so the oracle
+    replays the whole index path (seed pick → per-subspace assign →
+    reconstruct → ADC rank) closed-form.
+
+    Scale: encoding is a per-row JVM expression against the literal
+    codebooks (no join, no shuffle — at 100 TB it pipelines inside the
+    corpus scan, like ivf_assign); both distances ride the declared
+    broadcast-kNN BNLJ pass (|Q| capped at 4096, corpus scanned once); the
+    two rank windows share one query_id shuffle. The codebook collect is
+    bounded model state (16 x 64 floats). Output is |Q| rows."""
+    from ..operators.vectors import capped_query_set, const_matrix
+
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed_rows = (
+        base.where(F.col("vec_id") % 31 == 0)
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    # cb[m][j] = the j-th seed's m-th 8-dim subvector, as exact doubles
+    cb = [
+        [
+            [float(x) for x in r["embedding"][m * 8 : m * 8 + 8]]
+            for r in seed_rows
+        ]
+        for m in range(_PQ_M)
+    ]
+
+    def _sq(a, b):
+        # sequential multiply-accumulate, the operators.vectors.dot fold
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    emb_d = F.col("embedding").cast("array<double>")
+    enc_cols = []
+    for m in range(_PQ_M):
+        sub = F.slice(emb_d, m * 8 + 1, 8)
+        scores = F.array(
+            *[_sq(sub, F.expr(_sql_double_array_pq(cb[m][j]))) for j in range(_PQ_K)]
+        )
+        # first index of the min = smaller-j tie-break (1-based position)
+        enc_cols.append(
+            F.array_position(scores, F.array_min(scores)).alias(f"p{m}")
+        )
+    enc = base.select("vec_id", "embedding", *enc_cols)
+    recon = enc.select(
+        "vec_id",
+        "embedding",
+        F.concat(
+            *[
+                F.element_at(const_matrix(cb[m]), F.col(f"p{m}").cast("int"))
+                for m in range(_PQ_M)
+            ]
+        ).alias("recon"),
+    )
+    q = capped_query_set(base.where(F.col("vec_id") < _KNN_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    pairs = recon.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def micro(c):
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("long")
+
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        micro(_sq(F.col("q_emb"), emb_d)).alias("d_exact_micro"),
+        micro(_sq(F.col("q_emb"), F.col("recon"))).alias("d_adc_micro"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.asc("d_exact_micro"), F.asc("neighbor_id")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.asc("d_adc_micro"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(we).alias("r_exact"),
+        F.row_number().over(wp).alias("r_pq"),
+    )
+    return ranked.groupBy("query_id").agg(
+        F.lit(_KNN_K).cast("long").alias("k"),
+        F.sum(
+            ((F.col("r_exact") <= _KNN_K) & (F.col("r_pq") <= _KNN_K)).cast(
+                "long"
+            )
+        ).alias("n_overlap"),
+        F.expr(
+            f"CAST(sum(CASE WHEN r_exact <= {_KNN_K} AND r_pq <= {_KNN_K} "
+            f"THEN 1 ELSE 0 END) * 1000000 DIV {_KNN_K} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+def _sql_double_array_pq(values):
+    from ..operators.vectors import _sql_double_array
+
+    return _sql_double_array(values)
+
+
+# ---------------------------------------------------------------------------
 # text_ngram_novelty — per-doc first-occurrence novelty profile (X146)
 # ---------------------------------------------------------------------------
 

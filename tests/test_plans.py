@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "corpus_dedup_rate_curve",  # 1-row max(doc_id) scalar broadcast for the decile width (r9)
     "agg_selfjoin_size_cms",  # 1-row sketch-estimate frame broadcast onto the exact row
     "search_maxsim_late_interaction",  # same declared bounded-|Q| exact scoring shape as knn_brute_force (query TOKENS broadcast, cap enforced)
+    "knn_pq_eval",  # same declared bounded-|Q| exact-kNN shape; PQ encode is per-row (r12)
 }
 
 # Queries whose parquet scan must carry pushed filters: each has a selective
@@ -354,6 +355,8 @@ SHUFFLE_BUDGET = {
     "quality_expectation_suite": 1,  # per-table multi-aggregates + broadcast FK probes; the one exchange is the documents countDistinct
     "dedup_crosslingual_mirror": 1,  # banded candidate distinct is the one exchange; band keys map-side over the checkpointed union, lang joins broadcast pair-sized sides
     # round-12 additions
+    "knn_pq_eval": 1,  # both rank windows + the recall agg share one query_id shuffle (the matryoshka shape); PQ encoding is a per-row expression
+    "corpus_domain_profile": 4,  # two-phase distinct-source expand (2) + pair-id distinct (1) + the domain rollup; pair graph is the checkpointed family artifact (its build charged to the builder); total window is SinglePartition over |domains| rows
     "text_boilerplate_scrub": 5,  # two exact-distinct aggs (2 exchanges each: (keys, doc_id) partial + rollup) + the per-doc rollup; at test SF the freq/src joins broadcast (at scale the paras side adds one co-partitioned (source, ph) exchange)
 }
 

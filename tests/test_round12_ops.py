@@ -117,3 +117,53 @@ def test_boilerplate_scrub_drops_footer_keeps_rare(spark, sf_smoke):
         # doc never loses more than the footer (rare paragraphs are kept)
         assert r["n_dropped"] <= (1 if r["had_footer"] else 0) + 1, r
         assert len(r["scrubbed_md5"]) == 32
+
+
+# ---------------------------------------------------------------------------
+# knn_pq_eval: compression-gate consistency across the family
+# ---------------------------------------------------------------------------
+
+
+def test_pq_eval_bounded_and_ordered_vs_gentler_compressions(spark, sf_smoke):
+    """PQ at 32x compression must never report MORE retrieval fidelity than
+    int8 scalar quantization at 4x on the same corpus (the family's whole
+    point is that the gates order compressions by damage), and every row
+    must be internally consistent (0 <= n_overlap <= k, recall = overlap
+    ppm of k)."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    qs = load_all()
+    pq = qs["knn_pq_eval"].fn(spark, sf_smoke).collect()
+    sq = qs["knn_scalar_quant_eval"].fn(spark, sf_smoke).collect()
+    assert len(pq) == len(sq) == 8
+    for r in pq:
+        assert 0 <= r["n_overlap"] <= r["k"]
+        assert r["recall_ppm"] == r["n_overlap"] * 1_000_000 // r["k"]
+    mean = lambda rows: sum(r["recall_ppm"] for r in rows) / len(rows)
+    assert mean(pq) <= mean(sq)
+
+
+# ---------------------------------------------------------------------------
+# corpus_domain_profile: URL parse + cap semantics
+# ---------------------------------------------------------------------------
+
+
+def test_domain_profile_strips_subdomains_and_caps(spark, sf_smoke):
+    """Registered domains must come out subdomain-free (www./cdn. provably
+    stripped by the one-label+suffix match), every doc lands in exactly one
+    domain, and the 10% mix cap binds exactly on domains above the cap."""
+    import re
+
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    out = load_all()["corpus_domain_profile"].fn(spark, sf_smoke).collect()
+    assert out
+    total = sum(r["n_docs"] for r in out)
+    assert total == load_table(spark, sf_smoke, "documents").count()
+    cap = total * 100 // 1000
+    for r in out:
+        assert re.fullmatch(r"site[0-6]\.example\.com", r["domain"]), r
+        assert r["cap_docs"] == min(r["n_docs"], cap)
+        assert (r["kept_ppm"] < 1_000_000) == (r["n_docs"] > cap), r
+        assert 0 <= r["dup_docs"] <= r["n_docs"]
