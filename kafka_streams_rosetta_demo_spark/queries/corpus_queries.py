@@ -2540,3 +2540,68 @@ def corpus_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(cap).alias("cap_docs"),
         F.expr(_ppm_ratio_sql(cap, "n_docs", "DIV")).alias("kept_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_unigram_train — unigram-LM (SentencePiece-style) tokenizer trainer
+# ---------------------------------------------------------------------------
+
+from ..operators.unigram import (  # noqa: E402
+    train_unigram,
+    unigram_oracle_vocab,
+)
+
+
+@register("text_unigram_train", oracle=unigram_oracle_vocab())
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer trainer (Kudo 2018; SentencePiece's default
+    model) — the standard alternative to ``text_bpe_train``: seed a large
+    candidate vocabulary from frequent substrings, then alternate Viterbi
+    segmentation of the word-frequency table with usage re-counting and
+    prune to the target size (top-32 multi-char pieces + the never-pruned
+    character floor). The returned table is the shippable vocabulary:
+    piece, length, usage count, dense token id (count desc, piece asc —
+    the text_bpe_vocab_ids discipline), char flag.
+
+    Integer determinism (declared divergence from the float log-likelihood
+    EM of the paper — see operators/unigram.py): hard (Viterbi) EM under an
+    MDL objective — fewest pieces, then largest count sum, then smallest
+    split position — is a total order on integers, so the DuckDB oracle
+    replays the ENTIRE trajectory (seed scoring, every DP cell
+    position-by-position, every prune) as unrolled MATERIALIZED CTEs, the
+    bpe_oracle_with / Bradley–Terry training-replay discipline.
+
+    Scale (the text_bpe_train shape): the only corpus-sized work is the
+    word-frequency aggregate (map-side combining, capped at VOCAB_CAP by
+    (count desc, word asc)); the hard-EM loop is driver-side pure-integer
+    Python over that bounded table, and the result (<=32 + |chars| rows)
+    is model state — the returned plan is a LocalTableScan, like the
+    Bradley–Terry fit. Words over 12 chars are excluded from TRAINING in
+    both engines (the documented bound fixing the oracle's DP unroll
+    depth); fertility vs the BPE tokenizer and the beats-char-split gate
+    are pinned in tests/test_round12_ops.py."""
+    from ..operators.bpe import corpus_word_counts
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    vocab = train_unigram(corpus_word_counts(spark, sf_dir))
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = [
+        (p, len(p), c, rank, len(p) == 1)
+        for rank, (p, c) in enumerate(ranked, start=1)
+    ]
+    schema = StructType(
+        [
+            StructField("piece", StringType()),
+            StructField("piece_len", LongType()),
+            StructField("piece_count", LongType()),
+            StructField("token_id", LongType()),
+            StructField("is_char", BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)

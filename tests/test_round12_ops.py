@@ -167,3 +167,52 @@ def test_domain_profile_strips_subdomains_and_caps(spark, sf_smoke):
         assert r["cap_docs"] == min(r["n_docs"], cap)
         assert (r["kept_ppm"] < 1_000_000) == (r["n_docs"] > cap), r
         assert 0 <= r["dup_docs"] <= r["n_docs"]
+
+
+# ---------------------------------------------------------------------------
+# text_unigram_train: training quality + the fertility comparison vs BPE
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_vocab_covers_and_beats_charsplit(spark, sf_smoke):
+    """The trained unigram vocabulary must (a) keep the full character
+    floor so every corpus word stays segmentable, (b) respect the prune
+    caps, and (c) actually compress: corpus fertility under the trained
+    vocab must beat character splitting — training that doesn't beat the
+    no-training baseline is a silent regression. Also records the standing
+    comparison against the BPE tokenizer on the same word table (the
+    round-12 deliverable): both fertilities strictly between 1.0 and the
+    char-split baseline."""
+    from kafka_streams_rosetta_demo_spark.operators.bpe import (
+        corpus_word_counts,
+        encode_word,
+        train_bpe,
+    )
+    from kafka_streams_rosetta_demo_spark.operators.unigram import (
+        UNI_KEEP,
+        UNI_MAX_WLEN,
+        train_unigram,
+        viterbi_segment,
+    )
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["text_unigram_train"].fn(spark, sf_smoke).collect()
+    vocab = {r["piece"]: r["piece_count"] for r in out}
+    multi = [r for r in out if not r["is_char"]]
+    assert len(multi) <= UNI_KEEP
+    ids = sorted(r["token_id"] for r in out)
+    assert ids == list(range(1, len(out) + 1))  # dense ids
+
+    wc = [
+        (w, c)
+        for w, c in corpus_word_counts(spark, sf_smoke)
+        if len(w) <= UNI_MAX_WLEN
+    ]
+    assert {ch for w, _ in wc for ch in w} <= set(vocab)  # char floor
+    tot = sum(c for _, c in wc)
+    uni = sum(c * len(viterbi_segment(w, vocab)) for w, c in wc)
+    char = sum(c * len(w) for w, c in wc)
+    merges = train_bpe(wc)
+    bpe = sum(c * len(encode_word(w, merges)) for w, c in wc)
+    assert tot < uni < char  # compresses, and no word maps to 0 pieces
+    assert tot <= bpe < char
