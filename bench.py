@@ -46,6 +46,20 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+# Sub-second queries whose median-of-3 wobbled past 1.5x between driver-final
+# rounds on UNCHANGED plans (r11 verdict task 3: first-rep JIT/page-cache
+# outliers land on 2 of 3 reps often enough to shift a 0.5 s median by ~2x).
+# Two extra reps apiece (~+12 s total) makes the median robust to one-rep
+# noise without inflating the whole basket's cost.
+EXTRA_REPS = {
+    "layout_zorder_pruning": 2,
+    "sample_importance_dsir": 2,
+    "layout_compaction_plan": 2,
+    "multimodal_resample": 2,
+    "tpch_q14_promo_revenue": 2,
+    "profile_drift_psi": 2,
+}
 BENCH_SECTIONS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "4")))
 
 # Headline set: the flagship plan + the heaviest representatives of each
@@ -379,7 +393,7 @@ def run_section(section: int) -> dict[str, dict[str, object]]:
             spark.sparkContext._jvm.System.gc()
         qfn = fns[name]
         reps = []
-        for _ in range(REPS):
+        for _ in range(REPS + EXTRA_REPS.get(name, 0)):
             # Release any DISK_ONLY-degraded streaming result pins from the
             # previous rep/query (a no-op on the in-budget fast path) — a
             # degraded session must not stack result blocks per rep.
@@ -441,6 +455,15 @@ def run_section(section: int) -> dict[str, dict[str, object]]:
                 )
 
                 clear_bpe_list_artifact()
+            if name == "text_unigram_fertility":
+                # charges the unigram tokenizer artifact build (driver-side
+                # training + the distinct-word Viterbi encode); the train
+                # query itself deliberately trains per call
+                from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+                    clear_unigram_artifacts,
+                )
+
+                clear_unigram_artifacts()
             if name == "streaming_ann_screen":
                 # charges the ANN band-index + normed-vector artifact build
                 # (the persisted embedding-store index; built once per

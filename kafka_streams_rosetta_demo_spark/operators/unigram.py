@@ -46,6 +46,8 @@ depth; segmentation/INFERENCE has no such bound).
 
 from __future__ import annotations
 
+import pandas as pd
+
 UNI_MAX_WLEN = 12  # trainer word-length bound = the oracle's DP unroll depth
 UNI_SUB_MAX = 4  # seed substrings span 2..4 chars
 UNI_SEEDS = 48  # multi-char candidates kept at seeding
@@ -244,3 +246,88 @@ SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
          AS token_id,
        length(piece) = 1 AS is_char
 FROM vocab{iters + 1}"""
+
+
+def segment_count(word: str, vocab: dict[str, int]) -> int:
+    """INFERENCE token count: Viterbi piece count for words the trainer
+    could have seen (len <= UNI_MAX_WLEN), character count for longer words
+    (the documented fallback — the trainer never saw them, and the bound is
+    what fixes the oracle's DP unroll depth; a production deployment covers
+    them with byte-fallback pieces the same way SentencePiece does)."""
+    if len(word) > UNI_MAX_WLEN:
+        return len(word)
+    return len(viterbi_segment(word, vocab))
+
+
+def unigram_token_count_udf(spark, vocab: dict[str, int]):
+    """Arrow-batched (word -> unigram token count) surface: broadcast
+    vocabulary, per-batch memo — the bpe_token_count_udf shape, applied
+    once per DISTINCT word by the artifact builder, never per occurrence."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(dict(vocab))
+
+    @pandas_udf("long")
+    def n_unigram_tokens(words: pd.Series) -> pd.Series:
+        v = bc.value
+        memo: dict[str, int] = {}
+
+        def enc(w: str) -> int:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = segment_count(w, v)
+            return got
+
+        return words.map(enc)
+
+    return n_unigram_tokens
+
+
+def unigram_oracle_infer_counts(
+    iters: int = UNI_ITERS, max_wlen: int = UNI_MAX_WLEN
+) -> str:
+    """CTE chain segmenting EVERY distinct corpus word (``iw``) with the
+    final trained vocabulary ``vocab{iters+1}`` — the inference twin of the
+    training DP, without path lists (only the piece count travels). Words
+    longer than ``max_wlen`` take the character fallback, closed-form.
+    Append after :func:`unigram_oracle_with`; exposes ``uwt`` (word,
+    n_toks)."""
+    v = f"vocab{iters + 1}"
+    parts = [
+        """iw AS (
+  SELECT DISTINCT w AS word
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)""",
+        f"""g0 AS (
+  SELECT word, 0 AS i, 0 AS n, CAST(0 AS BIGINT) AS s
+  FROM iw WHERE length(word) <= {max_wlen}
+)""",
+    ]
+    for j in range(1, max_wlen + 1):
+        parts.append(
+            f"""f{j} AS MATERIALIZED (
+  SELECT word, {j} AS i, n, s FROM (
+    SELECT c.word, c.n + 1 AS n, c.s + v.c AS s,
+           row_number() OVER (PARTITION BY c.word
+                              ORDER BY c.n ASC, c.s + v.c DESC, c.i ASC)
+             AS rn
+    FROM g{j - 1} c
+    JOIN {v} v ON v.piece = substr(c.word, c.i + 1, {j} - c.i)
+    WHERE length(c.word) >= {j}
+  ) WHERE rn = 1
+),
+g{j} AS MATERIALIZED (
+  SELECT * FROM g{j - 1} UNION ALL SELECT * FROM f{j}
+)"""
+        )
+    parts.append(
+        f"""uwt AS (
+  SELECT word, CAST(n AS BIGINT) AS n_toks
+  FROM g{max_wlen} WHERE i = length(word)
+  UNION ALL
+  SELECT word, CAST(length(word) AS BIGINT) AS n_toks
+  FROM iw WHERE length(word) > {max_wlen}
+)"""
+    )
+    return ",\n".join(parts)

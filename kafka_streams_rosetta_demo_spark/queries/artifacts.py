@@ -807,3 +807,50 @@ def ann_corpus_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cache_insert(_ANN_VECTORS_CACHE, key, vecs, pins=_ANN_DISK_PINS)
     return vecs
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer artifacts
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_WT_CACHE: dict[tuple, DataFrame] = {}
+_UNIGRAM_DISK_PINS: dict[tuple, list[DataFrame]] = {}
+
+
+def clear_unigram_artifacts() -> None:
+    """Drop the memoized unigram word->token-count map (bench cost policy:
+    its build — training included — is charged to ``text_unigram_fertility``,
+    its first and only registered consumer; ``text_unigram_train`` itself
+    deliberately trains per call so its bench row is the honest training
+    cost)."""
+    _release_disk_pins(_UNIGRAM_DISK_PINS)
+    _UNIGRAM_WT_CACHE.clear()
+
+
+def unigram_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n_toks) under the corpus-trained unigram-LM vocabulary —
+    the unigram twin of :func:`bpe_word_tokens`: train driver-side on the
+    capped frequency table, Arrow-batched Viterbi count once per DISTINCT
+    word, pin. Per-document unigram counts join against this one table
+    (broadcast), so Arrow never appears in the registered plans."""
+    from ..operators.bpe import corpus_word_counts, corpus_words
+    from ..operators.unigram import train_unigram, unigram_token_count_udf
+    from pyspark.sql import functions as F
+
+    key = artifact_cache_key(spark, sf_dir)
+    got = _UNIGRAM_WT_CACHE.get(key)
+    if got is not None:
+        return got
+    vocab = train_unigram(corpus_word_counts(spark, sf_dir))
+    words = (
+        corpus_words(spark, sf_dir).select(F.col("w").alias("word")).distinct()
+    )
+    udf = unigram_token_count_udf(spark, vocab)
+    wt = _pin(
+        words.select("word", udf(F.col("word")).alias("n_toks")),
+        spark,
+        "unigram_word_tokens",
+        _UNIGRAM_DISK_PINS.setdefault(key, []),
+    )
+    cache_insert(_UNIGRAM_WT_CACHE, key, wt, pins=_UNIGRAM_DISK_PINS)
+    return wt

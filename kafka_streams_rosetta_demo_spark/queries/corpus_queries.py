@@ -2605,3 +2605,81 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# text_unigram_fertility — the unigram tokenizer's fertility profile
+# ---------------------------------------------------------------------------
+
+from ..operators.unigram import (  # noqa: E402
+    unigram_oracle_infer_counts,
+    unigram_oracle_with,
+)
+
+_UNI_FERTILITY_ORACLE = f"""WITH {{uni}},
+{{infer}},
+{_BPE_DOC_WORDS},
+j AS (SELECT dw.source, dw.w, uwt.n_toks FROM dw JOIN uwt ON dw.w = uwt.word),
+a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_toks) AS BIGINT) AS n_unigram_tokens,
+         CAST(sum(length(w)) AS BIGINT) AS n_chars
+  FROM j GROUP BY source
+)
+SELECT source, n_words, n_unigram_tokens,
+       {_ppm_ratio_sql("n_unigram_tokens", "n_words")} AS fertility_ppm,
+       {_ppm_ratio_sql("n_chars", "n_unigram_tokens")} AS chars_per_token_ppm
+FROM a"""
+
+
+@register(
+    "text_unigram_fertility",
+    oracle=_UNI_FERTILITY_ORACLE.format(
+        uni=unigram_oracle_with(), infer=unigram_oracle_infer_counts()
+    ),
+)
+def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_bpe_fertility``'s unigram twin — the round-12 deliverable
+    that makes the two corpus-trained tokenizers directly comparable on
+    the same table: per source, unigram-LM tokens per word (ppm) and chars
+    per token (ppm). A pipeline choosing between its BPE and unigram
+    vocabularies reads these two tables side by side (same sources, same
+    column shapes, same ppm discipline) — the standard
+    compression-vs-coverage trade study SentencePiece users run.
+
+    Inference contract: words the trainer could have seen (<= 12 chars)
+    segment by the SAME integer Viterbi the trainer used; longer words take
+    the character fallback — documented, closed-form, identical on both
+    engines (the oracle appends it after the unrolled inference DP).
+
+    Scale: the word->n_toks map is a pinned tokenizer artifact
+    (``unigram_word_tokens`` — train driver-side, Arrow-encode once per
+    DISTINCT word), so the registered plan is the vocabulary broadcast
+    join + ONE map-side-combining per-source aggregate — byte-identical
+    shape to ``text_bpe_fertility``, overflow-safe ppm splits included."""
+    from ..operators.bpe import corpus_words
+    from .artifacts import unigram_word_tokens
+
+    d = corpus_words(spark, sf_dir, "source")
+    wt = unigram_word_tokens(spark, sf_dir)
+    agg = (
+        d.join(F.broadcast(wt), d.w == wt.word)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_unigram_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        "n_unigram_tokens",
+        F.expr(_ppm_ratio_sql("n_unigram_tokens", "n_words", "DIV")).alias(
+            "fertility_ppm"
+        ),
+        F.expr(_ppm_ratio_sql("n_chars", "n_unigram_tokens", "DIV")).alias(
+            "chars_per_token_ppm"
+        ),
+    )

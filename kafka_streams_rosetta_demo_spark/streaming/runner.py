@@ -292,6 +292,49 @@ def _file_sink_has_commits(out_dir: str) -> bool:
     return False
 
 
+def idempotent_parquet_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """The EXACTLY-ONCE OUTPUT upgrade over the at-least-once contract (T5):
+    a ``foreachBatch`` writer that lands each micro-batch in its own
+    ``batch_id=<id>`` directory with ``mode("overwrite")``. Structured
+    Streaming guarantees ``foreachBatch`` is called with the SAME batch_id
+    when a batch is redelivered (failure after the sink write but before
+    the checkpoint commit), so the retry OVERWRITES its own partition
+    instead of appending a duplicate — at-least-once delivery + an
+    idempotent, batchId-keyed write = exactly-once output, the pattern the
+    Structured Streaming programming guide prescribes for
+    non-transactional sinks. The write is the ordinary executor-side batch
+    parquet writer; nothing moves through the driver. Read the sink back
+    as one dataset with ``spark.read.parquet(out_dir)`` (partition
+    discovery exposes ``batch_id``). Redelivery pinned in
+    tests/test_streaming.py::test_idempotent_sink_survives_batch_redelivery
+    (the naive append sink provably duplicates under the same forced
+    replay)."""
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return sink
+
+
+def run_append_query_to_idempotent_parquet(
+    result: DataFrame, checkpoint_dir: str, out_dir: str
+) -> None:
+    """Run an append-mode stream to completion (availableNow) through the
+    batchId-keyed idempotent parquet sink — see
+    :func:`idempotent_parquet_sink` for the exactly-once argument."""
+    (
+        result.writeStream.outputMode("append")
+        .foreachBatch(idempotent_parquet_sink(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_append_query_to_rows(
     result: DataFrame,
     checkpoint_dir: str,

@@ -216,3 +216,22 @@ def test_unigram_vocab_covers_and_beats_charsplit(spark, sf_smoke):
     bpe = sum(c * len(encode_word(w, merges)) for w, c in wc)
     assert tot < uni < char  # compresses, and no word maps to 0 pieces
     assert tot <= bpe < char
+
+
+def test_unigram_fertility_table_mirrors_bpe_shape(spark, sf_smoke):
+    """The two tokenizer fertility tables must be directly comparable: same
+    sources, same word/char totals (tokenizer choice cannot change what a
+    word is), fertility between 1.0 and the char bound — the side-by-side
+    trade study the round-12 deliverable asks for."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    qs = load_all()
+    uni = {r["source"]: r for r in qs["text_unigram_fertility"].fn(spark, sf_smoke).collect()}
+    bpe = {r["source"]: r for r in qs["text_bpe_fertility"].fn(spark, sf_smoke).collect()}
+    assert set(uni) == set(bpe)
+    for src, u in uni.items():
+        b = bpe[src]
+        assert u["n_words"] == b["n_words"]
+        assert 1_000_000 <= u["fertility_ppm"]
+        assert u["n_unigram_tokens"] >= u["n_words"]
+        assert u["chars_per_token_ppm"] >= 1_000_000

@@ -156,6 +156,67 @@ def test_parquet_changelog_sink_restart_replays_nothing(spark, split_events_dir,
     assert spark.read.parquet(out_dir).count() == first
 
 
+def test_idempotent_sink_survives_batch_redelivery(spark, split_events_dir, tmp_path):
+    """T5 upgrade pin: force a batch REDELIVERY (the sink write succeeds,
+    then the query dies before the checkpoint commits, then it restarts) and
+    prove the batchId-keyed overwrite sink emits every row exactly once —
+    while the naive append sink, under the IDENTICAL forced replay,
+    provably duplicates the redelivered batch (so the scenario really did
+    redeliver; the exactly-once result is earned, not vacuous)."""
+    from kafka_streams_rosetta_demo_spark.streaming.runner import (
+        idempotent_parquet_sink,
+    )
+
+    def run_with_post_write_crash(sink_fn, ckpt):
+        armed = {"on": True}
+
+        def sink(batch_df, batch_id):
+            sink_fn(batch_df, batch_id)  # the write COMMITS to the sink...
+            if batch_id == 1 and armed["on"]:
+                armed["on"] = False  # ...then the query dies pre-checkpoint
+                raise RuntimeError("injected post-write pre-commit failure")
+
+        def go():
+            (
+                _stream(spark, split_events_dir, max_files_per_trigger=1)
+                .select("event_id", "user_id")
+                .writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        with pytest.raises(Exception, match="injected post-write"):
+            go()
+        go()  # restart: batch 1 is redelivered with the SAME batch_id
+
+    expected = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(split_events_dir)
+        .select("event_id")
+        .collect()
+    )
+
+    idem_dir = str(tmp_path / "idem")
+    run_with_post_write_crash(
+        idempotent_parquet_sink(idem_dir), str(tmp_path / "ckpt_idem")
+    )
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(idem_dir).collect()
+    )
+    assert got == expected  # exactly once: no duplicate, no loss
+
+    naive_dir = str(tmp_path / "naive")
+    run_with_post_write_crash(
+        lambda df, _bid: df.write.mode("append").parquet(naive_dir),
+        str(tmp_path / "ckpt_naive"),
+    )
+    naive = spark.read.parquet(naive_dir).count()
+    assert naive > len(expected)  # the replay really happened
+
+
 def test_multibatch_latest_per_key_converges_to_batch(spark, split_events_dir, tmp_path):
     cols = ["ts", "event_id", "event_type", "value"]
     stream = _stream(spark, split_events_dir, max_files_per_trigger=1)
