@@ -464,6 +464,15 @@ def run_section(section: int) -> dict[str, dict[str, object]]:
                 )
 
                 clear_unigram_artifacts()
+            if name == "streaming_boilerplate_screen":
+                # charges the paragraph-frequency index build (the pinned
+                # boilerplate_index artifact); the batch scrub computes
+                # inline and keeps its own full two-pass cost
+                from kafka_streams_rosetta_demo_spark.queries.artifacts import (
+                    clear_boilerplate_artifacts,
+                )
+
+                clear_boilerplate_artifacts()
             if name == "streaming_ann_screen":
                 # charges the ANN band-index + normed-vector artifact build
                 # (the persisted embedding-store index; built once per

@@ -854,3 +854,56 @@ def unigram_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cache_insert(_UNIGRAM_WT_CACHE, key, wt, pins=_UNIGRAM_DISK_PINS)
     return wt
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-scrub index artifact
+# ---------------------------------------------------------------------------
+
+_BOILER_INDEX_CACHE: dict[tuple, DataFrame] = {}
+_BOILER_DISK_PINS: dict[tuple, list[DataFrame]] = {}
+
+
+def clear_boilerplate_artifacts() -> None:
+    """Drop the memoized paragraph-frequency index (bench cost policy: the
+    build is charged to ``streaming_boilerplate_screen``, its consumer; the
+    batch scrub computes inline — its bench row is the full two-pass
+    cost)."""
+    _release_disk_pins(_BOILER_DISK_PINS)
+    _BOILER_INDEX_CACHE.clear()
+
+
+def boilerplate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source paragraph-frequency table (source, ph, df, n_docs)
+    over the corpus — the boilerplate index a crawl pipeline materializes
+    once per corpus snapshot and every ingest batch probes. Same
+    construction as the batch scrub's first pass (shared
+    ``boilerplate_paras`` paragraphizer), pinned and memoized."""
+    from pyspark.sql import functions as F
+
+    from ..sources.parquet import load_table
+    from .corpus_queries import boilerplate_paras
+
+    key = artifact_cache_key(spark, sf_dir)
+    got = _BOILER_INDEX_CACHE.get(key)
+    if got is not None:
+        return got
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src_docs = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    freq = (
+        boilerplate_paras(docs)
+        .groupBy("source", "ph")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+    idx = _pin(
+        freq.join(F.broadcast(src_docs), "source"),
+        spark,
+        "boilerplate_index",
+        _BOILER_DISK_PINS.setdefault(key, []),
+    )
+    cache_insert(_BOILER_INDEX_CACHE, key, idx, pins=_BOILER_DISK_PINS)
+    return idx

@@ -2188,40 +2188,106 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARA_WORDS = 12
 BOILER_DF_PERMILLE = 500
 
+
+def boilerplate_paras(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """THE paragraph construction (12-word chunks + the planted footer/rare
+    injection + md5 digest), shared by the batch scrub and the streaming
+    ingest screen so the paragraphizer can never drift between them — the
+    explode_words discipline. ``docs`` must expose (id_col, source, text);
+    the injection keys off ``id_col % 10`` / ``% 25`` (id shifts of 1e6
+    preserve both residues, so a re-submitted doc reproduces its original's
+    planted footer while its rare paragraph stays doc-unique)."""
+    pw = _PARA_WORDS
+    chunks = docs.select(
+        id_col,
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST((size(split(text, ' ')) - 1)"
+                f" DIV {pw} AS INT)),"
+                f" i -> array_join(slice(split(text, ' '), i * {pw} + 1, {pw}), ' '))"
+            )
+        ).alias("para_idx0", "para"),
+    ).select(
+        id_col,
+        "source",
+        F.col("para_idx0").cast("long").alias("para_idx"),
+        "para",
+    )
+    nch = docs.select(
+        id_col,
+        "source",
+        F.expr(f"CAST((size(split(text, ' ')) - 1) DIV {pw} + 1 AS BIGINT)").alias(
+            "n"
+        ),
+    )
+    footer = nch.where(f"{id_col} % 10 != 7").select(
+        id_col,
+        "source",
+        F.col("n").alias("para_idx"),
+        F.concat(
+            F.lit("cookie consent banner for "),
+            F.col("source"),
+            F.lit(" all rights reserved"),
+        ).alias("para"),
+    )
+    rare = nch.where(f"{id_col} % 25 = 3").select(
+        id_col,
+        "source",
+        (F.col("n") + 1).alias("para_idx"),
+        F.concat(
+            F.lit("unique insight paragraph "), F.col(id_col).cast("string")
+        ).alias("para"),
+    )
+    return (
+        chunks.unionByName(footer)
+        .unionByName(rare)
+        .withColumn("ph", F.md5("para"))
+    )
+
+
+def boilerplate_paras_sql(rel: str, id_col: str = "doc_id") -> str:
+    """The oracle twin of :func:`boilerplate_paras`: emits CTEs
+    ``{rel}_base/{rel}_nch/{rel}_paras`` over relation ``rel`` (which must
+    expose id_col, source, text). One generator feeds the batch scrub
+    oracle and the streaming screen oracle."""
+    pw = _PARA_WORDS
+    return f"""{rel}_base AS (
+  SELECT {id_col}, source, string_split(text, ' ') AS ws FROM {rel}
+),
+{rel}_nch AS (
+  SELECT {id_col}, source,
+         CAST((len(ws) - 1) // {pw} + 1 AS BIGINT) AS n FROM {rel}_base
+),
+{rel}_chunks AS (
+  SELECT {id_col}, source, CAST(i AS BIGINT) AS para_idx,
+         array_to_string(
+           ws[CAST(i * {pw} + 1 AS BIGINT)
+              :CAST((i + 1) * {pw} AS BIGINT)], ' ') AS para
+  FROM {rel}_base,
+       LATERAL unnest(generate_series(0, (len(ws) - 1) // {pw})) AS t(i)
+),
+{rel}_planted AS (
+  SELECT n2.{id_col}, n2.source, n2.n AS para_idx,
+         'cookie consent banner for ' || n2.source || ' all rights reserved'
+           AS para
+  FROM {rel}_nch n2 WHERE n2.{id_col} % 10 <> 7
+  UNION ALL
+  SELECT n3.{id_col}, n3.source, n3.n + 1 AS para_idx,
+         'unique insight paragraph ' || CAST(n3.{id_col} AS VARCHAR) AS para
+  FROM {rel}_nch n3 WHERE n3.{id_col} % 25 = 3
+),
+{rel}_paras AS (
+  SELECT * FROM {rel}_chunks UNION ALL SELECT * FROM {rel}_planted
+)"""
+
 # Planted construction (the text_pii_scrub / dedup_exact discipline): the
 # synthetic corpus has no natural boilerplate, so both engines inject — the
 # per-source cookie-banner footer into ~90% of docs (doc_id % 10 != 7) and a
 # doc-unique "rare" paragraph into docs with doc_id % 25 = 3 — making the
 # scrub observable: the footer must drop, the rare paragraph must survive.
 _BPS_ORACLE = f"""
-WITH base AS (
-  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
-),
-nch AS (
-  SELECT doc_id, source,
-         CAST((len(ws) - 1) // {_PARA_WORDS} + 1 AS BIGINT) AS n FROM base
-),
-chunks AS (
-  SELECT doc_id, source, CAST(i AS BIGINT) AS para_idx,
-         array_to_string(
-           ws[CAST(i * {_PARA_WORDS} + 1 AS BIGINT)
-              :CAST((i + 1) * {_PARA_WORDS} AS BIGINT)], ' ') AS para
-  FROM base,
-       LATERAL unnest(generate_series(0, (len(ws) - 1) // {_PARA_WORDS})) AS t(i)
-),
-planted AS (
-  SELECT n2.doc_id, n2.source, n2.n AS para_idx,
-         'cookie consent banner for ' || n2.source || ' all rights reserved'
-           AS para
-  FROM nch n2 WHERE n2.doc_id % 10 <> 7
-  UNION ALL
-  SELECT n3.doc_id, n3.source, n3.n + 1 AS para_idx,
-         'unique insight paragraph ' || CAST(n3.doc_id AS VARCHAR) AS para
-  FROM nch n3 WHERE n3.doc_id % 25 = 3
-),
-paras AS (
-  SELECT * FROM chunks UNION ALL SELECT * FROM planted
-),
+WITH {boilerplate_paras_sql("documents")},
 src_docs AS (
   SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
   FROM documents GROUP BY source
@@ -2229,12 +2295,12 @@ src_docs AS (
 freq AS (
   SELECT source, md5(para) AS ph,
          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-  FROM paras GROUP BY 1, 2
+  FROM documents_paras GROUP BY 1, 2
 ),
 flagged AS (
   SELECT p.doc_id, p.source, p.para_idx, p.para,
          (f.df * 1000 >= {BOILER_DF_PERMILLE} * s.n_docs) AS boiler
-  FROM paras p
+  FROM documents_paras p
   JOIN freq f ON f.source = p.source AND f.ph = md5(p.para)
   JOIN src_docs s ON s.source = p.source
 )
@@ -2249,14 +2315,12 @@ SELECT doc_id, source,
        md5(coalesce(string_agg(CASE WHEN NOT boiler THEN para END, chr(10)
                                ORDER BY para_idx), '')) AS scrubbed_md5,
        (doc_id % 10 <> 7) AS had_footer,
-       bool_or(boiler AND para LIKE 'cookie consent banner%')
-         AS footer_dropped,
+       bool_or(boiler AND para LIKE 'cookie consent banner%') AS footer_dropped,
        bool_or(NOT boiler AND para LIKE 'unique insight paragraph%')
          AS rare_kept
 FROM flagged
 GROUP BY doc_id, source
 """
-
 
 @register("text_boilerplate_scrub", oracle=_BPS_ORACLE)
 def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2286,51 +2350,7 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    pw = _PARA_WORDS
-    chunks = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, CAST((size(split(text, ' ')) - 1)"
-                f" DIV {pw} AS INT)),"
-                f" i -> array_join(slice(split(text, ' '), i * {pw} + 1, {pw}), ' '))"
-            )
-        ).alias("para_idx0", "para"),
-    ).select(
-        "doc_id",
-        "source",
-        F.col("para_idx0").cast("long").alias("para_idx"),
-        "para",
-    )
-    nch = docs.select(
-        "doc_id",
-        "source",
-        F.expr(f"CAST((size(split(text, ' ')) - 1) DIV {pw} + 1 AS BIGINT)").alias(
-            "n"
-        ),
-    )
-    footer = nch.where("doc_id % 10 != 7").select(
-        "doc_id",
-        "source",
-        F.col("n").alias("para_idx"),
-        F.concat(
-            F.lit("cookie consent banner for "),
-            F.col("source"),
-            F.lit(" all rights reserved"),
-        ).alias("para"),
-    )
-    rare = nch.where("doc_id % 25 = 3").select(
-        "doc_id",
-        "source",
-        (F.col("n") + 1).alias("para_idx"),
-        F.concat(
-            F.lit("unique insight paragraph "), F.col("doc_id").cast("string")
-        ).alias("para"),
-    )
-    paras = chunks.unionByName(footer).unionByName(rare).withColumn(
-        "ph", F.md5("para")
-    )
+    paras = boilerplate_paras(docs)
     src_docs = docs.groupBy("source").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")
     )

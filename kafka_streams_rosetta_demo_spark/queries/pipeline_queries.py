@@ -134,8 +134,7 @@ _IVF_DOT = (
     "FROM (SELECT unnest(range(1, 65)) AS i) s)"
 )
 
-_IVF_ORACLE = f"""
-WITH norms AS (
+_IVF_CTES = f"""norms AS (
   SELECT vec_id, embedding,
          sqrt({_IVF_DOT.format(a="embedding", b="embedding")}) AS nrm
   FROM embeddings
@@ -164,7 +163,10 @@ probes AS (
     FROM norms n CROSS JOIN centroids c
     WHERE n.vec_id < {_KNN_QUERIES}
   ) WHERE rn <= 8
-),
+)"""
+
+_IVF_ORACLE = f"""
+WITH {_IVF_CTES},
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          {_IVF_DOT.format(a="q.embedding", b="d.embedding")} / (q.nrm * d.nrm) AS cos
@@ -2852,8 +2854,7 @@ _PQ_ASSIGN_DIST = _PQ_SQDIST.format(
     a="CAST(e.embedding[cb.m * 8 + s.i] AS DOUBLE)", b="cb.sub[s.i]", lo=1, hi=9
 )
 
-_PQ_ORACLE = f"""
-WITH seeds AS (
+_PQ_CODEBOOK_CTES = f"""seeds AS (
   SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
   FROM (SELECT vec_id, embedding FROM embeddings
         WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT {_PQ_K})
@@ -2876,7 +2877,10 @@ recon AS (
   SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.m)) AS r
   FROM codes c JOIN cb ON cb.m = c.m AND cb.j = c.j
   GROUP BY c.vec_id
-),
+)"""
+
+_PQ_ORACLE = f"""
+WITH {_PQ_CODEBOOK_CTES},
 pairs AS (
   SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
          CAST(floor({_PQ_SQDIST.format(
@@ -2908,6 +2912,72 @@ SELECT query_id,
          AS recall_ppm
 FROM ranked GROUP BY query_id
 """
+
+
+def _pq_sq(a, b):
+    """Sequential multiply-accumulate squared L2 (the operators.vectors.dot
+    fold) — shared by the PQ eval and the IVF+PQ search so the float path
+    is one definition."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_micro(c):
+    """floor(x * 1e6 + 0.5) as BIGINT — the shared distance quantizer."""
+    return F.floor(c * 1000000 + F.lit(0.5)).cast("long")
+
+
+def _pq_codebooks(base: DataFrame) -> list[list[list[float]]]:
+    """cb[m][j] = the j-th id-sampled seed's m-th 8-dim subvector as exact
+    doubles (bounded model state: 16 x 64 floats collected)."""
+    seed_rows = (
+        base.where(F.col("vec_id") % 31 == 0)
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    return [
+        [
+            [float(x) for x in r["embedding"][m * 8 : m * 8 + 8]]
+            for r in seed_rows
+        ]
+        for m in range(_PQ_M)
+    ]
+
+
+def _pq_recon_frame(base: DataFrame, cb: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, embedding, recon): per-row PQ encode (nearest codebook entry
+    per subspace, smaller index on ties) + reconstruction — pure JVM
+    expressions against the literal codebooks, no join, no shuffle."""
+    from ..operators.vectors import const_matrix
+
+    emb_d = F.col("embedding").cast("array<double>")
+    enc_cols = []
+    for m in range(_PQ_M):
+        sub = F.slice(emb_d, m * 8 + 1, 8)
+        scores = F.array(
+            *[
+                _pq_sq(sub, F.expr(_sql_double_array_pq(cb[m][j])))
+                for j in range(_PQ_K)
+            ]
+        )
+        enc_cols.append(
+            F.array_position(scores, F.array_min(scores)).alias(f"p{m}")
+        )
+    enc = base.select("vec_id", "embedding", *enc_cols)
+    return enc.select(
+        "vec_id",
+        "embedding",
+        F.concat(
+            *[
+                F.element_at(const_matrix(cb[m]), F.col(f"p{m}").cast("int"))
+                for m in range(_PQ_M)
+            ]
+        ).alias("recon"),
+    )
 
 
 @register("knn_pq_eval", oracle=_PQ_ORACLE)
@@ -2942,54 +3012,11 @@ def knn_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-kNN BNLJ pass (|Q| capped at 4096, corpus scanned once); the
     two rank windows share one query_id shuffle. The codebook collect is
     bounded model state (16 x 64 floats). Output is |Q| rows."""
-    from ..operators.vectors import capped_query_set, const_matrix
+    from ..operators.vectors import capped_query_set
 
     base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed_rows = (
-        base.where(F.col("vec_id") % 31 == 0)
-        .orderBy("vec_id")
-        .limit(_PQ_K)
-        .collect()
-    )
-    # cb[m][j] = the j-th seed's m-th 8-dim subvector, as exact doubles
-    cb = [
-        [
-            [float(x) for x in r["embedding"][m * 8 : m * 8 + 8]]
-            for r in seed_rows
-        ]
-        for m in range(_PQ_M)
-    ]
-
-    def _sq(a, b):
-        # sequential multiply-accumulate, the operators.vectors.dot fold
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    recon = _pq_recon_frame(base, _pq_codebooks(base))
     emb_d = F.col("embedding").cast("array<double>")
-    enc_cols = []
-    for m in range(_PQ_M):
-        sub = F.slice(emb_d, m * 8 + 1, 8)
-        scores = F.array(
-            *[_sq(sub, F.expr(_sql_double_array_pq(cb[m][j]))) for j in range(_PQ_K)]
-        )
-        # first index of the min = smaller-j tie-break (1-based position)
-        enc_cols.append(
-            F.array_position(scores, F.array_min(scores)).alias(f"p{m}")
-        )
-    enc = base.select("vec_id", "embedding", *enc_cols)
-    recon = enc.select(
-        "vec_id",
-        "embedding",
-        F.concat(
-            *[
-                F.element_at(const_matrix(cb[m]), F.col(f"p{m}").cast("int"))
-                for m in range(_PQ_M)
-            ]
-        ).alias("recon"),
-    )
     q = capped_query_set(base.where(F.col("vec_id") < _KNN_QUERIES)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
@@ -2997,15 +3024,11 @@ def knn_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = recon.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id")
     )
-
-    def micro(c):
-        return F.floor(c * 1000000 + F.lit(0.5)).cast("long")
-
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        micro(_sq(F.col("q_emb"), emb_d)).alias("d_exact_micro"),
-        micro(_sq(F.col("q_emb"), F.col("recon"))).alias("d_adc_micro"),
+        _pq_micro(_pq_sq(F.col("q_emb"), emb_d)).alias("d_exact_micro"),
+        _pq_micro(_pq_sq(F.col("q_emb"), F.col("recon"))).alias("d_adc_micro"),
     )
     we = Window.partitionBy("query_id").orderBy(
         F.asc("d_exact_micro"), F.asc("neighbor_id")
@@ -3036,6 +3059,105 @@ def _sql_double_array_pq(values):
     from ..operators.vectors import _sql_double_array
 
     return _sql_double_array(values)
+
+
+# ---------------------------------------------------------------------------
+# knn_ann_pq — IVF + PQ/ADC composed search (the FAISS IVFPQ production shape)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = f"""
+WITH {_IVF_CTES},
+{_PQ_CODEBOOK_CTES},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(floor({_PQ_SQDIST.format(
+             a="CAST(q.embedding[s.i] AS DOUBLE)", b="r.r[s.i]", lo=1, hi=65)}
+              * 1000000 + 0.5) AS BIGINT) AS d_adc_micro
+  FROM probes p
+  JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+  JOIN norms q ON q.vec_id = p.query_id
+  JOIN recon r ON r.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, d_adc_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d_adc_micro ASC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, d_adc_micro, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
+@register("knn_ann_pq", oracle=_IVFPQ_ORACLE)
+def knn_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed approximate search — FAISS's IVFPQ, THE production
+    index shape for a 100 TB vector store: the IVF coarse quantizer
+    (knn_ann_ivf's 32 deterministic centroids) prunes the search to 8
+    probed cells per query, and within those cells candidates rank by
+    ASYMMETRIC PQ distance (knn_pq_eval's 8x16 codebooks: full-precision
+    query against 8-byte-coded corpus reconstructions) — so the scan-time
+    memory per candidate is the 32x-compressed code, never the raw vector.
+    Both component indexes are already oracle-verified standalone; this
+    query verifies their COMPOSITION end to end (coarse assign → probe →
+    PQ reconstruct → ADC rank), which is what actually ships.
+
+    Determinism: every piece reuses the shared verified fragments — the
+    IVF argmax/probe CTEs, the PQ codebook/encode CTEs, the sequential
+    multiply-accumulate distance, micro-quantized before ranking with id
+    tie-breaks — so the oracle replays the full composed path closed-form.
+
+    Scale: cell assignment and PQ encoding are per-row expressions that
+    pipeline inside ONE corpus scan (no join, no shuffle until the
+    candidate stage); candidates come from the equi-join on cell_id
+    against the broadcast |Q| x nprobe probe table — pair volume is
+    probed-cell occupancy, never |Q| x N; the top-k window shuffles only
+    scored candidates. Centroid + codebook collects are bounded model
+    state (48 x 64 floats total)."""
+    from ..operators.vectors import (
+        capped_query_set,
+        ivf_assign,
+        ivf_probe_cells,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroid_rows = (
+        base.where(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(32).collect()
+    )
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in centroid_rows
+    ]
+    # ONE corpus pass carries both the coarse cell id and the PQ
+    # reconstruction (each a per-row expression over the same scan)
+    corpus = ivf_assign(
+        rebalance(_pq_recon_frame(base, _pq_codebooks(base))),
+        centroids,
+    )
+    q = capped_query_set(base.where(F.col("vec_id") < _KNN_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    probes = ivf_probe_cells(q, centroids, nprobe=8, vec_col="q_emb")
+    scored = (
+        corpus.join(F.broadcast(probes), on="cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_micro(_pq_sq(F.col("q_emb"), F.col("recon"))).alias(
+                "d_adc_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d_adc_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _KNN_K)
+        .select("query_id", "neighbor_id", "d_adc_micro", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------

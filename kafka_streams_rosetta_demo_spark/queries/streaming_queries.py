@@ -1499,3 +1499,155 @@ def streaming_expectation_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("r")
     ).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# streaming_boilerplate_screen — the CCNet scrub run AT INGEST
+# ---------------------------------------------------------------------------
+
+from .corpus_queries import (  # noqa: E402
+    BOILER_DF_PERMILLE as _BP_PERMILLE,
+    boilerplate_paras as _boiler_paras,
+    boilerplate_paras_sql as _boiler_paras_sql,
+)
+
+_BP_SCREEN_ORACLE = f"""
+WITH {_boiler_paras_sql("documents")},
+src_docs AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+freq AS (
+  SELECT source, md5(para) AS ph,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM documents_paras GROUP BY 1, 2
+),
+idx AS (
+  SELECT f.source, f.ph, f.df, s.n_docs
+  FROM freq f JOIN src_docs s USING (source)
+),
+newdocs AS (
+  SELECT doc_id + 1000000 AS new_id, source, text
+  FROM documents WHERE doc_id % 5 = 0
+),
+{_boiler_paras_sql("newdocs", id_col="new_id")},
+probe AS (
+  SELECT p.new_id, p.source, p.para,
+         coalesce(f.df * 1000 >= {_BP_PERMILLE} * f.n_docs, FALSE) AS boiler
+  FROM newdocs_paras p
+  LEFT JOIN idx f ON f.source = p.source AND f.ph = md5(p.para)
+),
+agg AS (
+  SELECT new_id, source,
+         CAST(count(*) AS BIGINT) AS n_paras,
+         CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         bool_or(boiler AND para LIKE 'cookie consent banner%')
+           AS footer_caught,
+         bool_or(NOT boiler AND para LIKE 'unique insight paragraph%')
+           AS rare_clean
+  FROM probe GROUP BY 1, 2
+)
+SELECT new_id, source, n_paras, n_boiler,
+       {_ppm_split("n_boiler", "n_paras")} AS boiler_ppm,
+       footer_caught, rare_clean
+FROM agg
+"""
+
+
+@register("streaming_boilerplate_screen", oracle=_BP_SCREEN_ORACLE)
+def streaming_boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X171 boilerplate scrub run AT INGEST: newly-crawled documents
+    arrive as a STREAM (three staged micro-batches — every 5th corpus doc
+    re-submitted under a shifted id, which PRESERVES the planted-footer
+    residue, so each arrival carries its source's cookie banner) and each
+    micro-batch's paragraphs probe the STATIC per-source paragraph-frequency
+    index (the ``boilerplate_index`` artifact — what a crawl pipeline
+    materializes once per corpus snapshot). Per arriving doc: paragraph
+    count, boilerplate hits, hit rate (exact ppm split), plus the two
+    observability flags — the re-submitted footer must be CAUGHT by the
+    index (footer_caught) while the doc's fresh rare paragraph (its text
+    embeds the NEW id, so it cannot be in the index) must come through
+    clean (rare_clean). The text-family member of the per-ingest screen
+    trio next to the winnowing screen and the ANN screen (X166).
+
+    Scale & state: STATELESS (the winnowing/ANN screen shape — a verdict
+    depends only on the arriving doc and the static index), so no
+    watermark and no state growth; the probe is an equi-join on
+    (source, 16-byte digest) against the built-once pinned index — per
+    batch cost is |batch paragraphs| x matched buckets, never corpus-sized.
+    Unknown paragraphs (LEFT join miss) are clean by definition."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+    from .artifacts import boilerplate_index
+    from .corpus_queries import _ppm_ratio_sql
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    idx = boilerplate_index(spark, sf_dir)
+
+    def screen_batch(batch_df: DataFrame) -> DataFrame:
+        p = _boiler_paras(batch_df, id_col="new_id")
+        probed = p.join(idx, ["source", "ph"], "left").withColumn(
+            "boiler",
+            F.coalesce(
+                F.col("df") * F.lit(1000)
+                >= F.lit(_BP_PERMILLE) * F.col("n_docs"),
+                F.lit(False),
+            ),
+        )
+        agg = probed.groupBy("new_id", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler"),
+            F.max(
+                F.expr("boiler AND para LIKE 'cookie consent banner%'")
+            ).alias("footer_caught"),
+            F.max(
+                F.expr("NOT boiler AND para LIKE 'unique insight paragraph%'")
+            ).alias("rare_clean"),
+        )
+        return agg.select(
+            "new_id",
+            "source",
+            "n_paras",
+            "n_boiler",
+            F.expr(_ppm_ratio_sql("n_boiler", "n_paras", "DIV")).alias(
+                "boiler_ppm"
+            ),
+            "footer_caught",
+            "rare_clean",
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    staged = tempfile.mkdtemp(prefix="bp_ingest_")
+    try:
+        (
+            docs.where(F.col("doc_id") % 5 == 0)
+            .select(
+                (F.col("doc_id") + 1000000).alias("new_id"), "source", "text"
+            )
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        with checkpoint_tmpdir("ckpt_bps_") as ckpt, (
+            checkpoint_tmpdir("sink_bps_")
+        ) as out_dir:
+            return run_update_query_to_df(
+                stream, ["new_id"], ckpt, out_dir, batch_fn=screen_batch
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)

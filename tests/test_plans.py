@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "agg_selfjoin_size_cms",  # 1-row sketch-estimate frame broadcast onto the exact row
     "search_maxsim_late_interaction",  # same declared bounded-|Q| exact scoring shape as knn_brute_force (query TOKENS broadcast, cap enforced)
     "knn_pq_eval",  # same declared bounded-|Q| exact-kNN shape; PQ encode is per-row (r12)
+    "knn_ann_pq",  # 1-row lazy cap-guard frame broadcast onto the query set (the knn_ann_ivf shape, r12)
 }
 
 # Queries whose parquet scan must carry pushed filters: each has a selective
@@ -355,6 +356,7 @@ SHUFFLE_BUDGET = {
     "quality_expectation_suite": 1,  # per-table multi-aggregates + broadcast FK probes; the one exchange is the documents countDistinct
     "dedup_crosslingual_mirror": 1,  # banded candidate distinct is the one exchange; band keys map-side over the checkpointed union, lang joins broadcast pair-sized sides
     # round-12 additions
+    "knn_ann_pq": 1,  # cell assign + PQ encode pipeline in one scan; candidates equi-join the broadcast probe table; the top-k window is the only exchange
     "knn_pq_eval": 1,  # both rank windows + the recall agg share one query_id shuffle (the matryoshka shape); PQ encoding is a per-row expression
     "text_unigram_fertility": 1,  # vocabulary broadcast join + one |sources| aggregate (the text_bpe_fertility shape); the word->n_toks map is a pinned artifact, so Arrow never appears
     "text_unigram_train": 0,  # LocalTableScan: the hard-EM fit is driver-side bounded model state (word agg charged at collect, the text_bpe_train/BT shape)

@@ -235,3 +235,51 @@ def test_unigram_fertility_table_mirrors_bpe_shape(spark, sf_smoke):
         assert 1_000_000 <= u["fertility_ppm"]
         assert u["n_unigram_tokens"] >= u["n_words"]
         assert u["chars_per_token_ppm"] >= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# streaming_boilerplate_screen: ingest-side observability
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_screen_catches_footers_passes_rare(spark, sf_smoke):
+    """Every re-submitted doc that carries its source's planted footer must
+    have it CAUGHT by the static index; every fresh rare paragraph (text
+    embeds the new id, impossible to be indexed) must pass clean; unknown
+    content never inflates n_boiler past the footer count."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["streaming_boilerplate_screen"].fn(spark, sf_smoke).collect()
+    assert out
+    for r in out:
+        had_footer = r["new_id"] % 10 != 7
+        assert r["footer_caught"] == had_footer, r
+        if r["new_id"] % 25 == 3:
+            assert r["rare_clean"], r
+        assert 0 <= r["n_boiler"] <= r["n_paras"]
+        assert r["boiler_ppm"] == r["n_boiler"] * 1_000_000 // r["n_paras"]
+
+
+# ---------------------------------------------------------------------------
+# knn_ann_pq: composed-index shape invariants
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_ranks_dense_and_monotone(spark, sf_smoke):
+    """Per query: exactly k results with dense ranks 1..k and ADC distance
+    non-decreasing in rank (the composed index returns a real top-k, not a
+    bag), and every ADC distance is a non-negative micro-quantized L2."""
+    from collections import defaultdict
+
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    rows = load_all()["knn_ann_pq"].fn(spark, sf_smoke).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r["query_id"]].append((r["rank"], r["d_adc_micro"]))
+    assert len(per_q) == 8
+    for q, rs in per_q.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == [1, 2, 3, 4, 5], (q, rs)
+        ds = [d for _, d in rs]
+        assert ds == sorted(ds) and ds[0] >= 0, (q, ds)

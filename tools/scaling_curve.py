@@ -102,6 +102,7 @@ def clear_caches() -> None:
     from kafka_streams_rosetta_demo_spark.queries.artifacts import (
         clear_ann_artifacts,
         clear_bpe_artifacts,
+        clear_boilerplate_artifacts,
         clear_unigram_artifacts,
         clear_shingle_artifacts,
         clear_winnowing_artifacts,
@@ -119,6 +120,7 @@ def clear_caches() -> None:
     clear_winnowing_artifacts()
     clear_bpe_artifacts()
     clear_unigram_artifacts()
+    clear_boilerplate_artifacts()
     clear_cc_labels_cache()
     release_streaming_result_pins()
 
