@@ -3612,3 +3612,134 @@ def classifier_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (precision_ppm + recall_ppm) ELSE 0L END"
         ).alias("f1_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier_calibration_curve — reliability diagram for the quality filter
+# ---------------------------------------------------------------------------
+
+_CAL_BUCKET_MICRO = 50_000  # margin per bucket
+_CAL_CLAMP = 250_000  # margins clamp to [-250k, 250k) -> buckets 0..9
+
+_CAL_ORACLE = f"""
+WITH model(lang, bias, w_tokens, w_stop, w_digit, threshold) AS (
+  VALUES {", ".join(f"('{l}', {b}, {wt}, {ws}, {wd}, {th})" for l, b, wt, ws, wd, th in _QC_MODEL)}
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains({_QC_STOPS!r}, t))) AS BIGINT) AS stop_hits,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_chars
+  FROM documents
+),
+scored AS (
+  SELECT (m.bias + m.w_tokens * f.n_tokens + m.w_stop * f.stop_hits
+          + m.w_digit * f.digit_chars) - m.threshold AS margin,
+         (f.n_tokens >= 20
+          AND CAST(f.n_distinct AS DOUBLE) / CAST(f.n_tokens AS DOUBLE) >= 0.3)
+           AS good
+  FROM feats f
+  JOIN model m
+    ON m.lang = CASE WHEN f.lang IN ({", ".join(f"'{l}'" for l, *_ in _QC_MODEL if l != "*")})
+                     THEN f.lang ELSE '*' END
+),
+b AS (
+  SELECT (least(greatest(margin, -{_CAL_CLAMP}), {_CAL_CLAMP - 1})
+          + {_CAL_CLAMP}) // {_CAL_BUCKET_MICRO} AS bucket_id,
+         good
+  FROM scored
+),
+agg AS (
+  SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+  FROM b GROUP BY 1
+)
+SELECT bucket_id,
+       CAST((bucket_id - 5) * {_CAL_BUCKET_MICRO} AS BIGINT) AS margin_lo_micro,
+       n_docs, n_good,
+       {{good_ppm}} AS good_rate_ppm,
+       bucket_id >= 5 AS kept
+FROM agg
+""".format(good_ppm=_ppm_ratio_sql("n_good", "n_docs"))
+
+
+@register("classifier_calibration_curve", oracle=_CAL_ORACLE)
+def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier — the gate BEFORE a
+    pipeline uses the model's scores as sampling weights (FineWeb-Edu-style
+    quality-weighted mixing) rather than as a hard keep/drop: per
+    score-margin bucket (10 fixed 0.05-unit bins around the per-language
+    threshold, extremes clamped into the edge bins), how often the
+    rule-based reference says the doc is actually good. A well-calibrated
+    filter shows the good-rate rising through the kept buckets; a flat
+    curve means the scores carry no ranking signal and weighting by them
+    is noise. Completes the model-eval family next to
+    ``classifier_confusion_eval`` (the 2x2 at the threshold; this is the
+    whole curve).
+
+    Determinism: margins are exact integer micro-units; bucketing CLAMPS
+    BEFORE dividing so the integer division never sees a negative dividend
+    (Spark ``DIV`` truncates toward zero, DuckDB ``//`` floors — identical
+    only on non-negatives, so the clamp is load-bearing); the good flag's
+    one double (type-token ratio) is a single compared division, never
+    summed; rates are the shared exact ppm split.
+
+    Scale: ONE corpus scan computes score and reference flag per row (JVM
+    HOFs, 5-row broadcast model); the rollup is a 10-key map-side-combining
+    aggregate. Output is <=10 rows at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = F.split("text", " ")
+    stops = F.array(*[F.lit(s) for s in _QC_STOPS])
+    feats = docs.select(
+        "lang",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        F.size(F.filter(w, lambda t: F.array_contains(stops, t)))
+        .cast("long")
+        .alias("stop_hits"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("digit_chars"),
+    )
+    model = spark.createDataFrame(
+        _QC_MODEL, ["m_lang", "bias", "w_tokens", "w_stop", "w_digit", "threshold"]
+    )
+    known = [l for l, *_ in _QC_MODEL if l != "*"]
+    joined = feats.withColumn(
+        "m_key",
+        F.when(F.col("lang").isin(known), F.col("lang")).otherwise(F.lit("*")),
+    ).join(F.broadcast(model), F.col("m_key") == F.col("m_lang"))
+    margin = (
+        F.col("bias")
+        + F.col("w_tokens") * F.col("n_tokens")
+        + F.col("w_stop") * F.col("stop_hits")
+        + F.col("w_digit") * F.col("digit_chars")
+        - F.col("threshold")
+    ).cast("long")
+    good = (F.col("n_tokens") >= 20) & (
+        F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+        >= 0.3
+    )
+    m = joined.select(margin.alias("margin"), good.alias("good"))
+    b = m.select(
+        F.expr(
+            f"CAST((least(greatest(margin, -{_CAL_CLAMP}), {_CAL_CLAMP - 1})"
+            f" + {_CAL_CLAMP}) DIV {_CAL_BUCKET_MICRO} AS BIGINT)"
+        ).alias("bucket_id"),
+        "good",
+    )
+    agg = b.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("good"), 1).otherwise(0)).cast("long").alias("n_good"),
+    )
+    return agg.select(
+        "bucket_id",
+        ((F.col("bucket_id") - 5) * _CAL_BUCKET_MICRO).cast("long").alias(
+            "margin_lo_micro"
+        ),
+        "n_docs",
+        "n_good",
+        F.expr(_ppm_ratio_sql("n_good", "n_docs", "DIV")).alias("good_rate_ppm"),
+        (F.col("bucket_id") >= 5).alias("kept"),
+    )

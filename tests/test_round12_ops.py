@@ -283,3 +283,27 @@ def test_ivfpq_ranks_dense_and_monotone(spark, sf_smoke):
         assert [rk for rk, _ in rs] == [1, 2, 3, 4, 5], (q, rs)
         ds = [d for _, d in rs]
         assert ds == sorted(ds) and ds[0] >= 0, (q, ds)
+
+
+def test_calibration_curve_is_informative(spark, sf_smoke):
+    """The curve must cover the corpus exactly once, stay inside the 10
+    fixed buckets, and show the filter beats random: the pooled good-rate
+    of the kept region must exceed the dropped region's (a flat or
+    inverted curve would mean threshold-based filtering is noise)."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    out = load_all()["classifier_calibration_curve"].fn(spark, sf_smoke).collect()
+    assert sum(r["n_docs"] for r in out) == load_table(
+        spark, sf_smoke, "documents"
+    ).count()
+    for r in out:
+        assert 0 <= r["bucket_id"] <= 9
+        assert r["kept"] == (r["bucket_id"] >= 5)
+        assert r["good_rate_ppm"] == r["n_good"] * 1_000_000 // r["n_docs"]
+    kept_g = sum(r["n_good"] for r in out if r["kept"])
+    kept_n = sum(r["n_docs"] for r in out if r["kept"])
+    drop_g = sum(r["n_good"] for r in out if not r["kept"])
+    drop_n = sum(r["n_docs"] for r in out if not r["kept"])
+    assert kept_n > 0 and drop_n > 0  # the threshold actually splits
+    assert kept_g * drop_n > drop_g * kept_n  # kept rate > dropped rate
