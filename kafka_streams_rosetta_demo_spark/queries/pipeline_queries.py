@@ -3743,3 +3743,120 @@ def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ppm_ratio_sql("n_good", "n_docs", "DIV")).alias("good_rate_ppm"),
         (F.col("bucket_id") >= 5).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_quality_weighted — score-proportional sampling (the X178 consumer)
+# ---------------------------------------------------------------------------
+
+# keep-rate per calibration bucket, permille: linear in the margin bucket
+# (bucket 0 -> 50, bucket 9 -> 950) — the FineWeb-Edu-style schedule where
+# higher-scored docs are oversampled instead of lower ones being hard-dropped.
+_QW_RATES = [50 + b * 100 for b in range(10)]
+
+_QW_ORACLE = f"""
+WITH model(lang, bias, w_tokens, w_stop, w_digit, threshold) AS (
+  VALUES {", ".join(f"('{l}', {b}, {wt}, {ws}, {wd}, {th})" for l, b, wt, ws, wd, th in _QC_MODEL)}
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains({_QC_STOPS!r}, t))) AS BIGINT) AS stop_hits,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_chars
+  FROM documents
+),
+m AS (
+  SELECT f.doc_id, f.lang,
+         (mo.bias + mo.w_tokens * f.n_tokens + mo.w_stop * f.stop_hits
+          + mo.w_digit * f.digit_chars) - mo.threshold AS margin
+  FROM feats f
+  JOIN model mo
+    ON mo.lang = CASE WHEN f.lang IN ({", ".join(f"'{l}'" for l, *_ in _QC_MODEL if l != "*")})
+                      THEN f.lang ELSE '*' END
+),
+b AS (
+  SELECT doc_id, lang,
+         CAST((least(greatest(margin, -{_CAL_CLAMP}), {_CAL_CLAMP - 1})
+               + {_CAL_CLAMP}) // {_CAL_BUCKET_MICRO} AS BIGINT) AS bucket_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 1000 AS hash_bucket
+  FROM m
+)
+SELECT doc_id, lang, bucket_id,
+       CAST([{", ".join(str(r) for r in _QW_RATES)}][CAST(bucket_id AS INTEGER) + 1]
+            AS BIGINT) AS keep_permille,
+       hash_bucket
+FROM b
+WHERE hash_bucket < [{", ".join(str(r) for r in _QW_RATES)}][CAST(bucket_id AS INTEGER) + 1]
+"""
+
+
+@register("sample_quality_weighted", oracle=_QW_ORACLE)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED sampling — the consumer the calibration curve
+    (``classifier_calibration_curve``) gates: instead of the hard
+    keep/drop at the threshold, each doc's keep probability scales with
+    its score-margin bucket (50‰ for the worst bucket up to 950‰ for the
+    best — the FineWeb-Edu recipe, where quality reweights the mix rather
+    than truncating it). The keep decision is the house deterministic
+    hash-bucket sample (``md5(doc_id) % 1000 < rate``, the
+    sample_stratified_hash discipline): reproducible across runs, engines,
+    and partitionings — seeded RNG is partitioning-dependent and could
+    never be oracle-checked.
+
+    Determinism: the margin/bucket math is X178's exact integer path
+    (clamp-before-divide); the rate table is a 10-entry literal embedded
+    identically in both engines; the hash is the shared 60-bit md5 prefix.
+
+    Scale: entirely map-side — one scan computes score, bucket, and the
+    keep decision per row (5-row broadcast model, zero shuffle); the
+    output is the kept subset with its sampling metadata (bucket +
+    keep_permille), which downstream weighting needs for unbiased loss
+    scaling (1/rate importance weights)."""
+    from ..operators.textsim import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = F.split("text", " ")
+    stops = F.array(*[F.lit(s) for s in _QC_STOPS])
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.filter(w, lambda t: F.array_contains(stops, t)))
+        .cast("long")
+        .alias("stop_hits"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("digit_chars"),
+    )
+    model = spark.createDataFrame(
+        _QC_MODEL, ["m_lang", "bias", "w_tokens", "w_stop", "w_digit", "threshold"]
+    )
+    known = [l for l, *_ in _QC_MODEL if l != "*"]
+    joined = feats.withColumn(
+        "m_key",
+        F.when(F.col("lang").isin(known), F.col("lang")).otherwise(F.lit("*")),
+    ).join(F.broadcast(model), F.col("m_key") == F.col("m_lang"))
+    margin = (
+        F.col("bias")
+        + F.col("w_tokens") * F.col("n_tokens")
+        + F.col("w_stop") * F.col("stop_hits")
+        + F.col("w_digit") * F.col("digit_chars")
+        - F.col("threshold")
+    ).cast("long")
+    m = joined.select("doc_id", "lang", margin.alias("margin"))
+    rates = F.array(*[F.lit(r) for r in _QW_RATES])
+    b = m.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"CAST((least(greatest(margin, -{_CAL_CLAMP}), {_CAL_CLAMP - 1})"
+            f" + {_CAL_CLAMP}) DIV {_CAL_BUCKET_MICRO} AS BIGINT)"
+        ).alias("bucket_id"),
+        (md5_long(F.col("doc_id").cast("string")) % 1000).alias("hash_bucket"),
+    ).withColumn(
+        "keep_permille",
+        F.element_at(rates, (F.col("bucket_id") + 1).cast("int")).cast("long"),
+    )
+    return b.where(F.col("hash_bucket") < F.col("keep_permille")).select(
+        "doc_id", "lang", "bucket_id", "keep_permille", "hash_bucket"
+    )

