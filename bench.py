@@ -277,6 +277,23 @@ OPTIONAL = [
     # round 11: cross-lingual mirror screen (banded embedding near-dups
     # filtered on language disagreement)
     "dedup_crosslingual_mirror",
+    # round 12: the CCNet boilerplate pass — batch scrub (inline two-pass
+    # cost) and the ingest screen (charges the pinned index artifact)
+    "text_boilerplate_scrub",
+    "streaming_boilerplate_screen",
+    # round 12: the PQ compression gate + the composed IVFPQ search
+    "knn_pq_eval",
+    "knn_ann_pq",
+    # round 12: domain-grain curation (rides the warm pair artifact left
+    # by the dedup family earlier in the basket)
+    "corpus_domain_profile",
+    # round 12: unigram tokenizer — train (honest per-call training cost)
+    # and fertility (charges the unigram word->n_toks artifact)
+    "text_unigram_train",
+    "text_unigram_fertility",
+    # round 12: model-eval completion + its sampling consumer
+    "classifier_calibration_curve",
+    "sample_quality_weighted",
 ]
 
 
