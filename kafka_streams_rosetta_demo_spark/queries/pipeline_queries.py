@@ -3006,6 +3006,16 @@ def knn_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the whole index path (seed pick → per-subspace assign →
     reconstruct → ADC rank) closed-form.
 
+    Reading the number: on THIS corpus (uniform-random synthetic
+    embeddings) the measured recall is low — the honest worst case, since
+    PQ's accuracy comes from exploiting cluster structure that uniform
+    data lacks (16 entries per subspace cannot cover an 8-dim uniform
+    cube). That is the gate doing its job: it would tell a pipeline NOT
+    to ship 32x compression on this distribution. The eval still carries
+    ranking signal (overlap beats the random-top-5 baseline severalfold —
+    pinned in tests), and the family ordering holds (PQ at 32x never
+    beats int8 at 4x).
+
     Scale: encoding is a per-row JVM expression against the literal
     codebooks (no join, no shuffle — at 100 TB it pipelines inside the
     corpus scan, like ivf_assign); both distances ride the declared

@@ -141,6 +141,12 @@ def test_pq_eval_bounded_and_ordered_vs_gentler_compressions(spark, sf_smoke):
         assert r["recall_ppm"] == r["n_overlap"] * 1_000_000 // r["k"]
     mean = lambda rows: sum(r["recall_ppm"] for r in rows) / len(rows)
     assert mean(pq) <= mean(sq)
+    # ...but the ADC ranking still carries signal: total overlap must beat
+    # the random-top-5 baseline (E[overlap] = k*k/(N-1) per query) several
+    # times over — a gate that can't beat random would be uninformative
+    n_corpus = 500  # sf0.001/sf0.01 embeddings table
+    random_total = len(pq) * 5 * 5 / (n_corpus - 1)
+    assert sum(r["n_overlap"] for r in pq) > 3 * random_total
 
 
 # ---------------------------------------------------------------------------
