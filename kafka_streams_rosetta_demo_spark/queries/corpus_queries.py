@@ -2703,3 +2703,91 @@ def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_normalize_scrub — Unicode/whitespace normalization before dedup
+# ---------------------------------------------------------------------------
+
+# Deterministic noise injection (the text_pii_scrub discipline — the
+# synthetic corpus is already canonical lowercase single-spaced text, so
+# both engines inject the SAME casing/whitespace/punctuation damage to make
+# the normalizer observable): leading spaces, the first five chars
+# uppercased, every ' table ' blown up to '  TABLE  ', and a doc-dependent
+# trailing run of spaces plus '!!'.
+_NORM_NOISY = (
+    "'  ' || upper(substr({t}, 1, 5)) || substr({t}, 6)"
+    " || repeat(' ', CAST(1 + doc_id % 3 AS {int_t})) || '!!'"
+)
+
+_NORM_ORACLE = f"""
+WITH noisy AS (
+  SELECT doc_id, text,
+         replace({_NORM_NOISY.format(t="text", int_t="INTEGER")},
+                 ' table ', '  TABLE  ') AS noisy
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, text, noisy,
+         trim(regexp_replace(regexp_replace(lower(noisy), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS clean
+  FROM noisy
+)
+SELECT doc_id,
+       CAST(length(noisy) AS BIGINT) AS n_noisy_chars,
+       CAST(length(clean) AS BIGINT) AS n_clean_chars,
+       CAST(length(noisy) - length(clean) AS BIGINT) AS removed_chars,
+       md5(clean) AS clean_md5,
+       clean = text AS restored
+FROM cleaned
+"""
+
+
+@register("text_normalize_scrub", oracle=_NORM_ORACLE)
+def text_normalize_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the pass CCNet/C4 run BEFORE any dedup or
+    frequency analysis, because un-normalized text fragments every
+    downstream key space (casing/whitespace variants of one sentence hash
+    to different shingles, different paragraphs, different exact-dup
+    digests): lowercase, strip non-alphanumerics to spaces, collapse
+    whitespace runs, trim. The corpus is already canonical, so both
+    engines plant the same deterministic damage (leading spaces, uppercased
+    prefix, doubled internal spacing around ' table ', trailing
+    space-run + '!!') and the pin is the crispest possible invariant:
+    normalization must restore EVERY noisy doc to byte-equality with its
+    original (``restored`` all-true, checked per row by the oracle compare
+    and pinned in tests) — the md5 travels so a downstream exact-dedup
+    join could consume this output directly.
+
+    Determinism: pure per-row string functions with RE2-compatible
+    patterns (no backrefs); both regex engines agree on '[^a-z0-9 ]' and
+    ' +'; ``replace`` substitutes every occurrence in both engines.
+
+    Scale: entirely map-side — one scan, zero shuffle, zero joins; at
+    100 TB this pipelines in front of the dedup stages (which is exactly
+    where a real pipeline fuses it)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = F.expr(
+        "replace("
+        + _NORM_NOISY.format(t="text", int_t="INT")
+        + ", ' table ', '  TABLE  ')"
+    )
+    n = docs.select("doc_id", "text", noisy.alias("noisy"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("noisy")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    c = n.select("doc_id", "text", "noisy", clean.alias("clean"))
+    return c.select(
+        "doc_id",
+        F.length("noisy").cast("long").alias("n_noisy_chars"),
+        F.length("clean").cast("long").alias("n_clean_chars"),
+        (F.length("noisy") - F.length("clean")).cast("long").alias(
+            "removed_chars"
+        ),
+        F.md5("clean").alias("clean_md5"),
+        (F.col("clean") == F.col("text")).alias("restored"),
+    )

@@ -356,6 +356,7 @@ SHUFFLE_BUDGET = {
     "quality_expectation_suite": 1,  # per-table multi-aggregates + broadcast FK probes; the one exchange is the documents countDistinct
     "dedup_crosslingual_mirror": 1,  # banded candidate distinct is the one exchange; band keys map-side over the checkpointed union, lang joins broadcast pair-sized sides
     # round-12 additions
+    "text_normalize_scrub": 0,  # pure per-row string normalization: one scan, no joins, no exchange
     "sample_quality_weighted": 0,  # entirely map-side: score, bucket, and hash keep decision in one scan (broadcast 5-row model)
     "classifier_calibration_curve": 1,  # one scan computes margin + reference flag; the 10-key bucket rollup is the only exchange
     "knn_ann_pq": 1,  # cell assign + PQ encode pipeline in one scan; candidates equi-join the broadcast probe table; the top-k window is the only exchange

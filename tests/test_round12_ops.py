@@ -338,3 +338,17 @@ def test_quality_weighted_sample_rates_hold(spark, sf_smoke):
     # kept/bucket never exceeds the bucket's population
     for b, n in per_bucket.items():
         assert n <= cal[b]
+
+
+def test_normalize_scrub_restores_every_doc(spark, sf_smoke):
+    """The normalizer must undo ALL the planted damage on every doc
+    (byte-equality with the original), and must have had something to do
+    (removed_chars > 0 everywhere — the injection really fired)."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    out = load_all()["text_normalize_scrub"].fn(spark, sf_smoke).collect()
+    assert len(out) == load_table(spark, sf_smoke, "documents").count()
+    for r in out:
+        assert r["restored"], r
+        assert r["removed_chars"] > 0, r
