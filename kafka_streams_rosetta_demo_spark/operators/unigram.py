@@ -76,6 +76,13 @@ def seed_vocab(word_counts: list[tuple[str, int]]) -> dict[str, int]:
     return vocab
 
 
+class UncoveredWord(ValueError):
+    """A word whose characters are not all present in the vocabulary —
+    impossible during training (single chars from the training table are
+    never pruned) but reachable at INFERENCE when a corpus word outside the
+    capped training table carries a character the cap excluded."""
+
+
 def viterbi_segment(word: str, vocab: dict[str, int]) -> list[str]:
     """Best segmentation under the integer MDL objective: fewest pieces,
     then largest count sum, then smallest predecessor position at each DP
@@ -102,7 +109,10 @@ def viterbi_segment(word: str, vocab: dict[str, int]) -> list[str]:
         if best_key is not None:
             cells[j] = (best_key[0] + 1, -best_key[1], best_path)
     final = cells[len(word)]
-    assert final is not None, f"uncovered word (chars missing?): {word!r}"
+    if final is None:
+        raise UncoveredWord(
+            f"uncovered word (chars missing from vocab): {word!r}"
+        )
     return final[2]
 
 
@@ -253,10 +263,18 @@ def segment_count(word: str, vocab: dict[str, int]) -> int:
     could have seen (len <= UNI_MAX_WLEN), character count for longer words
     (the documented fallback — the trainer never saw them, and the bound is
     what fixes the oracle's DP unroll depth; a production deployment covers
-    them with byte-fallback pieces the same way SentencePiece does)."""
+    them with byte-fallback pieces the same way SentencePiece does).
+    A <= UNI_MAX_WLEN word whose characters are not all vocabulary-covered
+    (possible when the capped training table excluded every word carrying
+    that character) takes the SAME character fallback — mirrored in the
+    oracle's ``uwt`` uncovered branch so both engines agree on the failure
+    mode instead of engine-crash vs oracle-silent-drop."""
     if len(word) > UNI_MAX_WLEN:
         return len(word)
-    return len(viterbi_segment(word, vocab))
+    try:
+        return len(viterbi_segment(word, vocab))
+    except UncoveredWord:
+        return len(word)
 
 
 def unigram_token_count_udf(spark, vocab: dict[str, int]):
@@ -289,9 +307,12 @@ def unigram_oracle_infer_counts(
     """CTE chain segmenting EVERY distinct corpus word (``iw``) with the
     final trained vocabulary ``vocab{iters+1}`` — the inference twin of the
     training DP, without path lists (only the piece count travels). Words
-    longer than ``max_wlen`` take the character fallback, closed-form.
-    Append after :func:`unigram_oracle_with`; exposes ``uwt`` (word,
-    n_toks)."""
+    longer than ``max_wlen`` take the character fallback, closed-form, and
+    so do short words whose DP never completes (a character the capped
+    training table never covered) — the explicit uncovered branch that
+    mirrors :func:`segment_count`'s fallback, so neither engine crashes or
+    silently drops where the other doesn't. Append after
+    :func:`unigram_oracle_with`; exposes ``uwt`` (word, n_toks)."""
     v = f"vocab{iters + 1}"
     parts = [
         """iw AS (
@@ -328,6 +349,12 @@ g{j} AS MATERIALIZED (
   UNION ALL
   SELECT word, CAST(length(word) AS BIGINT) AS n_toks
   FROM iw WHERE length(word) > {max_wlen}
+  UNION ALL
+  SELECT i2.word, CAST(length(i2.word) AS BIGINT) AS n_toks
+  FROM iw i2
+  WHERE length(i2.word) <= {max_wlen}
+    AND NOT EXISTS (SELECT 1 FROM g{max_wlen} g
+                    WHERE g.word = i2.word AND g.i = length(i2.word))
 )"""
     )
     return ",\n".join(parts)

@@ -144,7 +144,9 @@ def test_pq_eval_bounded_and_ordered_vs_gentler_compressions(spark, sf_smoke):
     # ...but the ADC ranking still carries signal: total overlap must beat
     # the random-top-5 baseline (E[overlap] = k*k/(N-1) per query) several
     # times over — a gate that can't beat random would be uninformative
-    n_corpus = 500  # sf0.001/sf0.01 embeddings table
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    n_corpus = load_table(spark, sf_smoke, "embeddings").count()
     random_total = len(pq) * 5 * 5 / (n_corpus - 1)
     assert sum(r["n_overlap"] for r in pq) > 3 * random_total
 
@@ -257,6 +259,9 @@ def test_boilerplate_screen_catches_footers_passes_rare(spark, sf_smoke):
 
     out = load_all()["streaming_boilerplate_screen"].fn(spark, sf_smoke).collect()
     assert out
+    # non-vacuity: the streamed slice (doc_id % 5 = 3) must actually
+    # intersect the rare residue, else the rare_clean branch never runs
+    assert any(r["new_id"] % 25 == 3 for r in out)
     for r in out:
         had_footer = r["new_id"] % 10 != 7
         assert r["footer_caught"] == had_footer, r
@@ -352,3 +357,54 @@ def test_normalize_scrub_restores_every_doc(spark, sf_smoke):
     for r in out:
         assert r["restored"], r
         assert r["removed_chars"] > 0, r
+
+
+# ---------------------------------------------------------------------------
+# unigram inference: uncovered-word fallback agrees across engines
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_uncovered_word_fallback_cross_engine():
+    """A <= UNI_MAX_WLEN word carrying a character the capped training
+    table never covered must take the character fallback in BOTH engines —
+    not engine-crash vs oracle-silent-drop (round-12 advisory). Plants a
+    3-word training table (cap=3) plus one excluded word 'zz' whose char
+    never appears in the kept words; pins segment_count('zz') == 2 on the
+    Python side and the oracle's uwt row ('zz', 2) via a live DuckDB
+    replay of the same corpus."""
+    import duckdb
+
+    from kafka_streams_rosetta_demo_spark.operators.unigram import (
+        UncoveredWord,
+        segment_count,
+        train_unigram,
+        unigram_oracle_infer_counts,
+        unigram_oracle_with,
+        viterbi_segment,
+    )
+
+    wc = [("aa", 10), ("ab", 9), ("ba", 8)]
+    vocab = train_unigram(wc)
+    # the raw DP is loud for the uncovered word...
+    try:
+        viterbi_segment("zz", vocab)
+        raise AssertionError("expected UncoveredWord")
+    except UncoveredWord:
+        pass
+    # ...and the inference surface falls back to character count
+    assert segment_count("zz", vocab) == 2
+    assert segment_count("ab", vocab) == len(viterbi_segment("ab", vocab))
+
+    con = duckdb.connect()
+    rows = [("aa " * 10).strip(), ("ab " * 9).strip(), ("ba " * 8).strip(), "zz"]
+    con.execute("CREATE TABLE documents(text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in rows])
+    sql = (
+        f"WITH {unigram_oracle_with(cap=3)},\n"
+        f"{unigram_oracle_infer_counts()}\n"
+        f"SELECT word, n_toks FROM uwt ORDER BY word"
+    )
+    got = dict(con.execute(sql).fetchall())
+    assert got["zz"] == 2  # the mirrored uncovered branch
+    for w in ("aa", "ab", "ba"):
+        assert got[w] == segment_count(w, vocab), w
