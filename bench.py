@@ -31,6 +31,21 @@ build-charged queries (dedup_minhash_lsh, dedup_ngram_jaccard) still clear
 the cache before every rep, so cost attribution is unchanged. (With
 SPARK_GRAFT_BENCH_REPS=1 a section's first warm-family member would charge
 one artifact build; the driver runs the default 3.)
+
+Per-query isolation for the heavy streaming topologies (round 13, VERDICT
+r12 task 1): the stream-stream joins and stateful monitors proved the most
+JVM-aging/host-load-sensitive rows in the basket — r12's driver-final timed
+``streaming_interval_join_outer`` at 31.3 s late in its section vs 9.8 s in
+a fresh session, a 4.7x swing on untouched code while the basket-wide host
+factor was 1.35x. Section-level isolation is not enough for them: they
+accumulate state-store/checkpoint temp trees and shuffle files WITHIN a
+section and also suffer from whatever ran before them in it. So the names
+in ``ISOLATED_STREAMING`` are pulled OUT of the contiguous sections and
+each runs in its OWN subprocess (fresh JVM, own warmup, same rep/median
+policy, same artifact cost charging) — the round-8 isolation discipline
+applied one level deeper. None of them builds an artifact any other basket
+member consumes, so extracting them changes no other query's cost
+attribution.
 """
 
 from __future__ import annotations
@@ -61,6 +76,19 @@ EXTRA_REPS = {
     "profile_drift_psi": 2,
 }
 BENCH_SECTIONS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "4")))
+
+# Heavy streaming topologies that each get their OWN subprocess (fresh JVM)
+# instead of riding a shared section — see the module docstring. Every name
+# must also appear in HEADLINE/OPTIONAL (membership there is what puts it
+# in the basket; this set only changes WHERE it runs).
+ISOLATED_STREAMING = frozenset(
+    {
+        "streaming_interval_join_outer",
+        "streaming_ann_screen",
+        "streaming_range_join_keyless",
+        "streaming_expectation_monitor",
+    }
+)
 
 # Headline set: the flagship plan + the heaviest representatives of each
 # operator family. Names must exist in the query registry.
@@ -378,8 +406,16 @@ def run_section(section: int) -> dict[str, dict[str, object]]:
     )
 
     names, fns = resolve_basket()
-    lo, hi = section_bounds(len(names), BENCH_SECTIONS)[section]
-    names = names[lo:hi]
+    iso = [n for n in names if n in ISOLATED_STREAMING]
+    contiguous = [n for n in names if n not in ISOLATED_STREAMING]
+    if section < BENCH_SECTIONS:
+        lo, hi = section_bounds(len(contiguous), BENCH_SECTIONS)[section]
+        names = contiguous[lo:hi]
+    else:
+        # Sections past the contiguous ones are the per-query isolated
+        # runs: one heavy streaming topology alone in this fresh process.
+        k = section - BENCH_SECTIONS
+        names = [iso[k]] if k < len(iso) else []
     if not names:
         return {"timings": {}, "rep_times": {}}
 
@@ -558,7 +594,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
-    for section in range(BENCH_SECTIONS):
+    basket, _fns = resolve_basket()
+    isolated = [n for n in basket if n in ISOLATED_STREAMING]
+    for section in range(BENCH_SECTIONS + len(isolated)):
         returncode, child_out = None, ""
         try:
             returncode, child_out = run_child_section(section)
@@ -603,6 +641,9 @@ def main() -> None:
         "extended_total": round(sum(timings.values()), 3),
         "reps": REPS,
         "sections": BENCH_SECTIONS,
+        # heavy streaming topologies timed each in their own fresh process
+        # (round 13 — see module docstring); same rep/median policy
+        "isolated": isolated,
         "sf": sf_from_dir(SF_DIR),
     }
     # Truncation-proof artifact: the driver keeps only the stdout TAIL, and
