@@ -2791,3 +2791,99 @@ def text_normalize_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("clean").alias("clean_md5"),
         (F.col("clean") == F.col("text")).alias("restored"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_blocklist_scrub — C4's curated-term filter
+# ---------------------------------------------------------------------------
+
+# The curated term set (C4 filters against the public "List of Dirty,
+# Naughty, Obscene or Otherwise Bad Words"; the synthetic stand-ins keep the
+# same word-grain any-hit-drops semantics). 'phish' is never planted — the
+# term that must NEVER fire, proving matching is exact word equality, not
+# substring. The corpus vocabulary is uniform (every natural word appears in
+# most docs), so natural terms would block ~everything; instead both engines
+# plant the SAME deterministic hits (the text_pii_scrub discipline):
+# doc_id % 10 = 3 gets 'spam' twice, % 10 = 7 gets 'gamble' once, and
+# % 100 = 23 (a subset of the spam residue) additionally gets 'exploit' —
+# covering multi-hit, single-hit, multi-term, and clean docs.
+_BLOCKLIST = ("exploit", "gamble", "phish", "spam")
+_BL_SQL_LIST = "[" + ", ".join(f"'{t}'" for t in _BLOCKLIST) + "]"
+_BL_SPARK_ARR = "array(" + ", ".join(f"'{t}'" for t in _BLOCKLIST) + ")"
+_BL_INJECT = (
+    "{t}"
+    " || CASE WHEN doc_id % 10 = 3 THEN ' spam offer spam' ELSE '' END"
+    " || CASE WHEN doc_id % 10 = 7 THEN ' gamble all night' ELSE '' END"
+    " || CASE WHEN doc_id % 100 = 23 THEN ' exploit kit' ELSE '' END"
+)
+
+_BLOCKLIST_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id, source, {_BL_INJECT.format(t="text")} AS text
+  FROM documents
+),
+w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM injected),
+m AS (
+  SELECT doc_id, source, ws,
+         list_filter(ws, x -> list_contains({_BL_SQL_LIST}, x)) AS hits,
+         list_sort(list_intersect(list_distinct(ws), {_BL_SQL_LIST}))
+           AS terms
+  FROM w
+)
+SELECT doc_id, source,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(hits) AS BIGINT) AS n_hits,
+       CAST(len(terms) AS BIGINT) AS n_terms,
+       coalesce(array_to_string(terms, ','), '') AS terms_hit,
+       len(hits) = 0 AS keep
+FROM m
+"""
+# (coalesce: DuckDB's array_to_string of an EMPTY list is NULL where
+# Spark's array_join is '' — both must say "no terms" the same way)
+
+
+@register("text_blocklist_scrub", oracle=_BLOCKLIST_ORACLE)
+def text_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's second cleaning pass next to the boilerplate scrub: the
+    curated-term blocklist filter (Raffel et al. 2020 drop any page
+    containing a word from the public bad-words list). Word-grain exact
+    matching — never substring, so 'exploit' cannot fire on
+    'exploitation' — with the per-doc audit a curation pipeline must emit:
+    occurrence count (``n_hits``), distinct terms hit (``n_terms`` +
+    the sorted ``terms_hit`` list), and the C4 any-hit-drops ``keep`` flag.
+
+    Scale: the term set rides inside the plan as a literal array (curated
+    lists are hundreds of terms — broadcast-sized by construction; past
+    literal-embedding comfort the same shape becomes a broadcast equi-join
+    against the exploded word column). Matching is a JVM higher-order
+    ``filter`` over the split array — one scan, entirely map-side, ZERO
+    exchanges; at 100 TB this fuses into the same stage as the normalize
+    pass it follows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.expr(_BL_INJECT.format(t="text")), " ").alias("ws"),
+    )
+    m = t.select(
+        "doc_id",
+        "source",
+        "ws",
+        F.expr(f"filter(ws, x -> array_contains({_BL_SPARK_ARR}, x))").alias(
+            "hits"
+        ),
+        F.expr(
+            f"array_sort(array_intersect(array_distinct(ws), {_BL_SPARK_ARR}))"
+        ).alias("terms"),
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size("hits").cast("long").alias("n_hits"),
+        F.size("terms").cast("long").alias("n_terms"),
+        F.array_join("terms", ",").alias("terms_hit"),
+        (F.size("hits") == 0).alias("keep"),
+    )

