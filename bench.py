@@ -322,6 +322,11 @@ OPTIONAL = [
     # round 12: model-eval completion + its sampling consumer
     "classifier_calibration_curve",
     "sample_quality_weighted",
+    # round 13: C4 blocklist pass (map-side, zero-exchange) and the unigram
+    # tokenizer's ingest monitor (rides the warm unigram word->n_toks map
+    # charged by text_unigram_fertility earlier in the basket)
+    "text_blocklist_scrub",
+    "streaming_unigram_token_rate",
 ]
 
 

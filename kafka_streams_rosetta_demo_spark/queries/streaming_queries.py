@@ -1654,3 +1654,98 @@ def streaming_boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+@register(
+    "streaming_unigram_token_rate",
+    oracle=None,  # assigned below — shares text_unigram_fertility's SQL
+)
+def streaming_unigram_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming_bpe_token_rate``'s unigram twin — restores the house
+    batch/streaming symmetry for the second corpus-trained tokenizer:
+    documents arrive as a STREAM (three staged parquet files, one per
+    micro-batch), each micro-batch explodes to words through the shared
+    split and probes the STATIC unigram vocabulary map
+    (``unigram_word_tokens`` — the frozen tokenizer shipped broadcast to
+    every executor), folding per-source word/token/char totals into the
+    streaming aggregation state. A pipeline evaluating BPE vs unigram-LM
+    watches BOTH fertility monitors over the same ingest this way.
+
+    State bound: keyed by ``source`` — |sources| rows of four longs BY
+    CONSTRUCTION (the streaming_bpe_token_rate shape verbatim); no
+    watermark, no eviction, nothing grows with the corpus. Final compacted
+    totals feed the same overflow-safe ppm post-math as the batch query
+    and must hash-match ``text_unigram_fertility``'s oracle verbatim —
+    the proof the continuous path computes the identical table."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.bpe import explode_words
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+    from .artifacts import unigram_word_tokens
+    from .corpus_queries import _ppm_ratio_sql
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    wt = unigram_word_tokens(spark, sf_dir)
+
+    staged = tempfile.mkdtemp(prefix="uni_rate_ingest_")
+    try:
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("source", "text")
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        words = explode_words(stream, "source")
+        agg = (
+            words.join(F.broadcast(wt), words.w == wt.word)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("n_toks").cast("long").alias("n_unigram_tokens"),
+                F.sum(F.length("w")).cast("long").alias("n_chars"),
+            )
+        )
+        with checkpoint_tmpdir("ckpt_uni_rate_") as ckpt, (
+            checkpoint_tmpdir("sink_uni_rate_")
+        ) as out_dir:
+            totals = run_update_query_to_df(agg, ["source"], ckpt, out_dir)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return totals.select(
+        "source",
+        "n_words",
+        "n_unigram_tokens",
+        F.expr(_ppm_ratio_sql("n_unigram_tokens", "n_words", "DIV")).alias(
+            "fertility_ppm"
+        ),
+        F.expr(_ppm_ratio_sql("n_chars", "n_unigram_tokens", "DIV")).alias(
+            "chars_per_token_ppm"
+        ),
+    )
+
+
+def _unigram_rate_share_oracle() -> None:
+    """Bind the streaming monitor's oracle to the batch fertility query's
+    SQL — one source of truth (the _bpe_rate_share_oracle pattern)."""
+    import dataclasses
+
+    from . import REGISTRY
+    from . import corpus_queries  # noqa: F401  (registers text_unigram_fertility)
+
+    REGISTRY["streaming_unigram_token_rate"] = dataclasses.replace(
+        REGISTRY["streaming_unigram_token_rate"],
+        oracle=REGISTRY["text_unigram_fertility"].oracle,
+    )
+
+
+_unigram_rate_share_oracle()

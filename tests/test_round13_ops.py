@@ -48,3 +48,36 @@ def test_blocklist_scrub_flags_planted_terms_only(spark, sf_smoke):
             classes["gamble"] += 1
     # non-vacuity: every planted class must actually occur in the corpus
     assert all(v > 0 for v in classes.values()), classes
+
+
+# ---------------------------------------------------------------------------
+# streaming_unigram_token_rate: the continuous path equals the batch table
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_unigram_rate_matches_batch_fertility(spark, sf_smoke):
+    """The streaming monitor's compacted totals must equal the batch
+    fertility table row-for-row (same sources, same totals, same ppm
+    splits) — the proof the micro-batch state fold computes the identical
+    result, not merely a similar one."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    qs = load_all()
+    stream = {
+        r["source"]: r
+        for r in qs["streaming_unigram_token_rate"].fn(spark, sf_smoke).collect()
+    }
+    batch = {
+        r["source"]: r
+        for r in qs["text_unigram_fertility"].fn(spark, sf_smoke).collect()
+    }
+    assert set(stream) == set(batch) and stream
+    for src, b in batch.items():
+        s = stream[src]
+        for c in (
+            "n_words",
+            "n_unigram_tokens",
+            "fertility_ppm",
+            "chars_per_token_ppm",
+        ):
+            assert s[c] == b[c], (src, c, s[c], b[c])
