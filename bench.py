@@ -327,6 +327,9 @@ OPTIONAL = [
     # charged by text_unigram_fertility earlier in the basket)
     "text_blocklist_scrub",
     "streaming_unigram_token_rate",
+    # round 13: the learned-mixture fit (honest per-call cost: bigram LM
+    # aggregate at collect + driver-side 5-round multiplicative weights)
+    "corpus_mixture_doremi",
 ]
 
 

@@ -3870,3 +3870,148 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.where(F.col("hash_bucket") < F.col("keep_permille")).select(
         "doc_id", "lang", "bucket_id", "keep_permille", "hash_bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture_doremi — learned domain mixture weights (DoReMi-style)
+# ---------------------------------------------------------------------------
+
+from ..operators.doremi import (  # noqa: E402
+    DOREMI_SKEW_SQL,
+    doremi_excess,
+    doremi_fit,
+    doremi_oracle_iters,
+)
+
+_DOREMI_ORACLE = f"""
+WITH inj AS (
+  SELECT doc_id, source, {DOREMI_SKEW_SQL.format(t="text")} AS text
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS words
+  FROM inj WHERE len(string_split(text, ' ')) >= 2
+),
+big AS (
+  SELECT doc_id, source, words[i] AS prev, words[i+1] AS cur
+  FROM (SELECT doc_id, source, words, unnest(range(1, len(words))) AS i
+        FROM w)
+),
+cb AS (SELECT prev, cur, count(*) AS c2 FROM big GROUP BY prev, cur),
+cp AS (SELECT prev, count(*) AS c1 FROM big GROUP BY prev),
+terms AS (
+  SELECT b.source,
+         CAST(floor(ln(CAST(cb.c2 AS DOUBLE) / cp.c1) * 1000000 + 0.5)
+              AS BIGINT) AS t_micro
+  FROM big b JOIN cb ON cb.prev = b.prev AND cb.cur = b.cur
+             JOIN cp ON cp.prev = b.prev
+),
+dom AS MATERIALIZED (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(-sum(t_micro) AS BIGINT) AS nll_sum
+  FROM terms GROUP BY source
+),
+ref AS MATERIALIZED (
+  SELECT CAST(sum(nll_sum) // sum(n_bigrams) AS BIGINT) AS nll_ref,
+         CAST(1000000 // count(*) AS BIGINT) AS uniform_ppm
+  FROM dom
+),
+ex AS MATERIALIZED (
+  SELECT d.source, d.n_bigrams,
+         CAST(d.nll_sum // d.n_bigrams AS BIGINT) AS nll_micro,
+         GREATEST(CAST(0 AS BIGINT),
+                  d.nll_sum // d.n_bigrams - r.nll_ref) AS excess_micro,
+         r.uniform_ppm
+  FROM dom d CROSS JOIN ref r
+),
+{doremi_oracle_iters()}
+SELECT e.source, e.n_bigrams, e.nll_micro, e.excess_micro, e.uniform_ppm,
+       i.w_ppm AS weight_ppm,
+       i.w_ppm - e.uniform_ppm AS delta_ppm
+FROM ex e JOIN it5 i ON i.source = e.source
+"""
+
+_DOREMI_SCHEMA = (
+    "source string, n_bigrams long, nll_micro long, excess_micro long, "
+    "uniform_ppm long, weight_ppm long, delta_ppm long"
+)
+
+
+@register("corpus_mixture_doremi", oracle=_DOREMI_ORACLE)
+def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style LEARNED mixture weights — the mixing-family member
+    that derives per-domain sampling weights from a measured loss signal
+    instead of taking them as input (sample_mixture_weighted consumes
+    given weights; sample_temperature_mixture and sample_importance_dsir
+    apply hand rules). Per source: the average bigram NLL under the
+    corpus's own LM (micro-nats, the text_lm_logprob signal at domain
+    grain), the zero-clamped excess over the corpus-wide reference, and
+    the weight after DOREMI_ITERS multiplicative-update rounds with
+    uniform smoothing — high-excess ("hardest") domains gain weight, the
+    Group-DRO intuition the paper operationalizes. See operators/doremi.py
+    for the declared integer-exact divergences (linearized exp, bigram-LM
+    proxy loss) and the planted source-grain skew that makes the signal
+    observable on the uniform synthetic corpus.
+
+    Scale (the preference_bradley_terry bounded-model-state pattern): the
+    corpus-sized work is the bigram explode, the two LM count tables
+    (broadcast or shuffle join by Catalyst's estimate), and ONE map-side-
+    combining per-source aggregate that collapses everything to |domains|
+    rows; those collect to the driver (cap-guarded, refuse-don't-truncate),
+    the 5-round fit runs on model state only, and the result returns as a
+    LocalTableScan. The DuckDB oracle replays the identical integer
+    trajectory as unrolled MATERIALIZED CTEs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(DOREMI_SKEW_SQL.format(t="text")).alias("text")
+    )
+    words = F.split(F.lower("text"), " ")
+    big = (
+        docs.where(F.size(F.split("text", " ")) >= 2)
+        .select("source", words.alias("words"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1),"
+                    " i -> struct(words[i-1] AS prev, words[i] AS cur))"
+                )
+            ).alias("b"),
+        )
+        .select("source", "b.prev", "b.cur")
+    )
+    cb = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    cp = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    t_micro = F.floor(
+        F.log(F.col("c2").cast("double") / F.col("c1")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    dom = (
+        big.join(cb, ["prev", "cur"])
+        .join(cp, "prev")
+        .select("source", t_micro.alias("t_micro"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (-F.sum("t_micro")).cast("long").alias("nll_sum"),
+        )
+    )
+    rows = [
+        (r["source"], int(r["n_bigrams"]), int(r["nll_sum"]))
+        for r in dom.collect()
+    ]
+    excess, _, uniform = doremi_excess(rows)
+    weights = doremi_fit(rows)
+    out = [
+        (
+            src,
+            n,
+            s // n,
+            excess[src],
+            uniform,
+            weights[src],
+            weights[src] - uniform,
+        )
+        for src, n, s in sorted(rows)
+    ]
+    return spark.createDataFrame(out, schema=_DOREMI_SCHEMA)

@@ -81,3 +81,42 @@ def test_streaming_unigram_rate_matches_batch_fertility(spark, sf_smoke):
             "chars_per_token_ppm",
         ):
             assert s[c] == b[c], (src, c, s[c], b[c])
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture_doremi: learned weights move toward the planted skew
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_weights_move_toward_high_excess_domains(spark, sf_smoke):
+    """The done-criterion made executable: every planted-skew source
+    (number % 5 = 2 — the rare-bigram tail raises its NLL) must end with
+    positive excess and MORE than uniform weight; every clean source must
+    end at-or-below uniform; the ppm weights stay a (sub-)distribution
+    (normalization dust only ever loses mass)."""
+    from kafka_streams_rosetta_demo_spark.operators.doremi import (
+        DOREMI_SKEW_RESIDUE,
+    )
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["corpus_mixture_doremi"].fn(spark, sf_smoke).collect()
+    assert out
+    planted = [
+        r for r in out if int(r["source"][3:]) % 5 == DOREMI_SKEW_RESIDUE
+    ]
+    clean = [
+        r for r in out if int(r["source"][3:]) % 5 != DOREMI_SKEW_RESIDUE
+    ]
+    assert planted and clean  # non-vacuity: both classes exist
+    for r in planted:
+        assert r["excess_micro"] > 0, r
+        assert r["weight_ppm"] > r["uniform_ppm"], r
+        assert r["delta_ppm"] == r["weight_ppm"] - r["uniform_ppm"]
+    for r in clean:
+        assert r["weight_ppm"] <= r["uniform_ppm"], r
+    total = sum(r["weight_ppm"] for r in out)
+    assert 900_000 <= total <= 1_000_000, total
+    # the learned mix concentrates: planted mass strictly exceeds its
+    # uniform share after 5 rounds
+    planted_mass = sum(r["weight_ppm"] for r in planted)
+    assert planted_mass > len(planted) * out[0]["uniform_ppm"]
