@@ -330,6 +330,8 @@ OPTIONAL = [
     # round 13: the learned-mixture fit (honest per-call cost: bigram LM
     # aggregate at collect + driver-side 5-round multiplicative weights)
     "corpus_mixture_doremi",
+    # round 13: the re-crawl budget signal (one scan, one domain-key rollup)
+    "corpus_domain_snapshot_diff",
 ]
 
 

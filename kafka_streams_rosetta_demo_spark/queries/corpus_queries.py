@@ -2420,23 +2420,64 @@ DOMAIN_CAP_PERMILLE = 100
 # registered domains (source n -> site{n%7}.example.com) behind rotating
 # subdomains (www./cdn./bare by doc_id % 3), so the registered-domain
 # extraction — host parse, then one-label+public-suffix match that strips
-# subdomains — is exercised, not assumed.
-_DOMPROF_ORACLE = f"""
-WITH RECURSIVE {{cc}},
-inj AS (
+# subdomains — is exercised, not assumed. ONE generator pair (Spark
+# function + SQL-text generator, the boilerplate_paras discipline) feeds
+# both domain-grain queries (profile + snapshot diff) and both oracles.
+
+
+def domain_docs(docs: DataFrame) -> DataFrame:
+    """Spark side of the shared registered-domain derivation: returns
+    (doc_id, source, text, domain)."""
+    url = F.concat(
+        F.lit("https://"),
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END"
+        ),
+        F.lit("site"),
+        F.expr("CAST(CAST(substring(source, 4) AS INT) % 7 AS STRING)"),
+        F.lit(".example.com/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    host = F.regexp_extract(url, "^https://([^/]+)", 1)
+    return docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.regexp_extract(host, "([a-z0-9-]+\\.example\\.com)$", 1).alias(
+            "domain"
+        ),
+    )
+
+
+def domain_docs_sql(rel: str = "documents") -> str:
+    """Oracle twin of :func:`domain_docs`: emits CTEs ``{rel}_inj`` and
+    ``{rel}_dom`` (doc_id, source, text, domain) over relation ``rel``."""
+    return f"""{rel}_inj AS (
   SELECT doc_id, source, text,
          'https://'
          || CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END
-         || 'site' || CAST(CAST(substr(source, 4) AS INT) % 7 AS VARCHAR)
-         || '.example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
-  FROM documents
+         || 'site' || CAST(CAST(substr(source, 4) AS INT) % 7 AS STRING)
+         || '.example.com/' || source || '/' || CAST(doc_id AS STRING) AS url
+  FROM {rel}
 ),
+{rel}_dom AS (
+  SELECT doc_id, source, text,
+         regexp_extract(regexp_extract(url, '^https://([^/]+)', 1),
+                        '([a-z0-9-]+\\.example\\.com)$', 1) AS domain
+  FROM {rel}_inj
+)"""
+
+
+_DOMPROF_ORACLE = f"""
+WITH RECURSIVE {{cc}},
+{domain_docs_sql("documents")},
 dom AS (
   SELECT doc_id, source,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-         regexp_extract(regexp_extract(url, '^https://([^/]+)', 1),
-                        '([a-z0-9-]+\\.example\\.com)$', 1) AS domain
-  FROM inj
+         domain
+  FROM documents_dom
 ),
 dup_ids AS (
   SELECT DISTINCT doc_id FROM (
@@ -2504,26 +2545,11 @@ def corpus_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    url = F.concat(
-        F.lit("https://"),
-        F.expr(
-            "CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END"
-        ),
-        F.lit("site"),
-        F.expr("CAST(CAST(substring(source, 4) AS INT) % 7 AS STRING)"),
-        F.lit(".example.com/"),
-        F.col("source"),
-        F.lit("/"),
-        F.col("doc_id").cast("string"),
-    )
-    host = F.regexp_extract(url, "^https://([^/]+)", 1)
-    dom = docs.select(
+    dom = domain_docs(docs).select(
         "doc_id",
         "source",
         F.size(F.split("text", " ")).cast("long").alias("n_toks"),
-        F.regexp_extract(host, "([a-z0-9-]+\\.example\\.com)$", 1).alias(
-            "domain"
-        ),
+        "domain",
     )
     pairs = jaccard_pairs_075(spark, sf_dir)
     dup_ids = (
@@ -2886,4 +2912,139 @@ def text_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("terms").cast("long").alias("n_terms"),
         F.array_join("terms", ",").alias("terms_hit"),
         (F.size("hits") == 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_domain_snapshot_diff — re-crawl budget at registered-domain grain
+# ---------------------------------------------------------------------------
+
+# Two crawl snapshots derived deterministically from ONE corpus (the corpus
+# has no crawl-time column, so both engines derive identical snapshot
+# membership — the text_pii_scrub discipline): snapshot A is the previous
+# crawl (every doc except doc_id % 10 = 4, which did not exist yet);
+# snapshot B is the re-crawl (every doc except doc_id % 10 = 6, which
+# disappeared), and docs with doc_id % 10 = 8 changed content on re-crawl
+# (text gains ' recrawl update' — exactly +2 tokens). All four CDC classes
+# (added / removed / changed / unchanged) are live in every domain.
+_SNAP_A = "doc_id % 10 <> 4"
+_SNAP_B = "doc_id % 10 <> 6"
+_SNAP_CHANGED = "doc_id % 10 = 8"
+
+_DOMDIFF_ORACLE = f"""
+WITH {domain_docs_sql("documents")},
+d AS (
+  SELECT domain,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks_a,
+         CAST(len(string_split(text, ' '))
+              + CASE WHEN {_SNAP_CHANGED} THEN 2 ELSE 0 END AS BIGINT)
+           AS n_toks_b,
+         {_SNAP_A} AS in_a,
+         {_SNAP_B} AS in_b,
+         {_SNAP_CHANGED} AS chg
+  FROM documents_dom
+),
+agg AS (
+  SELECT domain,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS docs_a,
+         CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS docs_b,
+         CAST(sum(CASE WHEN NOT in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS added_docs,
+         CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS removed_docs,
+         CAST(sum(CASE WHEN in_a AND in_b AND chg THEN 1 ELSE 0 END)
+              AS BIGINT) AS changed_docs,
+         CAST(sum(CASE WHEN in_a AND in_b AND NOT chg THEN 1 ELSE 0 END)
+              AS BIGINT) AS unchanged_docs,
+         CAST(sum(CASE WHEN in_a THEN n_toks_a ELSE 0 END) AS BIGINT)
+           AS tokens_a,
+         CAST(sum(CASE WHEN in_b THEN n_toks_b ELSE 0 END) AS BIGINT)
+           AS tokens_b
+  FROM d GROUP BY domain
+)
+SELECT domain, docs_a, docs_b, added_docs, removed_docs, changed_docs,
+       unchanged_docs, tokens_a, tokens_b,
+       tokens_b - tokens_a AS token_delta,
+       {_ppm_ratio_sql("(added_docs + removed_docs + changed_docs)", "docs_a")}
+         AS churn_ppm
+FROM agg
+"""
+
+
+@register("corpus_domain_snapshot_diff", oracle=_DOMDIFF_ORACLE)
+def corpus_domain_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 domain profile composed with the CDC diff shape: per
+    registered domain, the doc and token deltas between two crawl
+    snapshots — added / removed / changed / unchanged doc counts, token
+    totals per snapshot, the net token delta, and a churn rate (exact ppm
+    split over the previous snapshot) — the re-crawl budget signal a
+    curation pipeline reads next to the dedup-rate curve to decide which
+    domains are worth re-crawling.
+
+    Snapshot membership and the change flag are per-row residue
+    derivations shared with the oracle (see the module constants), so
+    although a production deployment would FULL OUTER join two snapshot
+    tables on doc_id first (the cdc_snapshot_diff shape), here both
+    snapshots are views of one scan and the classification FUSES map-side:
+    the registered plan is one scan + per-row domain parse/flags + ONE
+    co-partitioned domain-key aggregate — a single |domains|-key exchange,
+    plan-pinned. At 100 TB the two-table variant adds exactly one
+    co-partitioned doc_id shuffle before this rollup; nothing else
+    changes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    d = domain_docs(docs).select(
+        "domain",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks_a"),
+        (
+            F.size(F.split("text", " "))
+            + F.expr(f"CASE WHEN {_SNAP_CHANGED} THEN 2 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("n_toks_b"),
+        F.expr(_SNAP_A).alias("in_a"),
+        F.expr(_SNAP_B).alias("in_b"),
+        F.expr(_SNAP_CHANGED).alias("chg"),
+    )
+    agg = d.groupBy("domain").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("docs_a"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("long").alias("docs_b"),
+        F.sum(F.when(~F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("added_docs"),
+        F.sum(F.when(F.col("in_a") & ~F.col("in_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("removed_docs"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b") & F.col("chg"), 1).otherwise(0))
+        .cast("long")
+        .alias("changed_docs"),
+        F.sum(
+            F.when(F.col("in_a") & F.col("in_b") & ~F.col("chg"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("unchanged_docs"),
+        F.sum(F.when(F.col("in_a"), F.col("n_toks_a")).otherwise(0))
+        .cast("long")
+        .alias("tokens_a"),
+        F.sum(F.when(F.col("in_b"), F.col("n_toks_b")).otherwise(0))
+        .cast("long")
+        .alias("tokens_b"),
+    )
+    return agg.select(
+        "domain",
+        "docs_a",
+        "docs_b",
+        "added_docs",
+        "removed_docs",
+        "changed_docs",
+        "unchanged_docs",
+        "tokens_a",
+        "tokens_b",
+        (F.col("tokens_b") - F.col("tokens_a")).alias("token_delta"),
+        F.expr(
+            _ppm_ratio_sql(
+                "(added_docs + removed_docs + changed_docs)", "docs_a", "DIV"
+            )
+        ).alias("churn_ppm"),
     )

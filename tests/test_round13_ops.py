@@ -120,3 +120,32 @@ def test_doremi_weights_move_toward_high_excess_domains(spark, sf_smoke):
     # uniform share after 5 rounds
     planted_mass = sum(r["weight_ppm"] for r in planted)
     assert planted_mass > len(planted) * out[0]["uniform_ppm"]
+
+
+# ---------------------------------------------------------------------------
+# corpus_domain_snapshot_diff: the four CDC classes reconcile per domain
+# ---------------------------------------------------------------------------
+
+
+def test_domain_snapshot_diff_classes_reconcile(spark, sf_smoke):
+    """Per domain: the four classes partition both snapshots
+    (docs_a = removed + changed + unchanged, docs_b = added + changed +
+    unchanged), every class is live somewhere (the residue construction
+    plants all four), the token delta equals adds minus removals plus
+    exactly 2 per changed doc, and churn is the exact ppm split."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["corpus_domain_snapshot_diff"].fn(spark, sf_smoke).collect()
+    assert out
+    for r in out:
+        assert r["docs_a"] == (
+            r["removed_docs"] + r["changed_docs"] + r["unchanged_docs"]
+        ), r
+        assert r["docs_b"] == (
+            r["added_docs"] + r["changed_docs"] + r["unchanged_docs"]
+        ), r
+        assert r["token_delta"] == r["tokens_b"] - r["tokens_a"]
+        churn = r["added_docs"] + r["removed_docs"] + r["changed_docs"]
+        assert r["churn_ppm"] == churn * 1_000_000 // r["docs_a"]
+    for c in ("added_docs", "removed_docs", "changed_docs", "unchanged_docs"):
+        assert sum(r[c] for r in out) > 0, c
