@@ -332,6 +332,12 @@ OPTIONAL = [
     "corpus_mixture_doremi",
     # round 13: the re-crawl budget signal (one scan, one domain-key rollup)
     "corpus_domain_snapshot_diff",
+    # round 13 second wave: the DoReMi loop-closure sampler (honest
+    # per-call cost: LM aggregate + doc-count collect + the broadcast
+    # rate-table apply) and the blocklist ingest screen (stateless
+    # micro-batch classification through the shared matcher)
+    "sample_mixture_doremi",
+    "streaming_blocklist_screen",
 ]
 
 

@@ -2888,6 +2888,14 @@ def text_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
+    return blocklist_scrub_frame(docs)
+
+
+def blocklist_scrub_frame(docs: DataFrame) -> DataFrame:
+    """The blocklist classification as a pure frame transform — ONE
+    definition shared by the batch scrub and the streaming ingest screen
+    (the boilerplate_paras discipline), so the matcher can never drift
+    between them. ``docs`` must expose (doc_id, source, text)."""
     t = docs.select(
         "doc_id",
         "source",

@@ -3883,8 +3883,10 @@ from ..operators.doremi import (  # noqa: E402
     doremi_oracle_iters,
 )
 
-_DOREMI_ORACLE = f"""
-WITH inj AS (
+# The WITH body (signal -> excess -> unrolled fit) is shared by the weight
+# table's oracle and the sampler's oracle (sample_mixture_doremi) — one
+# trajectory definition, two consumers.
+_DOREMI_WITH = f"""inj AS (
   SELECT doc_id, source, {DOREMI_SKEW_SQL.format(t="text")} AS text
   FROM documents
 ),
@@ -3925,7 +3927,10 @@ ex AS MATERIALIZED (
          r.uniform_ppm
   FROM dom d CROSS JOIN ref r
 ),
-{doremi_oracle_iters()}
+{doremi_oracle_iters()}"""
+
+_DOREMI_ORACLE = f"""
+WITH {_DOREMI_WITH}
 SELECT e.source, e.n_bigrams, e.nll_micro, e.excess_micro, e.uniform_ppm,
        i.w_ppm AS weight_ppm,
        i.w_ppm - e.uniform_ppm AS delta_ppm
@@ -3938,30 +3943,11 @@ _DOREMI_SCHEMA = (
 )
 
 
-@register("corpus_mixture_doremi", oracle=_DOREMI_ORACLE)
-def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DoReMi-style LEARNED mixture weights — the mixing-family member
-    that derives per-domain sampling weights from a measured loss signal
-    instead of taking them as input (sample_mixture_weighted consumes
-    given weights; sample_temperature_mixture and sample_importance_dsir
-    apply hand rules). Per source: the average bigram NLL under the
-    corpus's own LM (micro-nats, the text_lm_logprob signal at domain
-    grain), the zero-clamped excess over the corpus-wide reference, and
-    the weight after DOREMI_ITERS multiplicative-update rounds with
-    uniform smoothing — high-excess ("hardest") domains gain weight, the
-    Group-DRO intuition the paper operationalizes. See operators/doremi.py
-    for the declared integer-exact divergences (linearized exp, bigram-LM
-    proxy loss) and the planted source-grain skew that makes the signal
-    observable on the uniform synthetic corpus.
-
-    Scale (the preference_bradley_terry bounded-model-state pattern): the
-    corpus-sized work is the bigram explode, the two LM count tables
-    (broadcast or shuffle join by Catalyst's estimate), and ONE map-side-
-    combining per-source aggregate that collapses everything to |domains|
-    rows; those collect to the driver (cap-guarded, refuse-don't-truncate),
-    the 5-round fit runs on model state only, and the result returns as a
-    LocalTableScan. The DuckDB oracle replays the identical integer
-    trajectory as unrolled MATERIALIZED CTEs."""
+def _doremi_domain_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The corpus-sized half of the DoReMi fit, shared by the weight table
+    and the sampler: skew-injected docs -> bigram explode -> the two LM
+    count tables -> ONE per-source (n_bigrams, nll_sum_micro) aggregate,
+    collected as bounded |domains|-row model state."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.expr(DOREMI_SKEW_SQL.format(t="text")).alias("text")
     )
@@ -3996,10 +3982,37 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.sum("t_micro")).cast("long").alias("nll_sum"),
         )
     )
-    rows = [
+    return [
         (r["source"], int(r["n_bigrams"]), int(r["nll_sum"]))
         for r in dom.collect()
     ]
+
+
+@register("corpus_mixture_doremi", oracle=_DOREMI_ORACLE)
+def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style LEARNED mixture weights — the mixing-family member
+    that derives per-domain sampling weights from a measured loss signal
+    instead of taking them as input (sample_mixture_weighted consumes
+    given weights; sample_temperature_mixture and sample_importance_dsir
+    apply hand rules). Per source: the average bigram NLL under the
+    corpus's own LM (micro-nats, the text_lm_logprob signal at domain
+    grain), the zero-clamped excess over the corpus-wide reference, and
+    the weight after DOREMI_ITERS multiplicative-update rounds with
+    uniform smoothing — high-excess ("hardest") domains gain weight, the
+    Group-DRO intuition the paper operationalizes. See operators/doremi.py
+    for the declared integer-exact divergences (linearized exp, bigram-LM
+    proxy loss) and the planted source-grain skew that makes the signal
+    observable on the uniform synthetic corpus.
+
+    Scale (the preference_bradley_terry bounded-model-state pattern): the
+    corpus-sized work is the bigram explode, the two LM count tables
+    (broadcast or shuffle join by Catalyst's estimate), and ONE map-side-
+    combining per-source aggregate that collapses everything to |domains|
+    rows; those collect to the driver (cap-guarded, refuse-don't-truncate),
+    the 5-round fit runs on model state only, and the result returns as a
+    LocalTableScan. The DuckDB oracle replays the identical integer
+    trajectory as unrolled MATERIALIZED CTEs."""
+    rows = _doremi_domain_rows(spark, sf_dir)
     excess, _, uniform = doremi_excess(rows)
     weights = doremi_fit(rows)
     out = [
@@ -4015,3 +4028,92 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         for src, n, s in sorted(rows)
     ]
     return spark.createDataFrame(out, schema=_DOREMI_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# sample_mixture_doremi — apply the learned weights as keep rates
+# ---------------------------------------------------------------------------
+
+from .corpus_queries import _ppm_ratio_sql as _ppm_sql  # noqa: E402
+
+_SMD_ORACLE = f"""
+WITH {_DOREMI_WITH},
+cnt AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM cnt),
+rates0 AS MATERIALIZED (
+  SELECT c.source,
+         {_ppm_sql("c.n_docs", "t.total")} AS share_ppm,
+         i.w_ppm
+  FROM cnt c CROSS JOIN tot t JOIN it5 i ON i.source = c.source
+),
+rates1 AS MATERIALIZED (
+  SELECT source, share_ppm, w_ppm,
+         w_ppm * 1000000 // share_ppm AS ratio
+  FROM rates0
+),
+mx AS (SELECT max(ratio) AS max_ratio FROM rates1),
+rates AS MATERIALIZED (
+  SELECT source, CAST(ratio * 1000 // max_ratio AS BIGINT) AS keep_permille
+  FROM rates1 CROSS JOIN mx
+),
+h AS (
+  SELECT d.doc_id, d.source, r.keep_permille,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 1000 AS hash_bucket
+  FROM documents d JOIN rates r ON r.source = d.source
+)
+SELECT doc_id, source, keep_permille, hash_bucket
+FROM h WHERE hash_bucket < keep_permille
+"""
+
+_SMD_RATES_SCHEMA = "source string, keep_permille long"
+
+
+@register("sample_mixture_doremi", oracle=_SMD_ORACLE)
+def sample_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer that closes the DoReMi loop: turn the LEARNED mixture
+    weights (corpus_mixture_doremi) into per-source keep rates and apply
+    them with the house deterministic hash sample. Rate derivation is the
+    standard quota resample: keep_rate_s ∝ weight_s / current_share_s,
+    normalized so the most-upweighted source keeps everything (no source
+    can be sampled UP without replication, so the mix is achieved by
+    downsampling the rest) — all integer: shares via the exact ppm split,
+    the ratio and the permille normalization by floor division, identical
+    in Python, Spark, and the oracle's replay.
+
+    Scale (the sample_quality_weighted + BT composition): the corpus-sized
+    work is the per-source LM aggregate (shared with the weight table)
+    plus one |sources|-row doc-count aggregate — both collapse to bounded
+    driver-side model state; the registered output plan is the documents
+    scan + a broadcast join of the |sources|-row rate table + the hash
+    filter — zero shuffles. The oracle replays the ENTIRE composition:
+    the full training trajectory, the share table, the rate
+    normalization, and the md5 keep decision."""
+    from ..operators.textsim import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rows = _doremi_domain_rows(spark, sf_dir)
+    weights = doremi_fit(rows)
+    cnts = {
+        r["source"]: int(r["n"])
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    missing = sorted(set(cnts) - set(weights))
+    if missing:  # refuse silent rate gaps, never sample on partial weights
+        raise ValueError(f"sources without a learned weight: {missing}")
+    total = sum(cnts.values())
+    share = {s: n * 1_000_000 // total for s, n in cnts.items()}
+    ratio = {s: weights[s] * 1_000_000 // share[s] for s in cnts}
+    mx = max(ratio.values())
+    rates = [(s, ratio[s] * 1000 // mx) for s in sorted(cnts)]
+    rates_df = spark.createDataFrame(rates, schema=_SMD_RATES_SCHEMA)
+    h = docs.join(F.broadcast(rates_df), "source").select(
+        "doc_id",
+        "source",
+        "keep_permille",
+        (md5_long(F.col("doc_id").cast("string")) % 1000).alias("hash_bucket"),
+    )
+    return h.where(F.col("hash_bucket") < F.col("keep_permille"))

@@ -1749,3 +1749,74 @@ def _unigram_rate_share_oracle() -> None:
 
 
 _unigram_rate_share_oracle()
+
+
+@register(
+    "streaming_blocklist_screen",
+    oracle=None,  # assigned below — shares text_blocklist_scrub's SQL
+)
+def streaming_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 blocklist pass run AT INGEST — the text-cleaning family's
+    fourth per-ingest screen (next to the boilerplate, winnowing, and ANN
+    screens): documents arrive as a STREAM (three staged parquet files,
+    one per micro-batch) and each micro-batch classifies against the
+    static curated term set through the SAME shared frame transform the
+    batch scrub uses (``blocklist_scrub_frame`` — one matcher definition,
+    so batch and ingest can never drift), emitting the identical per-doc
+    verdict row: word/hit/term counts, the sorted terms-hit list, and the
+    any-hit-drops keep flag.
+
+    Scale & state: STATELESS per-row classification (a verdict depends
+    only on the arriving doc and the literal term set — no index, no
+    watermark, no state growth); per-batch cost is |batch| x |terms|
+    word-grain HOF matching, entirely map-side. The result must
+    hash-match the batch scrub's oracle verbatim — the proof the
+    continuous path computes the identical table."""
+    import shutil
+
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+    from .corpus_queries import blocklist_scrub_frame
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    staged = tempfile.mkdtemp(prefix="bl_ingest_")
+    try:
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text")
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        with checkpoint_tmpdir("ckpt_bls_") as ckpt, (
+            checkpoint_tmpdir("sink_bls_")
+        ) as out_dir:
+            return run_update_query_to_df(
+                stream, ["doc_id"], ckpt, out_dir, batch_fn=blocklist_scrub_frame
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+def _blocklist_screen_share_oracle() -> None:
+    """Bind the ingest screen's oracle to the batch scrub's SQL — one
+    source of truth (the _bpe_rate_share_oracle pattern)."""
+    import dataclasses
+
+    from . import REGISTRY
+    from . import corpus_queries  # noqa: F401  (registers text_blocklist_scrub)
+
+    REGISTRY["streaming_blocklist_screen"] = dataclasses.replace(
+        REGISTRY["streaming_blocklist_screen"],
+        oracle=REGISTRY["text_blocklist_scrub"].oracle,
+    )
+
+
+_blocklist_screen_share_oracle()

@@ -149,3 +149,60 @@ def test_domain_snapshot_diff_classes_reconcile(spark, sf_smoke):
         assert r["churn_ppm"] == churn * 1_000_000 // r["docs_a"]
     for c in ("added_docs", "removed_docs", "changed_docs", "unchanged_docs"):
         assert sum(r[c] for r in out) > 0, c
+
+
+# ---------------------------------------------------------------------------
+# sample_mixture_doremi: the learned weights actually reshape the mix
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_sampler_applies_learned_rates(spark, sf_smoke):
+    """The loop-closure pin: the most-upweighted source keeps everything
+    (keep_permille = 1000 by the normalization), planted-skew sources keep
+    at a strictly higher rate than clean ones on average (the learned mix
+    moved toward them), every kept row satisfies its own hash gate, and
+    no row escapes the rate table."""
+    from kafka_streams_rosetta_demo_spark.operators.doremi import (
+        DOREMI_SKEW_RESIDUE,
+    )
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["sample_mixture_doremi"].fn(spark, sf_smoke).collect()
+    assert out
+    rates = {}
+    for r in out:
+        assert 0 <= r["hash_bucket"] < r["keep_permille"] <= 1000, r
+        rates.setdefault(r["source"], r["keep_permille"])
+        assert rates[r["source"]] == r["keep_permille"]  # one rate per source
+    assert max(rates.values()) == 1000
+    skewed = [v for s, v in rates.items() if int(s[3:]) % 5 == DOREMI_SKEW_RESIDUE]
+    clean = [v for s, v in rates.items() if int(s[3:]) % 5 != DOREMI_SKEW_RESIDUE]
+    assert skewed and clean
+    assert sum(skewed) / len(skewed) > sum(clean) / len(clean)
+
+
+# ---------------------------------------------------------------------------
+# streaming_blocklist_screen: the continuous path equals the batch scrub
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_blocklist_screen_matches_batch(spark, sf_smoke):
+    """The ingest screen's compacted per-doc verdicts must equal the batch
+    scrub row-for-row (shared frame transform, so a mismatch means the
+    streaming machinery corrupted something, not the matcher)."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    qs = load_all()
+    stream = {
+        r["doc_id"]: r
+        for r in qs["streaming_blocklist_screen"].fn(spark, sf_smoke).collect()
+    }
+    batch = {
+        r["doc_id"]: r
+        for r in qs["text_blocklist_scrub"].fn(spark, sf_smoke).collect()
+    }
+    assert set(stream) == set(batch) and stream
+    for did, b in batch.items():
+        s = stream[did]
+        for c in ("source", "n_words", "n_hits", "n_terms", "terms_hit", "keep"):
+            assert s[c] == b[c], (did, c)
