@@ -338,6 +338,9 @@ OPTIONAL = [
     # micro-batch classification through the shared matcher)
     "sample_mixture_doremi",
     "streaming_blocklist_screen",
+    # round 13 third wave: the mixing family's streaming twin (per-ingest
+    # mix-drift report against the broadcast learned target weights)
+    "streaming_mixture_monitor",
 ]
 
 

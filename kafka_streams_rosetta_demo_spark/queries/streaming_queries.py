@@ -1820,3 +1820,110 @@ def _blocklist_screen_share_oracle() -> None:
 
 
 _blocklist_screen_share_oracle()
+
+
+# ---------------------------------------------------------------------------
+# streaming_mixture_monitor — is the ingest delivering the learned mix?
+# ---------------------------------------------------------------------------
+
+from .pipeline_queries import _DOREMI_WITH as _DM_WITH  # noqa: E402
+from .corpus_queries import _ppm_ratio_sql as _dm_ppm  # noqa: E402
+
+_MIX_MON_ORACLE = f"""
+WITH {_DM_WITH},
+cnt AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total FROM cnt),
+obs AS (
+  SELECT c.source, i.w_ppm AS target_ppm, c.n_docs, c.n_toks,
+         {_dm_ppm("c.n_toks", "t.total")} AS observed_ppm
+  FROM cnt c CROSS JOIN tot t JOIN it5 i ON i.source = c.source
+)
+SELECT source, target_ppm, n_docs, n_toks, observed_ppm,
+       observed_ppm - target_ppm AS deviation_ppm,
+       observed_ppm > target_ppm AS over_served
+FROM obs
+"""
+
+
+@register("streaming_mixture_monitor", oracle=_MIX_MON_ORACLE)
+def streaming_mixture_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixing family's streaming twin — the gap every other operator
+    family had already closed: a pipeline that LEARNED its target mixture
+    (corpus_mixture_doremi) must watch whether the ingest actually
+    delivers it. Documents arrive as a STREAM (three staged micro-batches)
+    and per-source doc/token totals fold into the streaming aggregation
+    state; the compacted totals meet the STATIC learned target weights
+    (broadcast |sources|-row model state — the frozen mixture shipped like
+    a frozen tokenizer) and the report is per source: target ppm, observed
+    token-share ppm (exact split), the signed deviation, and the
+    over/under-served flag — what an operator pages on when a source's
+    crawler stalls and the mix drifts off target.
+
+    State bound: keyed by ``source`` — |sources| rows of two longs BY
+    CONSTRUCTION (the streaming_bpe_token_rate shape); no watermark, no
+    eviction. The post-compaction share math is a SinglePartition window
+    over |sources| rows (bounded model state, the corpus_domain_profile
+    discipline). The oracle replays the full learned-weight trajectory
+    plus the share computation, so the monitor's thresholds are
+    oracle-checked, not advisory."""
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.doremi import doremi_fit
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+    from .pipeline_queries import _doremi_domain_rows
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    weights = doremi_fit(_doremi_domain_rows(spark, sf_dir))
+    targets = spark.createDataFrame(
+        sorted(weights.items()), schema="source string, target_ppm long"
+    )
+
+    staged = tempfile.mkdtemp(prefix="mix_mon_ingest_")
+    try:
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("source", "text")
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        agg = stream.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_toks"),
+        )
+        with checkpoint_tmpdir("ckpt_mixmon_") as ckpt, (
+            checkpoint_tmpdir("sink_mixmon_")
+        ) as out_dir:
+            totals = run_update_query_to_df(agg, ["source"], ckpt, out_dir)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+    w_all = Window.partitionBy()  # |sources| rows — bounded
+    t = totals.join(F.broadcast(targets), "source").withColumn(
+        "total", F.sum("n_toks").over(w_all).cast("long")
+    )
+    obs = F.expr(_dm_ppm("n_toks", "total", "DIV"))
+    return t.select(
+        "source",
+        "target_ppm",
+        "n_docs",
+        "n_toks",
+        obs.alias("observed_ppm"),
+        (obs - F.col("target_ppm")).alias("deviation_ppm"),
+        (obs > F.col("target_ppm")).alias("over_served"),
+    )

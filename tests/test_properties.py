@@ -786,3 +786,66 @@ def test_bpe_training_matches_duckdb_oracle_replay(wc):
         toks = encode_word(w, merges_py)
         assert "".join(toks) == w
         assert wt[w] == len(toks), (w, toks, wt[w], merges_py)
+
+
+# ---------------------------------------------------------------------------
+# DoReMi integer fit vs a float multiplicative-weights reference
+# ---------------------------------------------------------------------------
+
+doremi_domains_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=10**9),  # n_bigrams
+        st.integers(min_value=0, max_value=10**13),  # nll_sum_micro
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(domains=doremi_domains_strategy)
+@settings(max_examples=120, deadline=None)
+def test_doremi_integer_fit_tracks_float_reference(domains):
+    """The ppm-quantized multiplicative-weights fit must (a) order final
+    weights exactly like an un-quantized float implementation of the same
+    linearized-Hedge update wherever the float weights are separated beyond
+    quantization noise, (b) be monotone in excess (a strictly harder domain
+    never ends lighter), and (c) keep the weights a smoothed
+    sub-distribution (floor dust only ever loses mass; smoothing floors
+    every domain above zero)."""
+    from kafka_streams_rosetta_demo_spark.operators.doremi import (
+        DOREMI_ETA_PPM,
+        DOREMI_ITERS,
+        DOREMI_SMOOTH_PPM,
+        doremi_excess,
+        doremi_fit,
+    )
+
+    excess, _, uniform = doremi_excess(domains)
+    w_int = doremi_fit(domains)
+
+    # float reference: same linear-payoff Hedge update, no quantization
+    eta = DOREMI_ETA_PPM / 1e6
+    c = DOREMI_SMOOTH_PPM / 1e6
+    u = 1.0 / len(domains)
+    w_f = {s: u for s, _, _ in domains}
+    for _ in range(DOREMI_ITERS):
+        raw = {s: w_f[s] * (1.0 + eta * excess[s] / 1e6) for s in w_f}
+        tot = sum(raw.values())
+        w_f = {s: (1 - c) * raw[s] / tot + c * u for s in w_f}
+
+    srcs = sorted(w_int)
+    total = sum(w_int.values())
+    assert total <= 1_000_000
+    floor = DOREMI_SMOOTH_PPM * (1_000_000 // len(domains)) // 1_000_000
+    for s in srcs:
+        assert floor - 1 <= w_int[s] <= 1_000_000, (s, w_int[s])
+    for a in srcs:
+        for b in srcs:
+            if excess[a] > excess[b]:
+                assert w_int[a] >= w_int[b], (a, b, excess, w_int)
+            # (a): order agreement beyond quantization noise (ppm floors
+            # lose <= ~1e-6 per round; 1e-4 is far outside that envelope)
+            if w_f[a] - w_f[b] > 1e-4:
+                assert w_int[a] >= w_int[b], (a, b, w_f, w_int)

@@ -206,3 +206,34 @@ def test_streaming_blocklist_screen_matches_batch(spark, sf_smoke):
         s = stream[did]
         for c in ("source", "n_words", "n_hits", "n_terms", "terms_hit", "keep"):
             assert s[c] == b[c], (did, c)
+
+
+# ---------------------------------------------------------------------------
+# streaming_mixture_monitor: the drift report reconciles and points right
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_monitor_flags_underserved_skew_sources(spark, sf_smoke):
+    """The raw ingest delivers the NATURAL mix while the learned target
+    upweights the planted-skew sources — so every skewed source must
+    report under-served (observed < target) and at least one clean source
+    over-served; deviations reconcile per row and the observed shares are
+    an exact ppm decomposition (sum within floor dust of 1e6)."""
+    from kafka_streams_rosetta_demo_spark.operators.doremi import (
+        DOREMI_SKEW_RESIDUE,
+    )
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    out = load_all()["streaming_mixture_monitor"].fn(spark, sf_smoke).collect()
+    assert out
+    for r in out:
+        assert r["deviation_ppm"] == r["observed_ppm"] - r["target_ppm"], r
+        assert r["over_served"] == (r["deviation_ppm"] > 0), r
+    total_obs = sum(r["observed_ppm"] for r in out)
+    assert 1_000_000 - len(out) <= total_obs <= 1_000_000
+    skewed = [r for r in out if int(r["source"][3:]) % 5 == DOREMI_SKEW_RESIDUE]
+    clean = [r for r in out if int(r["source"][3:]) % 5 != DOREMI_SKEW_RESIDUE]
+    assert skewed and clean
+    for r in skewed:
+        assert not r["over_served"], r  # target moved above natural share
+    assert any(r["over_served"] for r in clean)
