@@ -339,8 +339,10 @@ OPTIONAL = [
     "sample_mixture_doremi",
     "streaming_blocklist_screen",
     # round 13 third wave: the mixing family's streaming twin (per-ingest
-    # mix-drift report against the broadcast learned target weights)
+    # mix-drift report against the broadcast learned target weights) and
+    # the decontamination removal/retention audit behind the check
     "streaming_mixture_monitor",
+    "text_decontaminate",
 ]
 
 

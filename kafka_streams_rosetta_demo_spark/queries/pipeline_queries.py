@@ -1029,6 +1029,21 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join + one groupBy(doc_id) shuffle. At 100 TB the benchmark set
     is the eval suite (tiny); the corpus never self-joins.
     """
+    ratio = F.col("n_hits") / F.col("n_grams")
+    return _contam_hits(spark, sf_dir).select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round(ratio, 6).alias("overlap_frac"),
+        (ratio >= _CONTAM_THRESH).cast("int").alias("contaminated"),
+    )
+
+
+def _contam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, n_grams, n_hits) against the benchmark n-gram set —
+    the contamination frame shared by the check and the decontamination
+    rollup (one overlap definition, so the remover can never disagree with
+    the screen about what overlaps)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = with_shingles(rebalance(docs), k=_CONTAM_K).localCheckpoint(eager=True)
     dg = sh.select("doc_id", F.explode("shingles").alias("g"))
@@ -1038,18 +1053,10 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    ratio = F.col("n_hits") / F.col("n_grams")
     return (
         dg.join(F.broadcast(bench), "g", "left")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_grams"), F.count("_hit").alias("n_hits"))
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_hits",
-            F.round(ratio, 6).alias("overlap_frac"),
-            (ratio >= _CONTAM_THRESH).cast("int").alias("contaminated"),
-        )
     )
 
 
@@ -4117,3 +4124,122 @@ def sample_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md5_long(F.col("doc_id").cast("string")) % 1000).alias("hash_bucket"),
     )
     return h.where(F.col("hash_bucket") < F.col("keep_permille"))
+
+
+# ---------------------------------------------------------------------------
+# text_decontaminate — the removal + retention audit behind the check
+# ---------------------------------------------------------------------------
+
+from .corpus_queries import _ppm_ratio_sql as _cq_ppm  # noqa: E402
+
+
+def _decontam_oracle() -> str:
+    from .dedup_queries import _shingle_cte
+
+    return f"""
+WITH {_shingle_cte(_CONTAM_K)},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_CONTAM_MOD} = 0),
+hits AS (
+  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(b.shingle) AS BIGINT) AS n_hits
+  FROM sh LEFT JOIN bench b ON sh.shingle = b.shingle
+  GROUP BY sh.doc_id
+),
+d AS (
+  SELECT doc.doc_id, doc.source,
+         CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_toks,
+         coalesce(h.n_hits * 2 >= h.n_grams, FALSE) AS drop_flag
+  FROM documents doc LEFT JOIN hits h ON h.doc_id = doc.doc_id
+  WHERE doc.doc_id % {_CONTAM_MOD} <> 0
+),
+a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_train_docs,
+         CAST(sum(CASE WHEN drop_flag THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+         CAST(sum(CASE WHEN drop_flag THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_kept,
+         CAST(sum(n_toks) AS BIGINT) AS toks_train,
+         CAST(sum(CASE WHEN drop_flag THEN 0 ELSE n_toks END) AS BIGINT)
+           AS toks_kept
+  FROM d GROUP BY source
+)
+SELECT source, n_train_docs, n_dropped, n_kept, toks_train, toks_kept,
+       {{drop_ppm}} AS doc_drop_ppm,
+       {{keep_ppm}} AS token_retention_ppm
+FROM a
+""".format(
+        drop_ppm=_cq_ppm("n_dropped", "n_train_docs"),
+        keep_ppm=_cq_ppm("toks_kept", "toks_train"),
+    )
+
+
+
+
+@register("text_decontaminate", oracle=_decontam_oracle())
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECISION the contamination check feeds (Brown et al. 2020's
+    benchmark decontamination, doc-grain variant): training docs whose
+    distinct-5-gram overlap with the eval set reaches the threshold are
+    DROPPED, and this is the per-source removal/retention audit a release
+    review reads — train-corpus doc counts before/after, dropped count,
+    token totals before/after, doc-drop ppm and token-retention ppm
+    (exact splits). Benchmark docs themselves (the ``doc_id % 97``
+    stand-in eval subset) are excluded from the training denominator —
+    they are not training data to keep or drop.
+
+    Shares the check's overlap frame (``_contam_hits`` — one overlap
+    definition) and states the threshold as the exact integer
+    cross-multiply ``n_hits * 2 >= n_grams`` (equivalent to the check's
+    ratio >= 0.5 at any realistic gram count, and float-free). Docs too
+    short to shingle have no overlap row and are kept by definition
+    (LEFT join, FALSE coalesce) — mirrored in the oracle.
+
+    Scale: the overlap frame is the check's broadcast-bench join + one
+    doc_id aggregate; this adds one doc-grain LEFT join back to the
+    corpus scan (co-partitioned on doc_id) and ONE |sources|-key rollup.
+    At 100 TB the bench set is the eval suite — tiny and broadcast — and
+    the corpus never self-joins."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    d = (
+        docs.where(F.col("doc_id") % _CONTAM_MOD != 0)
+        .join(_contam_hits(spark, sf_dir), "doc_id", "left")
+        .select(
+            "source",
+            "n_toks",
+            F.coalesce(
+                F.col("n_hits") * 2 >= F.col("n_grams"), F.lit(False)
+            ).alias("drop_flag"),
+        )
+    )
+    a = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+        F.sum(F.when(F.col("drop_flag"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("drop_flag"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum("n_toks").cast("long").alias("toks_train"),
+        F.sum(F.when(F.col("drop_flag"), 0).otherwise(F.col("n_toks")))
+        .cast("long")
+        .alias("toks_kept"),
+    )
+    return a.select(
+        "source",
+        "n_train_docs",
+        "n_dropped",
+        "n_kept",
+        "toks_train",
+        "toks_kept",
+        F.expr(_cq_ppm("n_dropped", "n_train_docs", "DIV")).alias(
+            "doc_drop_ppm"
+        ),
+        F.expr(_cq_ppm("toks_kept", "toks_train", "DIV")).alias(
+            "token_retention_ppm"
+        ),
+    )

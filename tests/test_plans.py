@@ -368,6 +368,7 @@ SHUFFLE_BUDGET = {
     "corpus_mixture_doremi": 0,  # LocalTableScan: the 5-round multiplicative-weights fit is driver-side bounded model state (per-source LM agg charged at collect, the BT/unigram shape)
     "corpus_domain_snapshot_diff": 1,  # snapshot membership/change flags fuse map-side (both snapshots are views of one scan); the |domains|-key rollup is the only exchange
     "sample_mixture_doremi": 0,  # registered plan: documents scan + broadcast |sources|-row rate table + hash filter; the LM aggregate behind the rates is charged at collect (the doremi/BT shape)
+    "text_decontaminate": 3,  # overlap frame's doc_id aggregate + the doc-grain join-back + the |sources| rollup; the bench n-gram set broadcasts (the check's shape + one rollup)
     "corpus_domain_profile": 4,  # two-phase distinct-source expand (2) + pair-id distinct (1) + the domain rollup; pair graph is the checkpointed family artifact (its build charged to the builder); total window is SinglePartition over |domains| rows
     "text_boilerplate_scrub": 5,  # two exact-distinct aggs (2 exchanges each: (keys, doc_id) partial + rollup) + the per-doc rollup; at test SF the freq/src joins broadcast (at scale the paras side adds one co-partitioned (source, ph) exchange)
 }

@@ -237,3 +237,34 @@ def test_mixture_monitor_flags_underserved_skew_sources(spark, sf_smoke):
     for r in skewed:
         assert not r["over_served"], r  # target moved above natural share
     assert any(r["over_served"] for r in clean)
+
+
+# ---------------------------------------------------------------------------
+# text_decontaminate: the removal decision matches the check, and reconciles
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_reconciles_with_check(spark, sf_smoke):
+    """Per source: kept + dropped = train docs, retained tokens never
+    exceed train tokens, the ppm columns are the exact splits, and the
+    TOTAL dropped count equals the number of contaminated non-benchmark
+    docs the check itself flags — the remover and the screen can never
+    disagree about what overlaps (shared frame)."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    qs = load_all()
+    out = qs["text_decontaminate"].fn(spark, sf_smoke).collect()
+    assert out
+    for r in out:
+        assert r["n_kept"] + r["n_dropped"] == r["n_train_docs"], r
+        assert 0 <= r["toks_kept"] <= r["toks_train"], r
+        assert r["doc_drop_ppm"] == r["n_dropped"] * 1_000_000 // r["n_train_docs"]
+        assert (
+            r["token_retention_ppm"]
+            == r["toks_kept"] * 1_000_000 // r["toks_train"]
+        )
+    check = qs["text_contamination_check"].fn(spark, sf_smoke).collect()
+    flagged = sum(
+        1 for c in check if c["contaminated"] and c["doc_id"] % 97 != 0
+    )
+    assert sum(r["n_dropped"] for r in out) == flagged
