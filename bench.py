@@ -87,6 +87,15 @@ ISOLATED_STREAMING = frozenset(
         "streaming_ann_screen",
         "streaming_range_join_keyless",
         "streaming_expectation_monitor",
+        # round 14 (VERDICT r13 task 1): the three new multi-second streaming
+        # topologies shared a section subprocess with sub-second batch rows
+        # and inflated five adjacent r12 queries 2.9-6.3x in the driver-final
+        # window (corpus_domain_profile 0.38->2.39 s etc.) — the same
+        # JVM-aging mechanism the r13 isolation fix addressed one section
+        # over. Each now runs alone in its own fresh process.
+        "streaming_mixture_monitor",
+        "streaming_unigram_token_rate",
+        "streaming_boilerplate_screen",
     }
 )
 
@@ -667,15 +676,34 @@ def main() -> None:
         "isolated": isolated,
         "sf": sf_from_dir(SF_DIR),
     }
-    # Truncation-proof artifact: the driver keeps only the stdout TAIL, and
-    # the per-query stderr lines can push the summary's head out of the
-    # capture window — so the same JSON also lands in a committed file.
+    # The driver keeps only the last ~2000 chars of stdout; the full
+    # artifact (184 queries x per-rep times, ~14 KB) can never fit, which is
+    # why BENCH_r09..r13 all recorded "parsed": null. Contract fix (round
+    # 14, VERDICT r13 task 6): the full JSON lands in the committed
+    # BENCH_LOCAL.json, and stdout's FINAL line is a slim summary that fits
+    # the capture window whole — the fixed headline basket (the
+    # round-over-round comparable the judge reads against BASELINE.md),
+    # the extended total, and a pointer to the full artifact. If the file
+    # write fails (read-only checkout), the full JSON is printed first so
+    # no data is lost; the slim line still ends stdout either way.
+    full_line = json.dumps(out)
     try:
         with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as fh:
-            fh.write(json.dumps(out) + "\n")
+            fh.write(full_line + "\n")
     except OSError:
-        pass  # read-only checkout must not break the stdout contract
-    print(json.dumps(out))
+        print(full_line)
+    slim = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "extended_total": out["extended_total"],
+        "n_queries": len(timings),
+        "reps": REPS,
+        "sf": out["sf"],
+        "full": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":

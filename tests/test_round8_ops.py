@@ -317,13 +317,22 @@ def test_bench_parent_falls_back_inline_when_spawn_fails(monkeypatch, tmp_path, 
     bench.main()
     err = capsys.readouterr()
     out_lines = [l for l in err.out.strip().splitlines() if l.startswith("{")]
+    # stdout's FINAL line is the slim contract line (round 14: the driver
+    # keeps only the last ~2000 chars of stdout, so the line that ends
+    # stdout must fit the capture window whole — headline queries only)
     d = _json.loads(out_lines[-1])
-    assert d["queries"] == {"rosetta_enriched": 1.5, "dedup_exact": 0.5}
-    assert d["query_reps"] == {
+    assert d["queries"] == {"rosetta_enriched": 1.5}  # headline names only
+    assert d["value"] == 1.5  # headline sum counts only headline names
+    assert d["extended_total"] == 2.0
+    assert d["n_queries"] == 2
+    assert d["full"] == "BENCH_LOCAL.json"
+    assert len(_json.dumps(d)) < 2000  # must fit the driver capture window
+    assert "running inline" in err.err
+    # the FULL artifact (every query + per-rep times) lands in BENCH_LOCAL
+    full = _json.loads((tmp_path / "BENCH_LOCAL.json").read_text())
+    assert full["queries"] == {"rosetta_enriched": 1.5, "dedup_exact": 0.5}
+    assert full["query_reps"] == {
         "rosetta_enriched": [1.6, 1.5, 1.4],
         "dedup_exact": [0.5, 0.5, 0.6],
     }
-    assert d["value"] == 1.5  # headline sum counts only headline names
-    assert d["extended_total"] == 2.0
-    assert "running inline" in err.err
-    assert (tmp_path / "BENCH_LOCAL.json").exists()
+    assert full["extended_total"] == 2.0
