@@ -47,6 +47,25 @@ DOREMI_ETA_PPM = 2_000_000  # eta = 2.0 in ppm — the update step size
 DOREMI_SMOOTH_PPM = 100_000  # c = 0.1 uniform smoothing in ppm
 MAX_DOREMI_DOMAINS = 4096  # refuse truncated model state past this
 
+# Oracle int64 envelope (ADVICE r13): the normalization CTE evaluates
+# ``_ppm_ratio_sql(raw, tot)`` whose intermediates stay below ``tot * 1000``
+# — int64-safe for ``tot`` up to ~9.2e15. The binding invariant is NOT the
+# domain count: after it0 and after every normalize+smooth round,
+# ``sum(w_ppm) <= 1e6`` (each round's weights are floors of ppm shares of a
+# 1e6 total, then a convex ppm combination with the uniform table — both
+# floor-sum to <= 1e6). Hence
+#   tot = sum(w_d * f_d) <= max(f_d) * sum(w_d) <= f_max * 1e6,
+# with f_d = 1e6 + ETA_PPM * excess_d // 1e6, so the envelope binds f_max
+# <= 9.2e9, i.e. excess_micro <= (9.2e9 - 1e6) * 1e6 // ETA_PPM ~= 4.6e9
+# micro-nats — INDEPENDENT of the 4096-domain cap, which therefore only
+# bounds collected model state, not overflow. The guard below refuses at
+# 4e9 (4000 nats); a real average bigram NLL excess cannot exceed
+# ln(total_bigrams) nats (~41 nats even at 1e18 bigrams), so the refusal is
+# unreachable on any actual corpus — it exists so that past the envelope
+# the Python fit fails as LOUDLY as DuckDB's own int64 overflow error,
+# never silently diverging from the oracle's replay.
+DOREMI_EXCESS_SAFE_MICRO = 4_000_000_000
+
 # Planted skew (the text_pii_scrub discipline): the synthetic corpus is
 # uniform across sources, so both engines append a doc-unique rare-bigram
 # tail (' zz zq<doc_id>') to every doc of the sources with number % 5 = 2 —
@@ -88,6 +107,14 @@ def doremi_fit(domains: list[tuple[str, int, int]]) -> dict[str, int]:
             "bucket the domain key first"
         )
     excess, _, uniform = doremi_excess(domains)
+    worst = max(excess.values())
+    if worst > DOREMI_EXCESS_SAFE_MICRO:
+        # mirror the oracle's failure mode: past the documented envelope
+        # DuckDB's replay raises on int64 overflow — refuse loudly here too
+        raise ValueError(
+            f"excess_micro {worst} exceeds the oracle int64 envelope "
+            f"({DOREMI_EXCESS_SAFE_MICRO}); quantize the loss signal first"
+        )
     w = {src: uniform for src, _, _ in domains}
     for _ in range(DOREMI_ITERS):
         raw = {

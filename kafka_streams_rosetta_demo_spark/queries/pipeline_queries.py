@@ -4050,11 +4050,27 @@ cnt AS MATERIALIZED (
   FROM documents GROUP BY source
 ),
 tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM cnt),
+-- assert-style guard (ADVICE r13): a source with docs but NO learned
+-- weight (every doc under 2 tokens -> absent from the bigram fit) must
+-- REFUSE here exactly like the engine's ValueError, never silently drop
+-- that source's docs through the inner join below
+guard AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_missing
+  FROM cnt c LEFT JOIN it5 i ON i.source = c.source
+  WHERE i.source IS NULL
+),
 rates0 AS MATERIALIZED (
   SELECT c.source,
-         {_ppm_sql("c.n_docs", "t.total")} AS share_ppm,
+         -- share floored at 1 ppm: a sub-ppm source must not divide by 0
+         -- (mirrored in the engine's max(1, ...))
+         GREATEST(1, {_ppm_sql("c.n_docs", "t.total")}) AS share_ppm,
          i.w_ppm
   FROM cnt c CROSS JOIN tot t JOIN it5 i ON i.source = c.source
+  CROSS JOIN guard g
+  WHERE CASE WHEN g.n_missing > 0
+             THEN error('sources without a learned weight: '
+                        || CAST(g.n_missing AS STRING))
+             ELSE TRUE END
 ),
 rates1 AS MATERIALIZED (
   SELECT source, share_ppm, w_ppm,
@@ -4077,6 +4093,25 @@ FROM h WHERE hash_bucket < keep_permille
 """
 
 _SMD_RATES_SCHEMA = "source string, keep_permille long"
+
+
+def smd_keep_rates(
+    cnts: dict[str, int], weights: dict[str, int]
+) -> list[tuple[str, int]]:
+    """The quota-resample rate derivation on bounded model state, extracted
+    so its two declared failure-mode mirrors are unit-testable: a source
+    with docs but NO learned weight REFUSES (mirrored by the oracle guard
+    CTE's ``error()`` — ADVICE r13, never a silent inner-join drop), and a
+    sub-ppm share is floored at 1 so the ratio never divides by zero
+    (mirrored by the oracle's ``GREATEST(1, ...)``)."""
+    missing = sorted(set(cnts) - set(weights))
+    if missing:  # refuse silent rate gaps, never sample on partial weights
+        raise ValueError(f"sources without a learned weight: {missing}")
+    total = sum(cnts.values())
+    share = {s: max(1, n * 1_000_000 // total) for s, n in cnts.items()}
+    ratio = {s: weights[s] * 1_000_000 // share[s] for s in cnts}
+    mx = max(ratio.values())
+    return [(s, ratio[s] * 1000 // mx) for s in sorted(cnts)]
 
 
 @register("sample_mixture_doremi", oracle=_SMD_ORACLE)
@@ -4108,14 +4143,7 @@ def sample_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["source"]: int(r["n"])
         for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    missing = sorted(set(cnts) - set(weights))
-    if missing:  # refuse silent rate gaps, never sample on partial weights
-        raise ValueError(f"sources without a learned weight: {missing}")
-    total = sum(cnts.values())
-    share = {s: n * 1_000_000 // total for s, n in cnts.items()}
-    ratio = {s: weights[s] * 1_000_000 // share[s] for s in cnts}
-    mx = max(ratio.values())
-    rates = [(s, ratio[s] * 1000 // mx) for s in sorted(cnts)]
+    rates = smd_keep_rates(cnts, weights)
     rates_df = spark.createDataFrame(rates, schema=_SMD_RATES_SCHEMA)
     h = docs.join(F.broadcast(rates_df), "source").select(
         "doc_id",

@@ -1528,7 +1528,7 @@ idx AS (
 ),
 newdocs AS (
   SELECT doc_id + 1000000 AS new_id, source, text
-  FROM documents WHERE doc_id % 5 = 3
+  FROM documents WHERE doc_id % 25 = 3 OR doc_id % 10 = 7
 ),
 {_boiler_paras_sql("newdocs", id_col="new_id")},
 probe AS (
@@ -1557,12 +1557,14 @@ FROM agg
 @register("streaming_boilerplate_screen", oracle=_BP_SCREEN_ORACLE)
 def streaming_boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The X171 boilerplate scrub run AT INGEST: newly-crawled documents
-    arrive as a STREAM (three staged micro-batches — the ``doc_id % 5 = 3``
-    corpus slice re-submitted under a shifted id; the +1e6 shift preserves
-    both planted residues, and the slice INTERSECTS the rare residue
-    ``% 25 = 3`` — every ``doc_id % 25 = 3`` doc is ``% 5 = 3`` — so each
-    arrival carries its source's cookie banner AND one in five carries a
-    fresh rare paragraph) and each
+    arrive as a STREAM (three staged micro-batches — the residue UNION
+    ``doc_id % 25 = 3 OR doc_id % 10 = 7`` re-submitted under a shifted id;
+    the +1e6 shift preserves both planted residues, so every arrival class
+    is live: the ``% 25 = 3`` docs carry a footer AND a fresh rare
+    paragraph, while the ``% 10 = 7`` docs are the FOOTER-FREE class —
+    ``footer_caught`` must come back false for them, exercising both sides
+    of the verdict at ingest (ADVICE r13: a pure ``% 5 = 3`` slice can
+    never contain a ``% 10 = 7`` doc, leaving that branch vacuous)) and each
     micro-batch's paragraphs probe the STATIC per-source paragraph-frequency
     index (the ``boilerplate_index`` artifact — what a crawl pipeline
     materializes once per corpus snapshot). Per arriving doc: paragraph
@@ -1632,7 +1634,9 @@ def streaming_boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = tempfile.mkdtemp(prefix="bp_ingest_")
     try:
         (
-            docs.where(F.col("doc_id") % 5 == 3)
+            docs.where(
+                (F.col("doc_id") % 25 == 3) | (F.col("doc_id") % 10 == 7)
+            )
             .select(
                 (F.col("doc_id") + 1000000).alias("new_id"), "source", "text"
             )

@@ -259,9 +259,11 @@ def test_boilerplate_screen_catches_footers_passes_rare(spark, sf_smoke):
 
     out = load_all()["streaming_boilerplate_screen"].fn(spark, sf_smoke).collect()
     assert out
-    # non-vacuity: the streamed slice (doc_id % 5 = 3) must actually
-    # intersect the rare residue, else the rare_clean branch never runs
+    # non-vacuity: BOTH arrival classes must be live — the rare residue
+    # (% 25 = 3: fresh rare paragraph + footer) and the footer-free class
+    # (% 10 = 7: footer_caught must come back FALSE), per the r13 advisory
     assert any(r["new_id"] % 25 == 3 for r in out)
+    assert any(r["new_id"] % 10 == 7 for r in out)
     for r in out:
         had_footer = r["new_id"] % 10 != 7
         assert r["footer_caught"] == had_footer, r

@@ -1,0 +1,193 @@
+"""Round-14 cross-engine failure-mode pins (the three r13 ADVICE items):
+
+1. DoReMi oracle int64 envelope — past the documented excess bound, the
+   Python fit must refuse as LOUDLY as DuckDB's replay overflows (never a
+   silent success on one side).
+2. sample_mixture_doremi weightless source — a source whose every doc is
+   too short to enter the bigram fit must make BOTH engines refuse (the
+   oracle used to silently drop it through the inner join).
+3. share floor — a sub-ppm source must not divide the rate derivation by
+   zero on either side.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# DoReMi excess envelope: Python refuses, DuckDB overflows — both loud
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_excess_envelope_python_refuses():
+    from kafka_streams_rosetta_demo_spark.operators.doremi import (
+        DOREMI_EXCESS_SAFE_MICRO,
+        doremi_excess,
+        doremi_fit,
+    )
+
+    # n=1 bigram each so nll_sum IS the per-bigram average: ref = 1e13,
+    # excess_a = 1e13 — far past the 4e9 envelope
+    domains = [("a", 1, 20_000_000_000_000), ("b", 1, 0)]
+    excess, _, _ = doremi_excess(domains)
+    assert excess["a"] > DOREMI_EXCESS_SAFE_MICRO
+    with pytest.raises(ValueError, match="int64 envelope"):
+        doremi_fit(domains)
+
+
+def test_doremi_excess_envelope_duckdb_overflows():
+    """The same planted excess makes the oracle's unrolled replay raise a
+    DuckDB int64 overflow — the failure the Python-side refusal mirrors.
+    (The arbitrary-precision fit would otherwise succeed silently.)"""
+    import duckdb
+
+    from kafka_streams_rosetta_demo_spark.operators.doremi import (
+        doremi_oracle_iters,
+    )
+
+    sql = f"""
+WITH ex AS (
+  SELECT * FROM (VALUES
+    ('a', CAST(1 AS BIGINT), CAST(20000000000000 AS BIGINT),
+     CAST(10000000000000 AS BIGINT), CAST(500000 AS BIGINT)),
+    ('b', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+     CAST(0 AS BIGINT), CAST(500000 AS BIGINT))
+  ) t(source, n_bigrams, nll_micro, excess_micro, uniform_ppm)
+),
+{doremi_oracle_iters()}
+SELECT * FROM it5
+"""
+    with pytest.raises(duckdb.Error, match="(?i)out of range|overflow"):
+        duckdb.connect().execute(sql).fetchall()
+
+
+def test_doremi_fit_inside_envelope_matches_oracle_at_extreme():
+    """Just INSIDE the guard (excess = the 4e9 bound itself) both engines
+    still replay the identical trajectory — the refusal is conservative,
+    not load-bearing for correctness below it."""
+    import duckdb
+
+    from kafka_streams_rosetta_demo_spark.operators.doremi import (
+        DOREMI_EXCESS_SAFE_MICRO,
+        doremi_fit,
+        doremi_oracle_iters,
+    )
+
+    e = DOREMI_EXCESS_SAFE_MICRO
+    domains = [("a", 1, 2 * e), ("b", 1, 0)]  # ref = e, excess_a = e
+    w = doremi_fit(domains)
+    sql = f"""
+WITH ex AS (
+  SELECT * FROM (VALUES
+    ('a', CAST(1 AS BIGINT), CAST({2 * e} AS BIGINT),
+     CAST({e} AS BIGINT), CAST(500000 AS BIGINT)),
+    ('b', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+     CAST(0 AS BIGINT), CAST(500000 AS BIGINT))
+  ) t(source, n_bigrams, nll_micro, excess_micro, uniform_ppm)
+),
+{doremi_oracle_iters()}
+SELECT source, w_ppm FROM it5 ORDER BY source
+"""
+    got = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == w
+
+
+# ---------------------------------------------------------------------------
+# sample_mixture_doremi: weightless source refuses in BOTH engines
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def weightless_sf_dir(spark, sf_smoke, tmp_path_factory):
+    """An sf dir whose documents table adds a planted source ('src1001',
+    residue 1 mod 5 so the skew injection leaves it alone) where EVERY doc
+    is a single word — too short for the bigram fit, so the source has
+    docs but no learned weight."""
+    import duckdb
+
+    out = tmp_path_factory.mktemp("weightless_sf")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM '{sf_smoke}/documents.parquet'
+  UNION ALL
+  SELECT 9000000 + i AS doc_id, 'solo' AS text, 'en' AS lang,
+         'src1001' AS source, CAST(4 AS BIGINT) AS n_chars
+  FROM unnest(generate_series(1, 5)) t(i)
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+    return str(out)
+
+
+def test_smd_weightless_source_engine_refuses(spark, weightless_sf_dir):
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    fn = load_all()["sample_mixture_doremi"].fn
+    with pytest.raises(ValueError, match="learned weight.*src1001"):
+        fn(spark, weightless_sf_dir)
+
+
+def test_smd_weightless_source_oracle_refuses(weightless_sf_dir):
+    """The oracle's guard CTE must error() — never silently drop the
+    weightless source's docs through the inner join (ADVICE r13)."""
+    import duckdb
+
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    sql = load_all()["sample_mixture_doremi"].oracle
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{weightless_sf_dir}/documents.parquet'"
+    )
+    with pytest.raises(duckdb.Error, match="learned weight"):
+        con.execute(sql).fetchall()
+
+
+def test_smd_guard_passes_on_clean_corpus(sf_smoke):
+    """On a corpus where every source enters the fit, the guard CTE is
+    transparent: the oracle still returns rows (the refusal path must not
+    leak into the happy path)."""
+    import duckdb
+
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    sql = load_all()["sample_mixture_doremi"].oracle
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    assert len(con.execute(sql).fetchall()) > 0
+
+
+# ---------------------------------------------------------------------------
+# share floor: sub-ppm sources derive a rate instead of dividing by zero
+# ---------------------------------------------------------------------------
+
+
+def test_smd_keep_rates_floors_subppm_share():
+    from kafka_streams_rosetta_demo_spark.queries.pipeline_queries import (
+        smd_keep_rates,
+    )
+
+    # 'tiny' holds 1 doc of 3e6 -> exact share 0 ppm -> floored to 1
+    cnts = {"big": 2_999_999, "tiny": 1}
+    weights = {"big": 500_000, "tiny": 500_000}
+    rates = dict(smd_keep_rates(cnts, weights))
+    assert set(rates) == {"big", "tiny"}
+    assert all(0 <= r <= 1000 for r in rates.values())
+    # the tiny source is maximally under-represented -> it keeps everything
+    assert rates["tiny"] == 1000
+
+
+def test_smd_keep_rates_refuses_weightless():
+    from kafka_streams_rosetta_demo_spark.queries.pipeline_queries import (
+        smd_keep_rates,
+    )
+
+    with pytest.raises(ValueError, match="learned weight.*ghost"):
+        smd_keep_rates({"a": 10, "ghost": 5}, {"a": 1_000_000})
