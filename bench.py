@@ -96,6 +96,12 @@ ISOLATED_STREAMING = frozenset(
         "streaming_mixture_monitor",
         "streaming_unigram_token_rate",
         "streaming_boilerplate_screen",
+        # round 14: born isolated — both are multi-second streaming
+        # topologies (full micro-batch machinery + a charged corpus-sized
+        # build: the bench shingle index / the DoReMi rate fit), exactly
+        # the class that inflated section neighbors in r12 and r13.
+        "streaming_decontaminate_screen",
+        "streaming_mixture_sampler",
     }
 )
 
@@ -352,6 +358,15 @@ OPTIONAL = [
     # the decontamination removal/retention audit behind the check
     "streaming_mixture_monitor",
     "text_decontaminate",
+    # round 14: URL-grain exact dedup (the crawl's first dedup stage — one
+    # digest exchange + the domain rollup), the decontamination ingest
+    # screen (per-batch shingle + broadcast bench probe; honest per-call
+    # index build), and the DoReMi loop's ingest sampler (stateless
+    # broadcast-rate gate; rate-table fit charged at build, the batch
+    # sampler's cost shape)
+    "dedup_url_canonical",
+    "streaming_decontaminate_screen",
+    "streaming_mixture_sampler",
 ]
 
 

@@ -24,7 +24,7 @@ operators, each oracle-backed:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import rebalance
@@ -2427,7 +2427,7 @@ DOMAIN_CAP_PERMILLE = 100
 
 def domain_docs(docs: DataFrame) -> DataFrame:
     """Spark side of the shared registered-domain derivation: returns
-    (doc_id, source, text, domain)."""
+    (doc_id, source, text, url, domain)."""
     url = F.concat(
         F.lit("https://"),
         F.expr(
@@ -2445,6 +2445,7 @@ def domain_docs(docs: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         "text",
+        url.alias("url"),
         F.regexp_extract(host, "([a-z0-9-]+\\.example\\.com)$", 1).alias(
             "domain"
         ),
@@ -2453,7 +2454,8 @@ def domain_docs(docs: DataFrame) -> DataFrame:
 
 def domain_docs_sql(rel: str = "documents") -> str:
     """Oracle twin of :func:`domain_docs`: emits CTEs ``{rel}_inj`` and
-    ``{rel}_dom`` (doc_id, source, text, domain) over relation ``rel``."""
+    ``{rel}_dom`` (doc_id, source, text, url, domain) over relation
+    ``rel``."""
     return f"""{rel}_inj AS (
   SELECT doc_id, source, text,
          'https://'
@@ -2463,7 +2465,7 @@ def domain_docs_sql(rel: str = "documents") -> str:
   FROM {rel}
 ),
 {rel}_dom AS (
-  SELECT doc_id, source, text,
+  SELECT doc_id, source, text, url,
          regexp_extract(regexp_extract(url, '^https://([^/]+)', 1),
                         '([a-z0-9-]+\\.example\\.com)$', 1) AS domain
   FROM {rel}_inj
@@ -3055,4 +3057,147 @@ def corpus_domain_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(added_docs + removed_docs + changed_docs)", "docs_a", "DIV"
             )
         ).alias("churn_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_url_canonical — URL-grain exact dedup (the crawl's FIRST dedup stage)
+# ---------------------------------------------------------------------------
+
+# FineWeb's pipeline dedups at URL grain before any content pass: multiple
+# crawls of the same page arrive under messy URL variants (scheme flips,
+# a www. subdomain, tracking query strings, trailing slashes) and must
+# collapse to one canonical URL, keeping the earliest fetch. Planted
+# construction (ONE generator pair, the boilerplate_paras discipline): the
+# re-crawl slice ``doc_id % URL_RECRAWL_MOD = URL_RECRAWL_RESIDUE``
+# re-submits each doc under a shifted id whose raw URL is the original's
+# with EVERY canonicalization axis dirtied at once — http:// scheme, a
+# trailing slash, and a ?utm_source query — so each re-crawl collides with
+# exactly its original after canonicalization (paths embed the original
+# doc_id, so nothing else can collide), the keep-min-doc_id rule provably
+# keeps the original, and the www-strip axis is exercised by the
+# ``doc_id % 3 = 0`` originals whose host carries the www. prefix (while
+# cdn. — a genuinely distinct host — is deliberately NOT stripped).
+
+URL_RECRAWL_MOD = 7
+URL_RECRAWL_RESIDUE = 2
+URL_RECRAWL_SHIFT = 2_000_000
+
+
+def url_canonicalize(col: Column) -> Column:
+    """Spark side of THE canonicalization: strip scheme, a leading ``www.``
+    label, the query string, and a trailing slash — in that order (query
+    before slash, so ``/?utm`` collapses fully). ``cdn.`` stays: it is a
+    real distinct host, and over-stripping would merge different pages."""
+    c = F.regexp_replace(col, "^https?://", "")
+    c = F.regexp_replace(c, "^www\\.", "")
+    c = F.regexp_replace(c, "\\?.*$", "")
+    return F.regexp_replace(c, "/$", "")
+
+
+def url_canonicalize_sql(expr: str) -> str:
+    """Oracle twin of :func:`url_canonicalize` (anchored patterns, so
+    DuckDB's first-occurrence replace equals Spark's replace-all)."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"{expr}, '^https?://', ''), '^www\\.', ''), '\\?.*$', ''), "
+        "'/$', '')"
+    )
+
+
+def url_crawl_frame(docs: DataFrame) -> DataFrame:
+    """Spark side of the shared crawl-log construction: originals plus the
+    re-crawled slice, as (doc_id, domain, url) rows."""
+    dom = domain_docs(docs).select("doc_id", "domain", "url")
+    recrawl = dom.where(
+        F.col("doc_id") % URL_RECRAWL_MOD == URL_RECRAWL_RESIDUE
+    ).select(
+        (F.col("doc_id") + URL_RECRAWL_SHIFT).alias("doc_id"),
+        "domain",
+        F.concat(
+            F.lit("http://"),
+            F.expr("substring(url, 9)"),
+            F.lit("/?utm_source=recrawl"),
+        ).alias("url"),
+    )
+    return dom.unionByName(recrawl)
+
+
+def url_crawl_frame_sql(rel: str = "documents") -> str:
+    """Oracle twin of :func:`url_crawl_frame`: emits ``{rel}_urls``
+    (doc_id, domain, url) on top of the domain_docs CTEs."""
+    return f"""{domain_docs_sql(rel)},
+{rel}_recrawl AS (
+  SELECT doc_id + {URL_RECRAWL_SHIFT} AS doc_id, domain,
+         'http://' || substr(url, 9) || '/?utm_source=recrawl' AS url
+  FROM {rel}_dom
+  WHERE doc_id % {URL_RECRAWL_MOD} = {URL_RECRAWL_RESIDUE}
+),
+{rel}_urls AS (
+  SELECT doc_id, domain, url FROM {rel}_dom
+  UNION ALL SELECT doc_id, domain, url FROM {rel}_recrawl
+)"""
+
+
+_URL_DEDUP_ORACLE = f"""
+WITH {url_crawl_frame_sql("documents")},
+g AS (
+  SELECT md5({url_canonicalize_sql("url")}) AS uh,
+         min(domain) AS domain,
+         CAST(count(*) AS BIGINT) AS c,
+         min(doc_id) AS keeper
+  FROM documents_urls GROUP BY 1
+),
+a AS (
+  SELECT domain,
+         CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_canonical,
+         CAST(sum(c - 1) AS BIGINT) AS n_dropped
+  FROM g GROUP BY domain
+)
+SELECT domain, n_docs, n_canonical, n_dropped,
+       {_ppm_ratio_sql("n_dropped", "n_docs")} AS dup_ppm
+FROM a
+"""
+
+
+@register("dedup_url_canonical", oracle=_URL_DEDUP_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-grain exact dedup — the cheapest and FIRST dedup stage of a
+    crawl pipeline (before any content shingling): canonicalize every
+    fetched URL (scheme / www. / query / trailing-slash strip through the
+    shared :func:`url_canonicalize`), group on the 16-byte md5 of the
+    canonical form keeping the minimum doc_id (the earliest fetch), and
+    report the per-domain crawl redundancy: fetch count, canonical-URL
+    count, dropped re-fetches, and the exact dup ppm — what a crawl
+    scheduler reads to stop re-fetching stable domains. Rides the shared
+    ``domain_docs`` generator pair like the other two domain-grain queries.
+
+    Scale (the dedup_exact shape at URL grain): canonicalization is pure
+    per-row string work fused into the scan; the digest groupBy is ONE
+    16-byte-key exchange with map-side partial aggregation (dup classes
+    are tiny, so partials collapse hard); the |domains|-key rollup is the
+    second. No joins, nothing quadratic, no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        url_crawl_frame(docs)
+        .select("doc_id", "domain", F.md5(url_canonicalize(F.col("url"))).alias("uh"))
+        .groupBy("uh")
+        .agg(
+            F.min("domain").alias("domain"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+    a = g.groupBy("domain").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_canonical"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_dropped"),
+    )
+    return a.select(
+        "domain",
+        "n_docs",
+        "n_canonical",
+        "n_dropped",
+        F.expr(_ppm_ratio_sql("n_dropped", "n_docs", "DIV")).alias("dup_ppm"),
     )

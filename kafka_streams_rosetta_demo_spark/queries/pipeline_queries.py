@@ -996,17 +996,27 @@ _CONTAM_MOD = 97
 _CONTAM_THRESH = 0.5
 
 
-def _contam_oracle() -> str:
+def _contam_hits_sql() -> str:
+    """The SQL side of the ONE overlap definition (``sh``/``bench``/``hits``
+    CTEs): distinct word 5-grams per doc, the benchmark gram set, and the
+    per-doc (n_grams, n_hits) aggregate — shared verbatim by the check's
+    oracle, the decontamination audit's oracle, and the ingest screen's
+    oracle, so no oracle can disagree about what overlaps."""
     from .dedup_queries import _shingle_cte
 
-    return f"""
-WITH {_shingle_cte(_CONTAM_K)},
+    return f"""{_shingle_cte(_CONTAM_K)},
 bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_CONTAM_MOD} = 0),
 hits AS (
-  SELECT sh.doc_id, count(*) AS n_grams, count(b.shingle) AS n_hits
+  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(b.shingle) AS BIGINT) AS n_hits
   FROM sh LEFT JOIN bench b ON sh.shingle = b.shingle
   GROUP BY sh.doc_id
-)
+)"""
+
+
+def _contam_oracle() -> str:
+    return f"""
+WITH {_contam_hits_sql()}
 SELECT doc_id, n_grams, n_hits,
        round(n_hits / n_grams, 6) AS overlap_frac,
        CAST(n_hits / n_grams >= {_CONTAM_THRESH} AS INTEGER) AS contaminated
@@ -1039,25 +1049,48 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _contam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc (doc_id, n_grams, n_hits) against the benchmark n-gram set —
-    the contamination frame shared by the check and the decontamination
-    rollup (one overlap definition, so the remover can never disagree with
-    the screen about what overlaps)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = with_shingles(rebalance(docs), k=_CONTAM_K).localCheckpoint(eager=True)
-    dg = sh.select("doc_id", F.explode("shingles").alias("g"))
-    bench = (
-        dg.where(F.col("doc_id") % _CONTAM_MOD == 0)
+def _contam_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) distinct word 5-gram rows — the gram derivation shared
+    by the batch frame and the ingest screen's per-batch probe (docs too
+    short to shingle contribute no rows, by the with_shingles contract)."""
+    return with_shingles(docs, k=_CONTAM_K).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+
+
+def _contam_bench_from_grams(doc_grams: DataFrame) -> DataFrame:
+    """THE benchmark gram set: distinct 5-grams of the ``doc_id %
+    _CONTAM_MOD == 0`` eval stand-in docs — one definition for the batch
+    frame and the screen's static broadcast index."""
+    return (
+        doc_grams.where(F.col("doc_id") % _CONTAM_MOD == 0)
         .select("g")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
+
+
+def _contam_overlap(doc_grams: DataFrame, bench: DataFrame) -> DataFrame:
+    """THE overlap aggregate — per-doc (doc_id, n_grams, n_hits) against
+    the (broadcast) benchmark gram set; one definition for the check, the
+    decontamination audit, and the ingest screen."""
     return (
-        dg.join(F.broadcast(bench), "g", "left")
+        doc_grams.join(F.broadcast(bench), "g", "left")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_grams"), F.count("_hit").alias("n_hits"))
     )
+
+
+def _contam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, n_grams, n_hits) against the benchmark n-gram set —
+    the contamination frame shared by the check and the decontamination
+    rollup (one overlap definition, so the remover can never disagree with
+    the screen about what overlaps). The shingle table materializes ONCE
+    (localCheckpoint) and feeds both the bench derivation and the probe."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(rebalance(docs), k=_CONTAM_K).localCheckpoint(eager=True)
+    dg = sh.select("doc_id", F.explode("shingles").alias("g"))
+    return _contam_overlap(dg, _contam_bench_from_grams(dg))
 
 
 # ---------------------------------------------------------------------------
@@ -4114,6 +4147,37 @@ def smd_keep_rates(
     return [(s, ratio[s] * 1000 // mx) for s in sorted(cnts)]
 
 
+def smd_rates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen |sources|-row keep-rate table: DoReMi fit + doc-count
+    shares + quota rates — what a pipeline materializes once per corpus
+    snapshot and broadcasts wherever the mix is applied (the batch sampler
+    AND the ingest sampler derive it through this one function)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = doremi_fit(_doremi_domain_rows(spark, sf_dir))
+    cnts = {
+        r["source"]: int(r["n"])
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = smd_keep_rates(cnts, weights)
+    return spark.createDataFrame(rates, schema=_SMD_RATES_SCHEMA)
+
+
+def smd_apply(docs: DataFrame, rates_df: DataFrame) -> DataFrame:
+    """THE deterministic keep gate — broadcast rate-table join + md5
+    permille bucket + the keep filter; one application frame shared by the
+    batch sampler and the streaming ingest sampler, so the two paths can
+    never drift on which doc survives."""
+    from ..operators.textsim import md5_long
+
+    h = docs.join(F.broadcast(rates_df), "source").select(
+        "doc_id",
+        "source",
+        "keep_permille",
+        (md5_long(F.col("doc_id").cast("string")) % 1000).alias("hash_bucket"),
+    )
+    return h.where(F.col("hash_bucket") < F.col("keep_permille"))
+
+
 @register("sample_mixture_doremi", oracle=_SMD_ORACLE)
 def sample_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The consumer that closes the DoReMi loop: turn the LEARNED mixture
@@ -4134,24 +4198,8 @@ def sample_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter — zero shuffles. The oracle replays the ENTIRE composition:
     the full training trajectory, the share table, the rate
     normalization, and the md5 keep decision."""
-    from ..operators.textsim import md5_long
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    rows = _doremi_domain_rows(spark, sf_dir)
-    weights = doremi_fit(rows)
-    cnts = {
-        r["source"]: int(r["n"])
-        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    rates = smd_keep_rates(cnts, weights)
-    rates_df = spark.createDataFrame(rates, schema=_SMD_RATES_SCHEMA)
-    h = docs.join(F.broadcast(rates_df), "source").select(
-        "doc_id",
-        "source",
-        "keep_permille",
-        (md5_long(F.col("doc_id").cast("string")) % 1000).alias("hash_bucket"),
-    )
-    return h.where(F.col("hash_bucket") < F.col("keep_permille"))
+    return smd_apply(docs, smd_rates_df(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -4162,17 +4210,8 @@ from .corpus_queries import _ppm_ratio_sql as _cq_ppm  # noqa: E402
 
 
 def _decontam_oracle() -> str:
-    from .dedup_queries import _shingle_cte
-
     return f"""
-WITH {_shingle_cte(_CONTAM_K)},
-bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_CONTAM_MOD} = 0),
-hits AS (
-  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         CAST(count(b.shingle) AS BIGINT) AS n_hits
-  FROM sh LEFT JOIN bench b ON sh.shingle = b.shingle
-  GROUP BY sh.doc_id
-),
+WITH {_contam_hits_sql()},
 d AS (
   SELECT doc.doc_id, doc.source,
          CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_toks,

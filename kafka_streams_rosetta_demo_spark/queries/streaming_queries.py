@@ -1931,3 +1931,176 @@ def streaming_mixture_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (obs - F.col("target_ppm")).alias("deviation_ppm"),
         (obs > F.col("target_ppm")).alias("over_served"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_decontaminate_screen — benchmark-overlap verdicts AT INGEST
+# ---------------------------------------------------------------------------
+
+from .pipeline_queries import (  # noqa: E402
+    _CONTAM_MOD as _DC_MOD,
+    _contam_bench_from_grams,
+    _contam_grams,
+    _contam_hits_sql,
+    _contam_overlap,
+)
+
+_DECON_SCREEN_ORACLE = f"""
+WITH {_contam_hits_sql()}
+SELECT d.doc_id, d.source,
+       CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits * 2 >= h.n_grams, FALSE) AS drop_flag
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {_DC_MOD} <> 0
+"""
+
+
+@register("streaming_decontaminate_screen", oracle=_DECON_SCREEN_ORACLE)
+def streaming_decontaminate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination run AT INGEST — the missing twin the r13
+    verdict named: every other cleaning/dedup family member already screens
+    arriving docs per micro-batch (blocklist, boilerplate, winnowing, ANN);
+    this closes benchmark overlap, the one verdict a crawl ingest could not
+    yet issue continuously. The training docs (``doc_id % 97 <> 0``) arrive
+    as a STREAM (three staged parquet files, one per micro-batch); each
+    micro-batch shingles its own docs through the SHARED gram derivation
+    (``_contam_grams``) and probes the STATIC broadcast benchmark 5-gram
+    set through the SHARED overlap aggregate (``_contam_overlap`` — the
+    check's and the audit's one overlap definition, so ingest can never
+    disagree with the release review about what overlaps), emitting the
+    per-doc verdict: gram/hit counts and the float-free ``n_hits * 2 >=
+    n_grams`` drop flag. Docs too short to shingle have no gram rows and
+    are KEPT by definition (LEFT join + FALSE coalesce — the audit's rule,
+    mirrored in the oracle).
+
+    Scale & state: STATELESS (the blocklist-screen shape — a verdict
+    depends only on the arriving doc and the static bench index); no
+    watermark, no state growth. The bench set is the eval suite — tiny,
+    built once per corpus snapshot (localCheckpoint-pinned here), and
+    broadcast into every micro-batch's probe; per-batch cost is
+    |batch grams| map-side + one batch-local doc_id aggregate."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # the static index: benchmark docs' distinct grams, built once
+    bench = _contam_bench_from_grams(
+        _contam_grams(docs.where(F.col("doc_id") % _DC_MOD == 0))
+    ).localCheckpoint(eager=True)
+
+    def screen_batch(batch_df: DataFrame) -> DataFrame:
+        ov = _contam_overlap(
+            _contam_grams(batch_df.select("doc_id", "text")), bench
+        )
+        return batch_df.select("doc_id", "source").join(
+            ov, "doc_id", "left"
+        ).select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(
+                F.col("n_hits") * 2 >= F.col("n_grams"), F.lit(False)
+            ).alias("drop_flag"),
+        )
+
+    staged = tempfile.mkdtemp(prefix="decon_ingest_")
+    try:
+        (
+            docs.where(F.col("doc_id") % _DC_MOD != 0)
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        with checkpoint_tmpdir("ckpt_dcs_") as ckpt, (
+            checkpoint_tmpdir("sink_dcs_")
+        ) as out_dir:
+            return run_update_query_to_df(
+                stream, ["doc_id"], ckpt, out_dir, batch_fn=screen_batch
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming_mixture_sampler — the learned mix APPLIED at ingest
+# ---------------------------------------------------------------------------
+
+from .pipeline_queries import (  # noqa: E402
+    _SMD_ORACLE as _SMS_ORACLE,
+    smd_apply,
+    smd_rates_df,
+)
+
+
+@register("streaming_mixture_sampler", oracle=_SMS_ORACLE)
+def streaming_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last DoReMi gap closed (r13 verdict task 3): the mixing family
+    now derives its weights (corpus_mixture_doremi), turns them into keep
+    rates and applies them in batch (sample_mixture_doremi), WATCHES the
+    delivered mix (streaming_mixture_monitor) — and here APPLIES the
+    learned mix at ingest. Documents arrive as a STREAM (three staged
+    micro-batches) and each micro-batch passes through the SAME
+    deterministic keep gate as the batch sampler (``smd_apply`` — one
+    broadcast rate-table join + md5 permille bucket + filter, so batch and
+    ingest can never disagree on which doc survives); the frozen rate
+    table comes from the SAME derivation (``smd_rates_df``). Shares the
+    batch sampler's oracle VERBATIM — the proof the continuous path keeps
+    the identical sample.
+
+    Scale & state: STATELESS per-row gating (the blocklist-screen shape —
+    a verdict depends only on the arriving doc's id/source and the static
+    |sources|-row broadcast rate table); no watermark, no state growth,
+    zero per-batch exchanges. The rate derivation's LM aggregate is
+    charged once at rate-table build (the doremi/BT collect shape)."""
+    import shutil
+
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    rates_df = smd_rates_df(spark, sf_dir).localCheckpoint(eager=True)
+
+    staged = tempfile.mkdtemp(prefix="mix_sample_ingest_")
+    try:
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source")
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        with checkpoint_tmpdir("ckpt_mixsmp_") as ckpt, (
+            checkpoint_tmpdir("sink_mixsmp_")
+        ) as out_dir:
+            return run_update_query_to_df(
+                stream,
+                ["doc_id"],
+                ckpt,
+                out_dir,
+                batch_fn=lambda b: smd_apply(b, rates_df),
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)

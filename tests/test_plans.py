@@ -371,6 +371,8 @@ SHUFFLE_BUDGET = {
     "text_decontaminate": 3,  # overlap frame's doc_id aggregate + the doc-grain join-back + the |sources| rollup; the bench n-gram set broadcasts (the check's shape + one rollup)
     "corpus_domain_profile": 4,  # two-phase distinct-source expand (2) + pair-id distinct (1) + the domain rollup; pair graph is the checkpointed family artifact (its build charged to the builder); total window is SinglePartition over |domains| rows
     "text_boilerplate_scrub": 5,  # two exact-distinct aggs (2 exchanges each: (keys, doc_id) partial + rollup) + the per-doc rollup; at test SF the freq/src joins broadcast (at scale the paras side adds one co-partitioned (source, ph) exchange)
+    # round-14 addition
+    "dedup_url_canonical": 2,  # canonicalization fuses into the scan; ONE 16-byte digest exchange (map-side partials collapse the size-2 dup classes) + the |domains| rollup — the dedup_exact shape at URL grain
 }
 
 

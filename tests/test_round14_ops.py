@@ -191,3 +191,134 @@ def test_smd_keep_rates_refuses_weightless():
 
     with pytest.raises(ValueError, match="learned weight.*ghost"):
         smd_keep_rates({"a": 10, "ghost": 5}, {"a": 1_000_000})
+
+
+# ---------------------------------------------------------------------------
+# streaming_decontaminate_screen: ingest verdicts == the batch release review
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_screen_matches_batch(spark, sf_smoke):
+    """The ingest screen's per-doc verdicts must reconcile row-for-row with
+    the batch side: every screened doc's drop_flag equals the check's
+    contaminated flag (short docs: kept), and the per-source drop counts
+    equal text_decontaminate's n_dropped — one overlap definition, no
+    drift. Both verdict branches must be live at this SF."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    reg = load_all()
+    screen = {
+        r["doc_id"]: r
+        for r in reg["streaming_decontaminate_screen"].fn(spark, sf_smoke).collect()
+    }
+    assert screen
+    check = {
+        r["doc_id"]: r
+        for r in reg["text_contamination_check"].fn(spark, sf_smoke).collect()
+    }
+    # every non-benchmark doc with grams: screen verdict == check verdict
+    n_overlap_rows = 0
+    for doc_id, s in screen.items():
+        assert doc_id % 97 != 0  # benchmark docs are not screened
+        c = check.get(doc_id)
+        if c is None:
+            # too short to shingle -> kept by definition, zero counts
+            assert not s["drop_flag"] and s["n_grams"] == 0 and s["n_hits"] == 0
+            continue
+        n_overlap_rows += 1
+        assert (s["n_grams"], s["n_hits"]) == (c["n_grams"], c["n_hits"])
+        assert s["drop_flag"] == bool(c["contaminated"])
+    assert n_overlap_rows > 0
+    # both branches live
+    flags = {s["drop_flag"] for s in screen.values()}
+    assert flags == {True, False}
+    # per-source reconciliation with the batch removal audit
+    audit = {
+        r["source"]: r for r in reg["text_decontaminate"].fn(spark, sf_smoke).collect()
+    }
+    from collections import Counter
+
+    dropped = Counter(s["source"] for s in screen.values() if s["drop_flag"])
+    kept = Counter(s["source"] for s in screen.values() if not s["drop_flag"])
+    for src, a in audit.items():
+        assert dropped.get(src, 0) == a["n_dropped"], src
+        assert kept.get(src, 0) == a["n_kept"], src
+
+
+# ---------------------------------------------------------------------------
+# streaming_mixture_sampler: ingest sample == batch sample, row for row
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sampler_matches_batch(spark, sf_smoke):
+    """The ingest sampler must keep EXACTLY the batch sampler's rows — the
+    shared smd_apply gate + shared rate derivation make drift impossible;
+    this pin proves it end to end through the micro-batch path."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    reg = load_all()
+    stream = reg["streaming_mixture_sampler"].fn(spark, sf_smoke)
+    batch = reg["sample_mixture_doremi"].fn(spark, sf_smoke)
+    assert stream.count() == batch.count() > 0
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup_url_canonical: the planted re-crawl construction behaves
+# ---------------------------------------------------------------------------
+
+
+def test_url_dedup_drops_exactly_the_recrawls(spark, sf_smoke):
+    """Every dropped row is a re-crawl colliding with its own original
+    (classes of size exactly 2, keep-min keeps the original), the totals
+    reconcile with the slice size, and the www-strip axis is exercised."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+        URL_RECRAWL_MOD,
+        URL_RECRAWL_RESIDUE,
+        URL_RECRAWL_SHIFT,
+        url_canonicalize,
+        url_crawl_frame,
+    )
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    n_recrawl = docs.where(
+        F.col("doc_id") % URL_RECRAWL_MOD == URL_RECRAWL_RESIDUE
+    ).count()
+    assert n_recrawl > 0
+
+    out = load_all()["dedup_url_canonical"].fn(spark, sf_smoke).collect()
+    assert sum(r["n_dropped"] for r in out) == n_recrawl
+    for r in out:
+        assert r["n_canonical"] == r["n_docs"] - r["n_dropped"]
+        assert r["dup_ppm"] == r["n_dropped"] * 1_000_000 // r["n_docs"]
+
+    # class structure: every canonical group has size 1 or 2; size-2 groups
+    # pair an original (keeper, below the shift) with its re-crawl
+    groups = (
+        url_crawl_frame(docs)
+        .select("doc_id", url_canonicalize(F.col("url")).alias("cu"))
+        .groupBy("cu")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .collect()
+    )
+    assert {g["c"] for g in groups} == {1, 2}
+    www_pair = False
+    for g in groups:
+        if g["c"] == 2:
+            assert g["lo"] < URL_RECRAWL_SHIFT <= g["hi"]
+            assert g["hi"] - URL_RECRAWL_SHIFT == g["lo"]  # its OWN original
+            if g["lo"] % 3 == 0:
+                www_pair = True  # original carried the www. prefix
+        else:
+            # singletons: canonical urls never retain scheme/query/slash
+            assert "://" not in g["cu"] and "?" not in g["cu"]
+    assert www_pair, "www-strip axis never exercised"
