@@ -367,6 +367,11 @@ OPTIONAL = [
     "dedup_url_canonical",
     "streaming_decontaminate_screen",
     "streaming_mixture_sampler",
+    # round 14 second wave: the threshold-free model-eval gate (shared
+    # scored frame -> 1000-cell rank histogram) and the third privacy
+    # audit (one (QI, lang) aggregate materialized once, QI-space math)
+    "classifier_roc_auc",
+    "privacy_t_closeness",
 ]
 
 

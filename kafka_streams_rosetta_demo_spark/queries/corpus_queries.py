@@ -3201,3 +3201,109 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped",
         F.expr(_ppm_ratio_sql("n_dropped", "n_docs", "DIV")).alias("dup_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy_t_closeness — the third release-safety audit (EMD to the corpus)
+# ---------------------------------------------------------------------------
+
+_T_CLOSE_PPM = 300_000  # flag groups whose sensitive dist is > 0.3 TVD away
+
+_TCLOSE_ORACLE = f"""
+WITH gv AS (
+  SELECT source, CAST(CAST(n_chars AS BIGINT) // 200 AS BIGINT) AS b, lang,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3
+),
+g AS (SELECT source, b, CAST(sum(c) AS BIGINT) AS g_n FROM gv GROUP BY 1, 2),
+gl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS c FROM gv GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gl),
+q AS (SELECT lang, {_ppm_ratio_sql("c", "n")} AS q_ppm FROM gl CROSS JOIN tot),
+d AS (
+  SELECT g.source, g.b, g.g_n, q.q_ppm,
+         coalesce({_ppm_ratio_sql("gv.c", "g.g_n")}, 0) AS p_ppm
+  FROM g CROSS JOIN q
+  LEFT JOIN gv ON gv.source = g.source AND gv.b = g.b AND gv.lang = q.lang
+)
+SELECT source AS qi_source, b AS qi_len_bucket,
+       min(g_n) AS group_size,
+       CAST(sum(abs(p_ppm - q_ppm)) // 2 AS BIGINT) AS t_tvd_ppm,
+       CAST(sum(abs(p_ppm - q_ppm)) // 2 AS BIGINT) > {_T_CLOSE_PPM} AS at_risk
+FROM d GROUP BY source, b
+"""
+
+
+@register("privacy_t_closeness", oracle=_TCLOSE_ORACLE)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third leg
+    of the release-safety trio, catching what BOTH k-anonymity and
+    l-diversity miss: a QI group can have k peers AND l distinct sensitive
+    values yet still leak if its sensitive-attribute DISTRIBUTION differs
+    sharply from the corpus-wide one (the skewness attack — 90% of a
+    group speaking one rare language is a strong inference even when a
+    second language is present). Same release QIs as the l-diversity
+    audit (source, 200-char length bucket), same sensitive attribute
+    (lang); the distance is the earth-mover's distance under the equal
+    ground metric for categoricals — total variation, ``0.5 * sum
+    |p_group - p_corpus|`` — flagged past t = 0.3.
+
+    Determinism (declared quantization, the house fixed-point rule): both
+    distributions are floor-ppm shares (the exact split), so the TVD is an
+    integer over a <=|langs| sum — identical in both engines at ANY corpus
+    size, with NO large-denominator envelope (unlike the raw
+    cross-multiplied form ``|c_gv * n - c_v * g_n|``, which wraps int64
+    past ~3e9 docs).
+
+    Scale: ONE (QI, lang) map-side-combining aggregate is the only
+    corpus-sized exchange, and it materializes ONCE (localCheckpoint — it
+    has three consumers: the group table, the |langs| global table, and
+    the per-(group, lang) probe; without the pin Catalyst replays the
+    corpus scan per consumer); everything downstream is QI-space-sized
+    (|groups| x |langs| via the declared tiny-side cross join), never
+    corpus-sized. Absent languages enter as p = 0 through the LEFT join
+    (they contribute q_ppm to the distance — the part a groups-only join
+    would silently miss)."""
+    docs = load_table(spark, sf_dir, "documents")
+    gv = (
+        docs.groupBy(
+            "source",
+            F.expr("CAST(CAST(n_chars AS BIGINT) DIV 200 AS BIGINT)").alias("b"),
+            "lang",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    g = gv.groupBy("source", "b").agg(F.sum("c").cast("long").alias("g_n"))
+    gl = gv.groupBy("lang").agg(F.sum("c").cast("long").alias("c"))
+    tot = gl.agg(F.sum("c").cast("long").alias("n"))
+    q = gl.crossJoin(F.broadcast(tot)).select(
+        "lang", F.expr(_ppm_ratio_sql("c", "n", "DIV")).alias("q_ppm")
+    )
+    d = (
+        g.crossJoin(F.broadcast(q))
+        .join(gv, ["source", "b", "lang"], "left")
+        .select(
+            "source",
+            "b",
+            "g_n",
+            "q_ppm",
+            F.coalesce(
+                F.expr(_ppm_ratio_sql("c", "g_n", "DIV")), F.lit(0)
+            ).alias("p_ppm"),
+        )
+    )
+    tvd = F.expr("CAST(sum(abs(p_ppm - q_ppm)) DIV 2 AS BIGINT)")
+    return (
+        d.groupBy("source", "b")
+        .agg(
+            F.min("g_n").alias("group_size"),
+            tvd.alias("t_tvd_ppm"),
+        )
+        .select(
+            F.col("source").alias("qi_source"),
+            F.col("b").alias("qi_len_bucket"),
+            "group_size",
+            "t_tvd_ppm",
+            (F.col("t_tvd_ppm") > _T_CLOSE_PPM).alias("at_risk"),
+        )
+    )

@@ -3671,8 +3671,11 @@ def classifier_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAL_BUCKET_MICRO = 50_000  # margin per bucket
 _CAL_CLAMP = 250_000  # margins clamp to [-250k, 250k) -> buckets 0..9
 
-_CAL_ORACLE = f"""
-WITH model(lang, bias, w_tokens, w_stop, w_digit, threshold) AS (
+# The (margin, good) scored frame — classifier margin in exact integer
+# micro-units plus the rule-based reference flag — shared VERBATIM by the
+# calibration curve's and the ROC/AUC gate's oracles (one scoring
+# definition, the _contam_hits_sql discipline).
+_CLF_SCORED_WITH = f"""model(lang, bias, w_tokens, w_stop, w_digit, threshold) AS (
   VALUES {", ".join(f"('{l}', {b}, {wt}, {ws}, {wd}, {th})" for l, b, wt, ws, wd, th in _QC_MODEL)}
 ),
 feats AS (
@@ -3694,7 +3697,10 @@ scored AS (
   JOIN model m
     ON m.lang = CASE WHEN f.lang IN ({", ".join(f"'{l}'" for l, *_ in _QC_MODEL if l != "*")})
                      THEN f.lang ELSE '*' END
-),
+)"""
+
+_CAL_ORACLE = f"""
+WITH {_CLF_SCORED_WITH},
 b AS (
   SELECT (least(greatest(margin, -{_CAL_CLAMP}), {_CAL_CLAMP - 1})
           + {_CAL_CLAMP}) // {_CAL_BUCKET_MICRO} AS bucket_id,
@@ -3716,30 +3722,12 @@ FROM agg
 """.format(good_ppm=_ppm_ratio_sql("n_good", "n_docs"))
 
 
-@register("classifier_calibration_curve", oracle=_CAL_ORACLE)
-def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability diagram for the quality classifier — the gate BEFORE a
-    pipeline uses the model's scores as sampling weights (FineWeb-Edu-style
-    quality-weighted mixing) rather than as a hard keep/drop: per
-    score-margin bucket (10 fixed 0.05-unit bins around the per-language
-    threshold, extremes clamped into the edge bins), how often the
-    rule-based reference says the doc is actually good. A well-calibrated
-    filter shows the good-rate rising through the kept buckets; a flat
-    curve means the scores carry no ranking signal and weighting by them
-    is noise. Completes the model-eval family next to
-    ``classifier_confusion_eval`` (the 2x2 at the threshold; this is the
-    whole curve).
-
-    Determinism: margins are exact integer micro-units; bucketing CLAMPS
-    BEFORE dividing so the integer division never sees a negative dividend
-    (Spark ``DIV`` truncates toward zero, DuckDB ``//`` floors — identical
-    only on non-negatives, so the clamp is load-bearing); the good flag's
-    one double (type-token ratio) is a single compared division, never
-    summed; rates are the shared exact ppm split.
-
-    Scale: ONE corpus scan computes score and reference flag per row (JVM
-    HOFs, 5-row broadcast model); the rollup is a 10-key map-side-combining
-    aggregate. Output is <=10 rows at any corpus size."""
+def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side of the shared (margin, good) scored frame — one
+    scoring definition for the calibration curve AND the ROC/AUC gate
+    (mirrors ``_CLF_SCORED_WITH`` in SQL): integer micro-unit margin
+    against the per-language threshold, plus the rule-based reference
+    flag. ONE corpus scan, 5-row broadcast model join, JVM HOFs only."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     w = F.split("text", " ")
     stops = F.array(*[F.lit(s) for s in _QC_STOPS])
@@ -3771,8 +3759,34 @@ def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
         >= 0.3
     )
-    m = joined.select(margin.alias("margin"), good.alias("good"))
-    b = m.select(
+    return joined.select(margin.alias("margin"), good.alias("good"))
+
+
+@register("classifier_calibration_curve", oracle=_CAL_ORACLE)
+def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier — the gate BEFORE a
+    pipeline uses the model's scores as sampling weights (FineWeb-Edu-style
+    quality-weighted mixing) rather than as a hard keep/drop: per
+    score-margin bucket (10 fixed 0.05-unit bins around the per-language
+    threshold, extremes clamped into the edge bins), how often the
+    rule-based reference says the doc is actually good. A well-calibrated
+    filter shows the good-rate rising through the kept buckets; a flat
+    curve means the scores carry no ranking signal and weighting by them
+    is noise. Completes the model-eval family next to
+    ``classifier_confusion_eval`` (the 2x2 at the threshold; this is the
+    whole curve).
+
+    Determinism: margins are exact integer micro-units; bucketing CLAMPS
+    BEFORE dividing so the integer division never sees a negative dividend
+    (Spark ``DIV`` truncates toward zero, DuckDB ``//`` floors — identical
+    only on non-negatives, so the clamp is load-bearing); the good flag's
+    one double (type-token ratio) is a single compared division, never
+    summed; rates are the shared exact ppm split.
+
+    Scale: ONE corpus scan computes score and reference flag per row (JVM
+    HOFs, 5-row broadcast model); the rollup is a 10-key map-side-combining
+    aggregate. Output is <=10 rows at any corpus size."""
+    b = _clf_scored(spark, sf_dir).select(
         F.expr(
             f"CAST((least(greatest(margin, -{_CAL_CLAMP}), {_CAL_CLAMP - 1})"
             f" + {_CAL_CLAMP}) DIV {_CAL_BUCKET_MICRO} AS BIGINT)"
@@ -4309,4 +4323,115 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_cq_ppm("toks_kept", "toks_train", "DIV")).alias(
             "token_retention_ppm"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# classifier_roc_auc — ranking power of the quality filter (Mann-Whitney)
+# ---------------------------------------------------------------------------
+
+# The margin grid for the rank statistic: the calibration clamp subdivided
+# into 1000 fixed 500-micro cells. Declared quantization (the house
+# integer-determinism discipline): AUC is computed for the CELL-quantized
+# score — margins in the same cell are ties, handled by the standard
+# midrank (+T/2) correction — so the rank histogram is <=1000 rows of
+# bounded model state at ANY corpus size, never a corpus-sized global sort.
+_ROC_CELL_MICRO = 500
+_ROC_CELLS = 2 * _CAL_CLAMP // _ROC_CELL_MICRO  # 1000
+
+
+def _roc_oracle() -> str:
+    num = "(2 * conc + tied)"
+    den = "GREATEST(1, 2 * p * n)"  # one-class corpus: AUC defined as 0
+    return f"""
+WITH {_CLF_SCORED_WITH},
+cells AS (
+  SELECT (least(greatest(margin, -{_CAL_CLAMP}), {_CAL_CLAMP - 1})
+          + {_CAL_CLAMP}) // {_ROC_CELL_MICRO} AS cell,
+         CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN good THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM scored GROUP BY 1
+),
+c AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY cell
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM cells
+),
+a AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS p,
+         CAST(sum(neg) AS BIGINT) AS n,
+         CAST(sum(pos * neg_below) AS BIGINT) AS conc,
+         CAST(sum(pos * neg) AS BIGINT) AS tied
+  FROM c
+)
+SELECT p AS n_pos, n AS n_neg, conc AS concordant_pairs, tied AS tied_pairs,
+       {_ppm_ratio_sql(num, den)} AS auc_ppm
+FROM a
+"""
+
+
+@register("classifier_roc_auc", oracle=_roc_oracle())
+def classifier_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the quality classifier against the rule-based reference —
+    the one-number ranking-power gate that completes the model-eval family
+    (confusion = the 2x2 at the threshold, calibration = the reliability
+    curve, this = threshold-free discrimination): the Mann-Whitney pair
+    statistic, AUC = (concordant + ties/2) / (pos * neg), computed exactly
+    for the cell-quantized margin via the rank histogram — concordant
+    pairs from the cumulative-negatives-below window, tie pairs from the
+    same-cell cross counts, the midrank correction as the integer
+    ``2*conc + tied`` over ``2*p*n`` (one exact ppm split, no halves). An
+    AUC at 500000 ppm means the scores carry no ranking signal and
+    quality-weighted sampling from them is noise.
+
+    Determinism & shared frames: rides THE (margin, good) scored frame
+    (``_clf_scored`` / ``_CLF_SCORED_WITH`` — the calibration curve's
+    scoring definition verbatim); the 1000-cell grid is declared
+    quantization (in-cell margins are ties) so both engines replay the
+    identical histogram. A one-class corpus floors the denominator at 1
+    (AUC reads 0, mirrored in the oracle) rather than dividing by zero.
+
+    Scale: ONE corpus scan (the shared scored frame) -> ONE <=1000-key
+    map-side-combining cell aggregate; the cumulative window is
+    SinglePartition over <=1000 rows of bounded model state BY
+    CONSTRUCTION (the corpus_token_budget_plan discipline) — never a
+    corpus-sized sort. Exact to p * n <= ~4.6e15 pairs (the _ppm_ratio_sql
+    den envelope; ~1.4e8 docs per class balanced) — past that, stratify
+    the AUC per language/source and aggregate, or subsample one class."""
+    from pyspark.sql import Window
+
+    cell = F.expr(
+        f"CAST((least(greatest(margin, -{_CAL_CLAMP}), {_CAL_CLAMP - 1})"
+        f" + {_CAL_CLAMP}) DIV {_ROC_CELL_MICRO} AS BIGINT)"
+    )
+    cells = (
+        _clf_scored(spark, sf_dir)
+        .select(cell.alias("cell"), "good")
+        .groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("good"), 1).otherwise(0)).cast("long").alias("pos"),
+            F.sum(F.when(F.col("good"), 0).otherwise(1)).cast("long").alias("neg"),
+        )
+    )
+    w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    c = cells.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("long").alias("neg_below"),
+    )
+    a = c.agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum("neg").cast("long").alias("n"),
+        F.sum(F.col("pos") * F.col("neg_below")).cast("long").alias("conc"),
+        F.sum(F.col("pos") * F.col("neg")).cast("long").alias("tied"),
+    )
+    return a.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.col("conc").alias("concordant_pairs"),
+        F.col("tied").alias("tied_pairs"),
+        F.expr(
+            _ppm_ratio_sql("(2 * conc + tied)", "GREATEST(1, 2 * p * n)", "DIV")
+        ).alias("auc_ppm"),
     )

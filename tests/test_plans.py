@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "search_maxsim_late_interaction",  # same declared bounded-|Q| exact scoring shape as knn_brute_force (query TOKENS broadcast, cap enforced)
     "knn_pq_eval",  # same declared bounded-|Q| exact-kNN shape; PQ encode is per-row (r12)
     "knn_ann_pq",  # 1-row lazy cap-guard frame broadcast onto the query set (the knn_ann_ivf shape, r12)
+    "privacy_t_closeness",  # two declared tiny-side cross joins: the 1-row corpus total onto the |langs| table, and the |langs| ppm table onto the QI group table (r14)
 }
 
 # Queries whose parquet scan must carry pushed filters: each has a selective
@@ -371,8 +372,10 @@ SHUFFLE_BUDGET = {
     "text_decontaminate": 3,  # overlap frame's doc_id aggregate + the doc-grain join-back + the |sources| rollup; the bench n-gram set broadcasts (the check's shape + one rollup)
     "corpus_domain_profile": 4,  # two-phase distinct-source expand (2) + pair-id distinct (1) + the domain rollup; pair graph is the checkpointed family artifact (its build charged to the builder); total window is SinglePartition over |domains| rows
     "text_boilerplate_scrub": 5,  # two exact-distinct aggs (2 exchanges each: (keys, doc_id) partial + rollup) + the per-doc rollup; at test SF the freq/src joins broadcast (at scale the paras side adds one co-partitioned (source, ph) exchange)
-    # round-14 addition
+    # round-14 additions
     "dedup_url_canonical": 2,  # canonicalization fuses into the scan; ONE 16-byte digest exchange (map-side partials collapse the size-2 dup classes) + the |domains| rollup — the dedup_exact shape at URL grain
+    "classifier_roc_auc": 1,  # the shared scored frame's <=1000-cell histogram is the only hash exchange; the cumulative window is SinglePartition over bounded cells (declared), the final agg a 1-row reduce
+    "privacy_t_closeness": 3,  # the (QI, lang) aggregate materializes once (localCheckpoint, 3 consumers); downstream: group rollup + |langs| rollup + final QI rollup — all QI-space-sized
 }
 
 

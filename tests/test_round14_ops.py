@@ -322,3 +322,76 @@ def test_url_dedup_drops_exactly_the_recrawls(spark, sf_smoke):
             # singletons: canonical urls never retain scheme/query/slash
             assert "://" not in g["cu"] and "?" not in g["cu"]
     assert www_pair, "www-strip axis never exercised"
+
+
+# ---------------------------------------------------------------------------
+# classifier_roc_auc: pair identities and a brute-force reference
+# ---------------------------------------------------------------------------
+
+
+def test_roc_auc_matches_bruteforce_reference(spark, sf_smoke):
+    """The histogram-based AUC must equal the O(P*N) brute-force pair count
+    on the same quantized cells, and carry real ranking signal (the scores
+    are built to separate good docs, so AUC must beat coin-flip)."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.queries.pipeline_queries import (
+        _CAL_CLAMP,
+        _ROC_CELL_MICRO,
+        _clf_scored,
+    )
+
+    row = load_all()["classifier_roc_auc"].fn(spark, sf_smoke).collect()
+    assert len(row) == 1
+    r = row[0]
+    # brute force on the driver (smoke scale only)
+    cells = [
+        (
+            max(-_CAL_CLAMP, min(_CAL_CLAMP - 1, x["margin"])) + _CAL_CLAMP,
+            x["good"],
+        )
+        for x in _clf_scored(spark, sf_smoke).collect()
+    ]
+    pos = sorted(c // _ROC_CELL_MICRO for c, g in cells if g)
+    neg = sorted(c // _ROC_CELL_MICRO for c, g in cells if not g)
+    conc = sum(1 for p in pos for n in neg if p > n)
+    tied = sum(1 for p in pos for n in neg if p == n)
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert (r["concordant_pairs"], r["tied_pairs"]) == (conc, tied)
+    assert r["auc_ppm"] == (2 * conc + tied) * 1_000_000 // (2 * len(pos) * len(neg))
+    assert 500_000 < r["auc_ppm"] <= 1_000_000  # better than random
+
+
+# ---------------------------------------------------------------------------
+# privacy_t_closeness: reconciles with l-diversity, both branches live
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_reconciles_with_l_diversity(spark, sf_correctness):
+    """Same QI grain as the l-diversity audit: group sizes must match
+    row-for-row; TVD is bounded in [0, 1e6]; at_risk is exactly the
+    threshold predicate and both verdict branches are live at this SF."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+        _T_CLOSE_PPM,
+    )
+
+    reg = load_all()
+    tc = {
+        (r["qi_source"], r["qi_len_bucket"]): r
+        for r in reg["privacy_t_closeness"].fn(spark, sf_correctness).collect()
+    }
+    ld = {
+        (r["qi_source"], r["qi_len_bucket"]): r
+        for r in reg["privacy_l_diversity"].fn(spark, sf_correctness).collect()
+    }
+    assert set(tc) == set(ld)
+    for k, r in tc.items():
+        assert r["group_size"] == ld[k]["group_size"], k
+        assert 0 <= r["t_tvd_ppm"] <= 1_000_000
+        assert r["at_risk"] == (r["t_tvd_ppm"] > _T_CLOSE_PPM)
+    flags = {r["at_risk"] for r in tc.values()}
+    assert flags == {True, False}
+    # a single-language group of a minority language must sit far from the
+    # corpus distribution — the skewness attack the audit exists to catch
+    one_lang = [r for r in tc.values() if r["group_size"] >= 3]
+    assert one_lang
