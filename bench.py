@@ -102,6 +102,11 @@ ISOLATED_STREAMING = frozenset(
         # the class that inflated section neighbors in r12 and r13.
         "streaming_decontaminate_screen",
         "streaming_mixture_sampler",
+        # round 14 third wave: born isolated for the same reason — full
+        # micro-batch machinery (watermarked URL-dedup state / the
+        # stream-static scored aggregate) is multi-second at sf0.1.
+        "streaming_url_dedup_screen",
+        "streaming_classifier_monitor",
     }
 )
 
@@ -372,6 +377,16 @@ OPTIONAL = [
     # audit (one (QI, lang) aggregate materialized once, QI-space math)
     "classifier_roc_auc",
     "privacy_t_closeness",
+    # round 14 third wave: C4 line-level dedup (the last dedup grain —
+    # digest-keyed keep-first rank + doc rollup), the named Gopher rule
+    # gate (zero-exchange codegen scan), the Fleiss agreement gate
+    # (|items|/|categories| rollups), and two ingest twins (URL dedup
+    # with watermark-bounded state; the continuous classifier grade)
+    "text_line_dedup",
+    "text_gopher_quality",
+    "annotator_fleiss_kappa",
+    "streaming_url_dedup_screen",
+    "streaming_classifier_monitor",
 ]
 
 

@@ -3307,3 +3307,319 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_tvd_ppm") > _T_CLOSE_PPM).alias("at_risk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_line_dedup — C4-style GLOBAL line-level exact dedup (keep-first)
+# ---------------------------------------------------------------------------
+
+# C4 (Raffel et al. 2020, §2.2) deduplicates the corpus at LINE grain:
+# any line occurring more than once anywhere in the corpus is kept only at
+# its first occurrence and removed everywhere else — the pass that strips
+# shared navigation/footer text ACROSS sites, where the per-source
+# frequency scrub (text_boilerplate_scrub) only sees within-source
+# repetition. Same paragraph grain as the scrub: the shared
+# ``boilerplate_paras`` generator pair (one paragraphizer, one planted
+# construction — the footer repeats across ~90% of docs and must collapse
+# to exactly one global survivor per source, while the doc-unique rare
+# paragraph must always survive).
+
+_LINE_DEDUP_ORACLE = f"""
+WITH {boilerplate_paras_sql("documents")},
+ranked AS (
+  SELECT doc_id, source, para_idx, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, para_idx) AS rn
+  FROM documents_paras
+)
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       CAST(sum(CASE WHEN rn > 1 THEN length(para) ELSE 0 END) AS BIGINT)
+         AS dropped_chars,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                               ORDER BY para_idx), '')) AS deduped_md5,
+       bool_or(rn = 1 AND para LIKE 'cookie consent banner%')
+         AS footer_kept,
+       bool_or(rn = 1 AND para LIKE 'unique insight paragraph%')
+         AS rare_kept
+FROM ranked
+GROUP BY doc_id, source
+"""
+
+
+@register("text_line_dedup", oracle=_LINE_DEDUP_ORACLE)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line-level exact dedup: a paragraph occurring
+    anywhere else in the corpus survives only at its globally-first
+    occurrence (min (doc_id, para_idx)) — every later occurrence is
+    removed, whichever source or document it sits in. Completes the dedup
+    grain ladder (doc / URL / span / n-gram / paragraph): this is the one
+    famous grain (C4's line dedup, kept by FineWeb as the "repetition
+    removal" stage) the engine did not yet cover. Per document: paragraph
+    counts, char totals, the order-sensitive md5 of the deduplicated
+    reassembly, and the planted-construction observability flags — the
+    cross-doc footer must collapse to ONE survivor per source (the
+    globally-earliest footer doc), the doc-unique rare paragraph must
+    always survive.
+
+    Determinism: the survivor rule is a rank over the unique
+    (doc_id, para_idx) pair — no hash-order or arrival-order dependence;
+    chunk boundaries are pure integer arithmetic (the shared
+    paragraphizer); the reassembly hash orders by the unique para_idx.
+
+    Scale (the dedup_exact shape at paragraph grain): paragraphize is a
+    map-side explode; the keep-first rank is ONE exchange keyed on the
+    16-byte paragraph digest (dup classes are tiny — the per-key sort is
+    bounded by the class size, and nothing quadratic exists); the per-doc
+    rollup is the second exchange, keyed by doc_id. No joins, no driver
+    state, nothing corpus-sized on the driver."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    paras = boilerplate_paras(docs)
+    w = Window.partitionBy("ph").orderBy("doc_id", "para_idx")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    kept_struct = F.when(kept, F.struct("para_idx", "para"))
+    return (
+        ranked.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_dropped"),
+            F.sum(F.when(kept, F.length("para")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+            F.sum(F.when(kept, 0).otherwise(F.length("para")))
+            .cast("long")
+            .alias("dropped_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["para"],
+                    ),
+                    "\n",
+                )
+            ).alias("deduped_md5"),
+            F.max(F.expr("rn = 1 AND para LIKE 'cookie consent banner%'")).alias(
+                "footer_kept"
+            ),
+            F.max(
+                F.expr("rn = 1 AND para LIKE 'unique insight paragraph%'")
+            ).alias("rare_kept"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_paras",
+            "n_kept",
+            "n_dropped",
+            "kept_chars",
+            "dropped_chars",
+            "deduped_md5",
+            "footer_kept",
+            "rare_kept",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_gopher_quality — the named Gopher rule gate (Rae et al. 2021, A1.1)
+# ---------------------------------------------------------------------------
+
+# Gopher's pre-filter is THE named rule set most later pipelines start from
+# (MassiveText -> RefinedWeb -> Dolma all cite it): hard bounds on word
+# count, mean word length, the fraction of words carrying an alphabetic
+# character, the symbol-to-word ratio, and a minimum stop-word presence.
+# The synthetic corpus is clean lowercase prose, so three of the five rules
+# would be vacuously green; the planted construction (ONE generator pair,
+# the boilerplate_paras discipline) injects a deterministic violation class
+# per rule so every rule has live pass AND fail paths:
+#   doc_id % 11 = 4  -> numeric junk ('90210' x ceil(n/3)) -> alpha_frac
+#   doc_id % 17 = 9  -> single-char padding ('x' x 2n)     -> mean_word_len
+#   doc_id % 13 = 6  -> symbol junk ('###' x (n//8 + 1))   -> symbol_ratio
+# (2n and n//8+1 are sized so the violation holds for EVERY class member:
+# 9*(n//8+1) > n for all n, and the padded mean needs only mean0 < 7)
+# (word count and stop-word failures occur naturally: short docs and
+# non-English docs). Appends happen in that fixed order in both engines.
+
+_GOPHER_STOPS = ("the", "a", "of", "to", "in", "and")
+_GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_docs(docs: DataFrame) -> DataFrame:
+    """Spark side of THE planted-junk construction: (doc_id, source, lang,
+    text) with the three deterministic violation classes appended."""
+    n0 = F.size(F.split("text", " "))
+    numeric = F.when(
+        F.col("doc_id") % 11 == 4,
+        F.concat(F.lit(" "), F.rtrim(F.repeat(F.lit("90210 "), ((n0 + 2) / 3).cast("int")))),
+    ).otherwise(F.lit(""))
+    chars = F.when(
+        F.col("doc_id") % 17 == 9,
+        F.concat(F.lit(" "), F.rtrim(F.repeat(F.lit("x "), n0 * 2))),
+    ).otherwise(F.lit(""))
+    symbols = F.when(
+        F.col("doc_id") % 13 == 6,
+        F.concat(
+            F.lit(" "),
+            F.rtrim(F.repeat(F.lit("### "), (n0 / 8).cast("int") + 1)),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.concat(F.col("text"), numeric, chars, symbols).alias("text"),
+    )
+
+
+def gopher_docs_sql(rel: str = "documents") -> str:
+    """Oracle twin of :func:`gopher_docs`: emits ``{rel}_gopher``."""
+    return f"""{rel}_gn AS (
+  SELECT doc_id, source, lang, text,
+         len(string_split(text, ' ')) AS n0 FROM {rel}
+),
+{rel}_gopher AS (
+  SELECT doc_id, source, lang,
+         text
+         || CASE WHEN doc_id % 11 = 4
+                 THEN ' ' || rtrim(repeat('90210 ', (n0 + 2) // 3))
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 9
+                 THEN ' ' || rtrim(repeat('x ', n0 * 2)) ELSE '' END
+         || CASE WHEN doc_id % 13 = 6
+                 THEN ' ' || rtrim(repeat('### ', n0 // 8 + 1)) ELSE '' END
+         AS text
+  FROM {rel}_gn
+)"""
+
+
+_GOPHER_ORACLE = f"""
+WITH {gopher_docs_sql("documents")},
+feat AS (
+  SELECT doc_id, source, lang,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT)
+           AS sum_wlen,
+         CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS alpha_words,
+         CAST(len(list_filter(ws, x -> x LIKE '%#%' OR x LIKE '%...%'))
+              AS BIGINT) AS symbol_words,
+         CAST(len(list_intersect(list_distinct(ws),
+                                 [{_GOPHER_STOP_SQL}])) AS BIGINT)
+           AS stop_distinct
+  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS ws
+        FROM documents_gopher)
+),
+rules AS (
+  SELECT *,
+         (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS})
+           AS r_word_count,
+         (3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words)
+           AS r_mean_word_len,
+         (5 * alpha_words >= 4 * n_words) AS r_alpha_frac,
+         (10 * symbol_words <= n_words) AS r_symbol_ratio,
+         (stop_distinct >= 2) AS r_stopwords
+  FROM feat
+)
+SELECT doc_id, source, lang, n_words, sum_wlen, alpha_words, symbol_words,
+       stop_distinct, r_word_count, r_mean_word_len, r_alpha_frac,
+       r_symbol_ratio, r_stopwords,
+       (r_word_count AND r_mean_word_len AND r_alpha_frac
+        AND r_symbol_ratio AND r_stopwords) AS keep,
+       CASE WHEN NOT r_word_count THEN 'word_count'
+            WHEN NOT r_mean_word_len THEN 'mean_word_len'
+            WHEN NOT r_alpha_frac THEN 'alpha_frac'
+            WHEN NOT r_symbol_ratio THEN 'symbol_ratio'
+            WHEN NOT r_stopwords THEN 'stopwords'
+            ELSE 'none' END AS first_failed
+FROM rules
+"""
+
+
+@register("text_gopher_quality", oracle=_GOPHER_ORACLE)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule gate (Rae et al. 2021, appendix A1.1) — the named
+    hard-threshold pre-filter most curation stacks run before any model
+    scoring (distinct from ``text_quality_scores``' descriptive stats and
+    ``text_quality_classifier``'s learned score: this is the fixed,
+    citable ruleset with a per-rule verdict and the FIRST failing rule
+    named, what an auditor asks of a filtered corpus). Five rules on word
+    grain: count bounds [50, 100k], mean word length in [3, 10], >= 80%
+    of words alphabetic, symbol-to-word ratio <= 10%, and >= 2 distinct
+    stop words present.
+
+    Determinism: every rule is an exact integer cross-multiply (no
+    division anywhere — mean word length compares ``3n <= sum <= 10n``,
+    the fractions compare ``5*alpha >= 4*n`` / ``10*sym <= n``), so both
+    engines agree bit-for-bit at any scale.
+
+    Scale: ZERO exchanges — the planted append and all five rules are
+    per-row JVM higher-order functions fused into one codegen stage over
+    the scan (the text_blocklist_scrub shape); nothing shuffles, nothing
+    collects, no Python."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    g = gopher_docs(docs)
+    ws = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    feat = g.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(ws).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(ws, lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_wlen"),
+        F.size(F.filter(ws, lambda x: x.rlike("[a-z]")))
+        .cast("long")
+        .alias("alpha_words"),
+        F.size(
+            F.filter(ws, lambda x: x.contains("#") | x.contains("..."))
+        )
+        .cast("long")
+        .alias("symbol_words"),
+        F.size(F.array_intersect(F.array_distinct(ws), stop_arr))
+        .cast("long")
+        .alias("stop_distinct"),
+    )
+    rules = feat.select(
+        "*",
+        (
+            (F.col("n_words") >= _GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= _GOPHER_MAX_WORDS)
+        ).alias("r_word_count"),
+        (
+            (3 * F.col("n_words") <= F.col("sum_wlen"))
+            & (F.col("sum_wlen") <= 10 * F.col("n_words"))
+        ).alias("r_mean_word_len"),
+        (5 * F.col("alpha_words") >= 4 * F.col("n_words")).alias("r_alpha_frac"),
+        (10 * F.col("symbol_words") <= F.col("n_words")).alias("r_symbol_ratio"),
+        (F.col("stop_distinct") >= 2).alias("r_stopwords"),
+    )
+    return rules.select(
+        "*",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_alpha_frac")
+            & F.col("r_symbol_ratio")
+            & F.col("r_stopwords")
+        ).alias("keep"),
+        F.when(~F.col("r_word_count"), F.lit("word_count"))
+        .when(~F.col("r_mean_word_len"), F.lit("mean_word_len"))
+        .when(~F.col("r_alpha_frac"), F.lit("alpha_frac"))
+        .when(~F.col("r_symbol_ratio"), F.lit("symbol_ratio"))
+        .when(~F.col("r_stopwords"), F.lit("stopwords"))
+        .otherwise(F.lit("none"))
+        .alias("first_failed"),
+    )

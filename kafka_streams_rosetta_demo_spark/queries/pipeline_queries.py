@@ -3567,30 +3567,14 @@ FROM pr
 """
 
 
-@register("classifier_confusion_eval", oracle=_CCE_ORACLE)
-def classifier_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language confusion matrix + precision/recall/F1 (ppm) of the
-    linear quality classifier (``text_quality_classifier``) graded against
-    the rule-based reference labels (``text_quality_scores``'s 'ok' bucket:
-    >= 20 words and type-token ratio >= 0.3) — the gate a model-based
-    filter must clear before it replaces the heuristic it was trained to
-    imitate (the FastText-classifier-vs-rules check every curation stack
-    runs; next to ``embedding_label_confusion``'s embedding-side version).
-
-    Determinism: the matrix cells are integer counts, both flags derive
-    from exact integer features (the one double — the type-token ratio —
-    is the same single division on both engines, compared, never summed),
-    and precision/recall use the shared overflow-safe quotient/remainder
-    split (``_ppm_ratio_sql``, exact to ~9.2e15 rows per lang — the house
-    100 TB envelope discipline); F1 derives from the already-ppm-scaled
-    pair, so its product is bounded by 2e12 regardless of corpus size.
-
-    Scale: ONE corpus scan computes both the model score and the reference
-    flag per row (JVM higher-order functions, no Python, no explode), the
-    5-row model table broadcasts, and the confusion rollup is a map-side-
-    combining |langs|-key aggregate — nothing after the scan is
-    corpus-sized."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+def confusion_flags(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """THE per-doc (lang, keep, good) flag frame — the linear quality
+    classifier's verdict next to the rule-based reference flag — shared by
+    the batch eval (``classifier_confusion_eval``) and the streaming
+    monitor (``streaming_classifier_monitor``), the boilerplate_paras
+    one-definition discipline: batch and ingest grade with the SAME
+    scoring, so the two can never drift. ``docs`` must expose
+    (lang, text)."""
     w = F.split("text", " ")
     stops = F.array(*[F.lit(s) for s in _QC_STOPS])
     feats = docs.select(
@@ -3620,9 +3604,14 @@ def classifier_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
         >= 0.3
     )
-    cm = joined.select("lang", keep.alias("keep"), good.alias("good")).groupBy(
-        "lang"
-    ).agg(
+    return joined.select("lang", keep.alias("keep"), good.alias("good"))
+
+
+def confusion_cells(flags: DataFrame) -> DataFrame:
+    """The |langs|-key confusion rollup over a (lang, keep, good) frame —
+    plain sums of when-expressions, so the SAME aggregation runs as a
+    batch groupBy and as a streaming update-mode aggregate."""
+    return flags.groupBy("lang").agg(
         F.sum(F.when(F.col("keep") & F.col("good"), 1).otherwise(0))
         .cast("long")
         .alias("tp"),
@@ -3636,6 +3625,11 @@ def classifier_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tn"),
     )
+
+
+def confusion_report(cm: DataFrame) -> DataFrame:
+    """Precision/recall/F1 (exact ppm split) over a (lang, tp, fp, fn, tn)
+    cell table — the shared report tail."""
     p = (
         "CASE WHEN tp + fp > 0 THEN "
         + _ppm_ratio_sql("tp", "(tp + fp)", "DIV")
@@ -3662,6 +3656,33 @@ def classifier_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (precision_ppm + recall_ppm) ELSE 0L END"
         ).alias("f1_ppm"),
     )
+
+
+@register("classifier_confusion_eval", oracle=_CCE_ORACLE)
+def classifier_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language confusion matrix + precision/recall/F1 (ppm) of the
+    linear quality classifier (``text_quality_classifier``) graded against
+    the rule-based reference labels (``text_quality_scores``'s 'ok' bucket:
+    >= 20 words and type-token ratio >= 0.3) — the gate a model-based
+    filter must clear before it replaces the heuristic it was trained to
+    imitate (the FastText-classifier-vs-rules check every curation stack
+    runs; next to ``embedding_label_confusion``'s embedding-side version).
+
+    Determinism: the matrix cells are integer counts, both flags derive
+    from exact integer features (the one double — the type-token ratio —
+    is the same single division on both engines, compared, never summed),
+    and precision/recall use the shared overflow-safe quotient/remainder
+    split (``_ppm_ratio_sql``, exact to ~9.2e15 rows per lang — the house
+    100 TB envelope discipline); F1 derives from the already-ppm-scaled
+    pair, so its product is bounded by 2e12 regardless of corpus size.
+
+    Scale: ONE corpus scan computes both the model score and the reference
+    flag per row (JVM higher-order functions, no Python, no explode), the
+    5-row model table broadcasts, and the confusion rollup is a map-side-
+    combining |langs|-key aggregate — nothing after the scan is
+    corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return confusion_report(confusion_cells(confusion_flags(spark, docs)))
 
 
 # ---------------------------------------------------------------------------
@@ -4434,4 +4455,204 @@ def classifier_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             _ppm_ratio_sql("(2 * conc + tied)", "GREATEST(1, 2 * p * n)", "DIV")
         ).alias("auc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# annotator_fleiss_kappa — inter-annotator agreement for the label pipeline
+# ---------------------------------------------------------------------------
+
+# Labeled data (quality labels, preference judgements, eval suites) is only
+# as good as its annotators agree; Fleiss' kappa (Fleiss 1971) is the
+# standard multi-rater chance-corrected agreement gate a labeling pipeline
+# must clear before its labels train or evaluate anything. The corpus has
+# one label per vector, so the panel is planted (the text_pii_scrub
+# discipline — deterministic, identical in both engines): three raters per
+# item, rater k flipping the true label with probability k*15% decided by
+# the md5 residue of (vec_id, k), the flip target spread over the label
+# space by a second hash digit. Rater 0 is the gold rater; raters 1 and 2
+# are the noisy crowd.
+
+_FLEISS_RATERS = 3
+_FLEISS_FLIP_PCT_STEP = 15  # rater k flips k*15% of its items
+
+_FLEISS_ORACLE = f"""
+WITH lspace AS (
+  SELECT CAST(max(label) + 1 AS BIGINT) AS nl FROM embeddings
+),
+votes AS (
+  SELECT e.vec_id,
+         CASE WHEN h % 100 < k * {_FLEISS_FLIP_PCT_STEP}
+              THEN (e.label + 1 + (h // 100) % (l.nl - 1)) % l.nl
+              ELSE CAST(e.label AS BIGINT) END AS category
+  FROM (SELECT vec_id, label,
+               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':'
+                                       || CAST(k AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h,
+               k
+        FROM embeddings, LATERAL unnest(range(0, {_FLEISS_RATERS})) AS r(k)
+       ) e
+  CROSS JOIN lspace l
+),
+a AS (
+  SELECT vec_id, category, CAST(count(*) AS BIGINT) AS c
+  FROM votes GROUP BY 1, 2
+),
+items AS (
+  SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS ssq FROM a GROUP BY vec_id
+),
+gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(ssq - {_FLEISS_RATERS}) AS BIGINT) AS pbar_num
+  FROM items
+),
+cats AS (
+  SELECT category,
+         CAST(sum(c) AS BIGINT) AS n_assigned,
+         CAST(sum(CASE WHEN c = {_FLEISS_RATERS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS unanimous_items
+  FROM a GROUP BY category
+),
+scored AS (
+  SELECT c.category, c.n_assigned, c.unanimous_items, g.n_items,
+         {_ppm_ratio_sql("c.n_assigned", "(3 * g.n_items)")} AS p_c_ppm,
+         {_ppm_ratio_sql("g.pbar_num", "(6 * g.n_items)")} AS pbar_ppm
+  FROM cats c CROSS JOIN gtot g
+),
+pe AS (
+  SELECT CAST(sum(p_c_ppm * p_c_ppm) // 1000000 AS BIGINT) AS pe_ppm
+  FROM scored
+)
+SELECT s.category, s.n_assigned, s.unanimous_items, s.n_items,
+       s.p_c_ppm, s.pbar_ppm, p.pe_ppm,
+       CASE WHEN 1000000 - p.pe_ppm <= 0 THEN 0
+            WHEN s.pbar_ppm >= p.pe_ppm
+            THEN {_ppm_ratio_sql("(s.pbar_ppm - p.pe_ppm)", "(1000000 - p.pe_ppm)")}
+            ELSE -{_ppm_ratio_sql("(p.pe_ppm - s.pbar_ppm)", "(1000000 - p.pe_ppm)")}
+       END AS kappa_ppm
+FROM scored s CROSS JOIN pe p
+"""
+
+
+@register("annotator_fleiss_kappa", oracle=_FLEISS_ORACLE)
+def annotator_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the planted three-rater panel — the
+    inter-annotator agreement gate of the model-eval family (confusion =
+    filter vs rules, calibration = score reliability, ROC AUC = ranking
+    power, this = can the LABELS themselves be trusted). Per assigned
+    category: vote share (exact ppm), unanimous-item count, and the global
+    observed-agreement / chance-agreement / kappa triple on every row —
+    the report a labeling vendor is graded on.
+
+    Determinism: votes derive from md5 residues of (vec_id, rater) — no
+    RNG, no partition dependence; P-bar avoids per-item rounding by the
+    single exact split sum(ssq-3)/(6N); chance agreement squares the
+    already-ppm vote shares under one documented integer formula
+    (sum(p_ppm^2) // 1e6, <= |categories| * 1e12 — int64-safe); kappa's
+    numerator is sign-split BEFORE the quotient/remainder division so
+    Spark's truncating DIV and DuckDB's flooring // can never disagree on
+    a below-chance panel (the calibration-curve negative-dividend
+    discipline).
+
+    Scale: the panel explode is map-side (3x); vote counts are ONE
+    (vec_id, category)-key partial aggregate; the item and category
+    rollups reduce to |items| and |categories| rows; every global is a
+    1-row broadcast cross join and the category report is
+    |categories|-sized — nothing after the first aggregate is
+    corpus-shaped, no Python, no driver loops beyond the 1-row scalars."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lspace = emb.agg((F.max("label") + 1).cast("long").alias("nl"))
+    votes = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.explode(F.array(*[F.lit(k) for k in range(_FLEISS_RATERS)])).alias("k"),
+        )
+        .withColumn(
+            "h",
+            md5_long(
+                F.concat(
+                    F.col("vec_id").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            ),
+        )
+        .crossJoin(F.broadcast(lspace))
+        .select(
+            "vec_id",
+            F.when(
+                F.col("h") % 100 < F.col("k") * _FLEISS_FLIP_PCT_STEP,
+                (
+                    F.col("label")
+                    + 1
+                    + F.expr("(h DIV 100) % (nl - 1)")
+                )
+                % F.col("nl"),
+            )
+            .otherwise(F.col("label").cast("long"))
+            .alias("category"),
+        )
+    )
+    # the vote-count table feeds BOTH rollups (per-item ssq and per-category
+    # totals) — without truncation Catalyst replays the corpus scan + vote
+    # aggregate once per consumer (measured 7 exchanges naive vs 3); one
+    # materialization of the <= raters*N-row table is the privacy_t_closeness
+    # / label-propagation discipline
+    a = (
+        votes.groupBy("vec_id", "category")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    items = a.groupBy("vec_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq")
+    )
+    glob = items.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("ssq") - _FLEISS_RATERS).cast("long").alias("pbar_num"),
+    )
+    cats = a.groupBy("category").agg(
+        F.sum("c").cast("long").alias("n_assigned"),
+        F.sum(F.when(F.col("c") == _FLEISS_RATERS, 1).otherwise(0))
+        .cast("long")
+        .alias("unanimous_items"),
+    )
+    # |categories|-row report base with two consumers (pe + the final
+    # select) — truncate so the category rollup is not replayed
+    scored = (
+        cats.crossJoin(F.broadcast(glob))
+        .select(
+            "category",
+            "n_assigned",
+            "unanimous_items",
+            "n_items",
+            F.expr(_ppm_ratio_sql("n_assigned", "(3 * n_items)", "DIV")).alias(
+                "p_c_ppm"
+            ),
+            F.expr(_ppm_ratio_sql("pbar_num", "(6 * n_items)", "DIV")).alias(
+                "pbar_ppm"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pe = scored.agg(
+        F.expr("CAST(sum(p_c_ppm * p_c_ppm) DIV 1000000 AS BIGINT)").alias("pe_ppm")
+    )
+    kp = (
+        "CASE WHEN 1000000 - pe_ppm <= 0 THEN 0L"
+        " WHEN pbar_ppm >= pe_ppm THEN "
+        + _ppm_ratio_sql("(pbar_ppm - pe_ppm)", "(1000000 - pe_ppm)", "DIV")
+        + " ELSE -"
+        + _ppm_ratio_sql("(pe_ppm - pbar_ppm)", "(1000000 - pe_ppm)", "DIV")
+        + " END"
+    )
+    return scored.crossJoin(F.broadcast(pe)).select(
+        "category",
+        "n_assigned",
+        "unanimous_items",
+        "n_items",
+        "p_c_ppm",
+        "pbar_ppm",
+        "pe_ppm",
+        F.expr(kp).alias("kappa_ppm"),
     )

@@ -2104,3 +2104,175 @@ def streaming_mixture_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming_url_dedup_screen — URL-grain dedup AT INGEST (bounded state)
+# ---------------------------------------------------------------------------
+
+from .corpus_queries import (  # noqa: E402
+    url_canonicalize,
+    url_canonicalize_sql,
+    url_crawl_frame,
+    url_crawl_frame_sql,
+    URL_RECRAWL_SHIFT,
+)
+
+_URL_SCREEN_ORACLE = f"""
+WITH {url_crawl_frame_sql("documents")},
+c AS (
+  SELECT doc_id, domain, {url_canonicalize_sql("url")} AS curl
+  FROM documents_urls
+)
+SELECT min(doc_id) AS doc_id, min(domain) AS domain, curl AS url
+FROM c GROUP BY curl
+"""
+
+
+@register("streaming_url_dedup_screen", oracle=_URL_SCREEN_ORACLE)
+def streaming_url_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl's FIRST dedup stage run AT INGEST: fetched URLs arrive as
+    a STREAM (originals in two early micro-batches, the re-crawl slice in
+    a later third — the arrival order a crawl frontier actually produces),
+    each is canonicalized through the SAME shared ``url_canonicalize``
+    the batch pass uses (one canonicalizer, drift impossible), and
+    ``dropDuplicatesWithinWatermark`` on the 16-byte canonical digest
+    admits only first sightings — re-fetches of an already-crawled page
+    are dropped at the door instead of costing a full content pass.
+    The surviving append stream must equal the batch keeper set exactly
+    (min doc_id per canonical URL — originals arrive first, so
+    first-arrival == earliest-fetch by construction, and the oracle
+    checks precisely that equivalence).
+
+    State story (the streaming_dedup_events shape at URL grain): per-key
+    state lives only until the watermark passes the first sighting —
+    bounded by the crawl window's URL rate, NOT by all URLs ever crawled
+    (the unbounded-dropDuplicates failure mode). Re-fetches inside the
+    window drop against held state; re-fetches after eviction are a
+    frontier re-crawl decision, not dedup's."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+    from ..streaming.transforms import streaming_dedup_within_watermark
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    docs = load_table(spark, sf_dir, "documents")
+    frame = url_crawl_frame(docs).select(
+        "doc_id",
+        "domain",
+        "url",
+        F.when(
+            F.col("doc_id") >= URL_RECRAWL_SHIFT,
+            F.lit("2024-01-01 00:05:00"),
+        )
+        .otherwise(F.lit("2024-01-01 00:00:00"))
+        .cast("timestamp")
+        .alias("fetch_ts"),
+    )
+    staged = tempfile.mkdtemp(prefix="url_screen_ingest_")
+    work = tempfile.mkdtemp(prefix="url_screen_work_")
+    try:
+        frame.where(F.col("doc_id") < URL_RECRAWL_SHIFT).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(work, "orig"))
+        frame.where(F.col("doc_id") >= URL_RECRAWL_SHIFT).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(work, "re"))
+        # spaced mtimes: the file source orders same-millisecond files
+        # arbitrarily, and originals must arrive before the re-crawls
+        n = 0
+        for sub in ("orig", "re"):
+            for f in sorted(os.listdir(os.path.join(work, sub))):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(staged, f"{n:02d}.parquet")
+                    shutil.copy(os.path.join(work, sub, f), dst)
+                    os.utime(dst, (1_700_000_000 + n * 10, 1_700_000_000 + n * 10))
+                    n += 1
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        deduped = streaming_dedup_within_watermark(
+            stream.withColumn("uh", F.md5(url_canonicalize(F.col("url")))),
+            keys=["uh"],
+            ts_col="fetch_ts",
+        ).select(
+            "doc_id", "domain", url_canonicalize(F.col("url")).alias("url")
+        )
+        with checkpoint_tmpdir("ckpt_uds_") as ckpt, (
+            checkpoint_tmpdir("sink_uds_")
+        ) as out_dir:
+            return run_append_query_to_df(deduped, ckpt, out_dir)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming_classifier_monitor — the model-eval family's ingest twin
+# ---------------------------------------------------------------------------
+
+from .pipeline_queries import (  # noqa: E402
+    _CCE_ORACLE,
+    confusion_cells,
+    confusion_flags,
+    confusion_report,
+)
+
+
+@register("streaming_classifier_monitor", oracle=_CCE_ORACLE)
+def streaming_classifier_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-eval family's streaming twin — the last operator family
+    without an ingest-side member: a deployed quality filter must be
+    GRADED continuously, not just at release (silent filter drift on a
+    live crawl is invisible until the mix is already skewed). Documents
+    arrive as a STREAM (three staged micro-batches); each is scored by
+    the SAME shared flag frame the batch eval uses (``confusion_flags`` —
+    one scoring definition, so batch and ingest can never drift) inside
+    the streaming plan (the 5-row model table is a broadcast
+    stream-static join), and the per-language confusion cells fold into
+    update-mode aggregation state; the compacted cells pass through the
+    SAME report tail (``confusion_report``) to per-language
+    precision/recall/F1. Shares the batch oracle VERBATIM — the proof the
+    continuous grade equals the release grade.
+
+    State bound: keyed by ``lang`` — |langs| rows of four longs BY
+    CONSTRUCTION (the streaming_mixture_monitor shape); no watermark, no
+    eviction, nothing grows with corpus size."""
+    import shutil
+
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    staged = tempfile.mkdtemp(prefix="clf_mon_ingest_")
+    try:
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("lang", "text")
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        agg = confusion_cells(confusion_flags(spark, stream))
+        with checkpoint_tmpdir("ckpt_clfmon_") as ckpt, (
+            checkpoint_tmpdir("sink_clfmon_")
+        ) as out_dir:
+            cells = run_update_query_to_df(agg, ["lang"], ckpt, out_dir)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return confusion_report(cells)

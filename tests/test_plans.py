@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "knn_pq_eval",  # same declared bounded-|Q| exact-kNN shape; PQ encode is per-row (r12)
     "knn_ann_pq",  # 1-row lazy cap-guard frame broadcast onto the query set (the knn_ann_ivf shape, r12)
     "privacy_t_closeness",  # two declared tiny-side cross joins: the 1-row corpus total onto the |langs| table, and the |langs| ppm table onto the QI group table (r14)
+    "annotator_fleiss_kappa",  # 1-row pe scalar broadcast onto the |categories| report (r14)
 }
 
 # Queries whose parquet scan must carry pushed filters: each has a selective
@@ -376,6 +377,10 @@ SHUFFLE_BUDGET = {
     "dedup_url_canonical": 2,  # canonicalization fuses into the scan; ONE 16-byte digest exchange (map-side partials collapse the size-2 dup classes) + the |domains| rollup — the dedup_exact shape at URL grain
     "classifier_roc_auc": 1,  # the shared scored frame's <=1000-cell histogram is the only hash exchange; the cumulative window is SinglePartition over bounded cells (declared), the final agg a 1-row reduce
     "privacy_t_closeness": 3,  # the (QI, lang) aggregate materializes once (localCheckpoint, 3 consumers); downstream: group rollup + |langs| rollup + final QI rollup — all QI-space-sized
+    # round-14 third wave
+    "text_line_dedup": 2,  # digest-keyed keep-first rank (per-key sort bounded by dup-class size) + the per-doc rollup — the dedup_exact shape at paragraph grain
+    "text_gopher_quality": 0,  # planted append + all five rules fuse into ONE codegen scan (the blocklist shape)
+    "annotator_fleiss_kappa": 0,  # registered plan reads the two checkpointed report tables (vote counts charged at the eager truncation — the t_closeness discipline); pe is a SinglePartition reduce over |categories| rows
 }
 
 

@@ -1,0 +1,277 @@
+"""Round-14 second-wave pins: the five new queries.
+
+- ``text_line_dedup`` — C4-style global keep-first paragraph dedup: the
+  cross-source footer collapses to ONE survivor per source, the doc-unique
+  rare paragraph always survives, totals reconcile with the distinct
+  paragraph space.
+- ``text_gopher_quality`` — every one of the five named rules has live
+  pass AND fail paths (no vacuous rule), and the first-failed verdict is
+  consistent with the per-rule flags.
+- ``annotator_fleiss_kappa`` — the integer-ppm kappa matches an
+  independent float reference computed from the same md5 votes.
+- ``streaming_url_dedup_screen`` / ``streaming_classifier_monitor`` —
+  row-for-row parity with their batch twins (the screen-equals-batch
+  discipline).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from .oracle_check import compare
+
+
+# ---------------------------------------------------------------------------
+# text_line_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_matches_oracle(spark, sf_smoke):
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    q = load_all()["text_line_dedup"]
+    compare(q.fn(spark, sf_smoke), q.oracle, sf_smoke)
+
+
+def test_line_dedup_keep_first_structure(spark, sf_correctness):
+    """The footer (planted in ~90% of docs, per-source text) must survive
+    exactly ONCE per source that has any footer doc; the doc-unique rare
+    paragraph must always survive; and the kept-paragraph total must equal
+    the number of distinct paragraphs in the corpus (keep-first keeps one
+    of each, by definition)."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+        boilerplate_paras,
+    )
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_correctness, "documents").select(
+        "doc_id", "source", "text"
+    )
+    out = load_all()["text_line_dedup"].fn(spark, sf_correctness).collect()
+
+    # totals reconcile per doc
+    for r in out:
+        assert r["n_kept"] + r["n_dropped"] == r["n_paras"]
+        assert r["rare_kept"] == (r["doc_id"] % 25 == 3)
+
+    # one footer survivor per source that has >= 1 footer-carrying doc
+    footer_sources = {
+        r["source"]
+        for r in docs.where("doc_id % 10 != 7").select("source").distinct().collect()
+    }
+    keepers = [r for r in out if r["footer_kept"]]
+    assert len(keepers) == len(footer_sources)
+    assert {r["source"] for r in keepers} == footer_sources
+    # the survivor is the globally-earliest footer doc of its source
+    first_footer = {
+        r["source"]: r["lo"]
+        for r in docs.where("doc_id % 10 != 7")
+        .groupBy("source")
+        .agg(F.min("doc_id").alias("lo"))
+        .collect()
+    }
+    for r in keepers:
+        assert r["doc_id"] == first_footer[r["source"]]
+
+    # global conservation: kept == |distinct paragraph hashes|
+    n_distinct = (
+        boilerplate_paras(docs).select("ph").distinct().count()
+    )
+    assert sum(r["n_kept"] for r in out) == n_distinct
+    assert sum(r["n_dropped"] for r in out) > 0  # the pass actually dropped
+
+
+# ---------------------------------------------------------------------------
+# text_gopher_quality
+# ---------------------------------------------------------------------------
+
+_GOPHER_RULES = (
+    "r_word_count",
+    "r_mean_word_len",
+    "r_alpha_frac",
+    "r_symbol_ratio",
+    "r_stopwords",
+)
+
+
+def test_gopher_matches_oracle(spark, sf_smoke):
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    q = load_all()["text_gopher_quality"]
+    compare(q.fn(spark, sf_smoke), q.oracle, sf_smoke)
+
+
+def test_gopher_no_vacuous_rule(spark, sf_correctness):
+    """Every rule must have at least one passing AND one failing document
+    (the planted classes make the three synthetic-corpus-vacuous rules
+    live), and the first-failed verdict must agree with the flags."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    rows = load_all()["text_gopher_quality"].fn(spark, sf_correctness).collect()
+    for rule in _GOPHER_RULES:
+        fails = [r for r in rows if not r[rule]]
+        passes = [r for r in rows if r[rule]]
+        assert fails and passes, f"{rule} is vacuous"
+    order = {
+        "r_word_count": "word_count",
+        "r_mean_word_len": "mean_word_len",
+        "r_alpha_frac": "alpha_frac",
+        "r_symbol_ratio": "symbol_ratio",
+        "r_stopwords": "stopwords",
+    }
+    for r in rows:
+        assert r["keep"] == all(r[k] for k in _GOPHER_RULES)
+        expected = next(
+            (order[k] for k in _GOPHER_RULES if not r[k]), "none"
+        )
+        assert r["first_failed"] == expected
+    # each planted class hits its targeted rule — pinned on docs in exactly
+    # ONE class (overlap docs compose: e.g. the 'x' padding of % 17 = 9 is
+    # alphabetic and can outweigh the numeric junk of % 11 = 4)
+    hit = {"r_alpha_frac": 0, "r_mean_word_len": 0, "r_symbol_ratio": 0}
+    for r in rows:
+        classes = [r["doc_id"] % 11 == 4, r["doc_id"] % 17 == 9, r["doc_id"] % 13 == 6]
+        if sum(classes) != 1:
+            continue
+        if classes[0]:
+            assert not r["r_alpha_frac"]
+            hit["r_alpha_frac"] += 1
+        elif classes[1]:
+            assert not r["r_mean_word_len"]
+            hit["r_mean_word_len"] += 1
+        else:
+            assert not r["r_symbol_ratio"]
+            hit["r_symbol_ratio"] += 1
+    assert all(v > 0 for v in hit.values()), hit
+
+
+# ---------------------------------------------------------------------------
+# annotator_fleiss_kappa
+# ---------------------------------------------------------------------------
+
+
+def _python_votes(sf_dir: str):
+    """Independent vote replay: same md5 residues, plain Python ints."""
+    import duckdb
+
+    from kafka_streams_rosetta_demo_spark.queries.pipeline_queries import (
+        _FLEISS_FLIP_PCT_STEP,
+        _FLEISS_RATERS,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, label FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    nl = max(label for _, label in rows) + 1
+    votes = []
+    for vec_id, label in rows:
+        for k in range(_FLEISS_RATERS):
+            h = int(hashlib.md5(f"{vec_id}:{k}".encode()).hexdigest()[:15], 16)
+            if h % 100 < k * _FLEISS_FLIP_PCT_STEP:
+                cat = (label + 1 + (h // 100) % (nl - 1)) % nl
+            else:
+                cat = label
+            votes.append((vec_id, cat))
+    return votes
+
+
+def test_fleiss_matches_oracle(spark, sf_smoke):
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    q = load_all()["annotator_fleiss_kappa"]
+    compare(q.fn(spark, sf_smoke), q.oracle, sf_smoke)
+
+
+def test_fleiss_matches_float_reference(spark, sf_correctness):
+    """The integer-ppm kappa must sit within quantization distance of the
+    float Fleiss kappa computed from the same votes (the DoReMi
+    float-Hedge-reference discipline), and the vote table must reconcile:
+    sum of assignments == raters * items."""
+    from collections import Counter, defaultdict
+
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.queries.pipeline_queries import (
+        _FLEISS_RATERS,
+    )
+
+    rows = load_all()["annotator_fleiss_kappa"].fn(spark, sf_correctness).collect()
+    votes = _python_votes(sf_correctness)
+    per_item = defaultdict(Counter)
+    for vec_id, cat in votes:
+        per_item[vec_id][cat] += 1
+    n = _FLEISS_RATERS
+    n_items = len(per_item)
+    p_i = [
+        (sum(c * c for c in cnt.values()) - n) / (n * (n - 1))
+        for cnt in per_item.values()
+    ]
+    pbar = sum(p_i) / n_items
+    totals = Counter()
+    for cnt in per_item.values():
+        totals.update(cnt)
+    p_c = {c: v / (n * n_items) for c, v in totals.items()}
+    pe = sum(v * v for v in p_c.values())
+    kappa = (pbar - pe) / (1 - pe)
+
+    assert len(rows) == len(totals)
+    assert sum(r["n_assigned"] for r in rows) == n * n_items
+    for r in rows:
+        assert r["n_items"] == n_items
+        assert r["n_assigned"] == totals[r["category"]]
+        assert abs(r["kappa_ppm"] / 1e6 - kappa) < 2e-3
+        assert abs(r["pbar_ppm"] / 1e6 - pbar) < 2e-3
+        assert abs(r["pe_ppm"] / 1e6 - pe) < 2e-3
+    # the panel is 0/15/30% noisy around a gold rater: agreement must be
+    # real (far above chance), not accidental
+    assert rows[0]["kappa_ppm"] > 400_000
+
+
+# ---------------------------------------------------------------------------
+# streaming twins: row-for-row parity with their batch sides
+# ---------------------------------------------------------------------------
+
+
+def test_url_screen_matches_batch_keepers(spark, sf_smoke):
+    """The streaming survivors must BE the batch keeper set: one row per
+    canonical URL, the original (pre-shift) doc id, never a re-crawl."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+        URL_RECRAWL_SHIFT,
+        url_canonicalize,
+        url_crawl_frame,
+    )
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    out = load_all()["streaming_url_dedup_screen"].fn(spark, sf_smoke).collect()
+    assert out, "empty screen output"
+    assert all(r["doc_id"] < URL_RECRAWL_SHIFT for r in out)
+
+    docs = load_table(spark, sf_smoke, "documents")
+    batch = (
+        url_crawl_frame(docs)
+        .select("doc_id", "domain", url_canonicalize(F.col("url")).alias("url"))
+        .groupBy("url")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("domain").alias("domain"))
+        .collect()
+    )
+    assert sorted((r["doc_id"], r["domain"], r["url"]) for r in out) == sorted(
+        (r["doc_id"], r["domain"], r["url"]) for r in batch
+    )
+
+
+def test_classifier_monitor_matches_batch(spark, sf_smoke):
+    """The continuous grade must equal the release grade row for row."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    qs = load_all()
+    mon = sorted(
+        map(tuple, qs["streaming_classifier_monitor"].fn(spark, sf_smoke).collect())
+    )
+    batch = sorted(
+        map(tuple, qs["classifier_confusion_eval"].fn(spark, sf_smoke).collect())
+    )
+    assert mon == batch
