@@ -107,6 +107,7 @@ ISOLATED_STREAMING = frozenset(
         # stream-static scored aggregate) is multi-second at sf0.1.
         "streaming_url_dedup_screen",
         "streaming_classifier_monitor",
+        "streaming_gopher_screen",
     }
 )
 
@@ -387,6 +388,12 @@ OPTIONAL = [
     "annotator_fleiss_kappa",
     "streaming_url_dedup_screen",
     "streaming_classifier_monitor",
+    # round 14 fourth wave: the PR companion to the ROC gate (shared cell
+    # histogram, checkpointed once), the robots-compliance audit (broadcast
+    # rule table + longest-match rank), and the Gopher gate's ingest twin
+    "classifier_pr_curve",
+    "crawl_robots_compliance",
+    "streaming_gopher_screen",
 ]
 
 

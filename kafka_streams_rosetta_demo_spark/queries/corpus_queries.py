@@ -3543,30 +3543,11 @@ FROM rules
 """
 
 
-@register("text_gopher_quality", oracle=_GOPHER_ORACLE)
-def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher rule gate (Rae et al. 2021, appendix A1.1) — the named
-    hard-threshold pre-filter most curation stacks run before any model
-    scoring (distinct from ``text_quality_scores``' descriptive stats and
-    ``text_quality_classifier``'s learned score: this is the fixed,
-    citable ruleset with a per-rule verdict and the FIRST failing rule
-    named, what an auditor asks of a filtered corpus). Five rules on word
-    grain: count bounds [50, 100k], mean word length in [3, 10], >= 80%
-    of words alphabetic, symbol-to-word ratio <= 10%, and >= 2 distinct
-    stop words present.
-
-    Determinism: every rule is an exact integer cross-multiply (no
-    division anywhere — mean word length compares ``3n <= sum <= 10n``,
-    the fractions compare ``5*alpha >= 4*n`` / ``10*sym <= n``), so both
-    engines agree bit-for-bit at any scale.
-
-    Scale: ZERO exchanges — the planted append and all five rules are
-    per-row JVM higher-order functions fused into one codegen stage over
-    the scan (the text_blocklist_scrub shape); nothing shuffles, nothing
-    collects, no Python."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", "text"
-    )
+def gopher_rules_frame(docs: DataFrame) -> DataFrame:
+    """THE Gopher rule evaluation — planted append + features + the five
+    rule flags + verdict — shared by the batch gate and the streaming
+    ingest screen (one ruleset definition, the blocklist_scrub_frame
+    discipline). ``docs`` must expose (doc_id, source, lang, text)."""
     g = gopher_docs(docs)
     ws = F.split("text", " ")
     stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
@@ -3622,4 +3603,157 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~F.col("r_stopwords"), F.lit("stopwords"))
         .otherwise(F.lit("none"))
         .alias("first_failed"),
+    )
+
+
+@register("text_gopher_quality", oracle=_GOPHER_ORACLE)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule gate (Rae et al. 2021, appendix A1.1) — the named
+    hard-threshold pre-filter most curation stacks run before any model
+    scoring (distinct from ``text_quality_scores``' descriptive stats and
+    ``text_quality_classifier``'s learned score: this is the fixed,
+    citable ruleset with a per-rule verdict and the FIRST failing rule
+    named, what an auditor asks of a filtered corpus). Five rules on word
+    grain: count bounds [50, 100k], mean word length in [3, 10], >= 80%
+    of words alphabetic, symbol-to-word ratio <= 10%, and >= 2 distinct
+    stop words present.
+
+    Determinism: every rule is an exact integer cross-multiply (no
+    division anywhere — mean word length compares ``3n <= sum <= 10n``,
+    the fractions compare ``5*alpha >= 4*n`` / ``10*sym <= n``), so both
+    engines agree bit-for-bit at any scale.
+
+    Scale: ZERO exchanges — the planted append and all five rules are
+    per-row JVM higher-order functions fused into one codegen stage over
+    the scan (the text_blocklist_scrub shape); nothing shuffles, nothing
+    collects, no Python."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    return gopher_rules_frame(docs)
+
+
+# ---------------------------------------------------------------------------
+# crawl_robots_compliance — is the crawler allowed to keep what it fetched?
+# ---------------------------------------------------------------------------
+
+# A compliant crawl pipeline must audit its fetch log against each host's
+# robots.txt BEFORE the corpus ships: Google's robots semantics are
+# longest-prefix-match wins, Allow beats nothing (it only wins by being the
+# longer match). The corpus has no robots files, so the rule table is
+# planted (ONE literal construction in both engines): each registered
+# domain site{s} disallows the path prefix of source src{s+14} — sources
+# 14..19 land on sites 0..5, while site6's rule names the nonexistent
+# src20, so the zero-hit rule class is live — and site0 carves a
+# longest-match Allow exception for /src14/1 (doc paths starting with 1),
+# exercising the rule-precedence logic, not just prefix matching. The
+# fetch log is the SHARED url_crawl_frame (originals + the re-crawl
+# slice, whose '?utm' query and trailing slash the path extraction must
+# survive).
+
+_ROBOTS_RULES = tuple(
+    (f"site{s}.example.com", f"/src{s + 14}/", "disallow") for s in range(7)
+) + (("site0.example.com", "/src14/1", "allow"),)
+
+_ROBOTS_RULES_SQL = ", ".join(
+    f"('{d}', '{p}', '{v}')" for d, p, v in _ROBOTS_RULES
+)
+
+_ROBOTS_ORACLE = f"""
+WITH {url_crawl_frame_sql("documents")},
+rules(rdomain, prefix, verdict) AS (VALUES {_ROBOTS_RULES_SQL}),
+fetches AS (
+  SELECT doc_id, domain,
+         regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path
+  FROM documents_urls
+),
+matched AS (
+  SELECT f.doc_id, f.domain, r.prefix, r.verdict,
+         row_number() OVER (
+           PARTITION BY f.doc_id
+           ORDER BY length(r.prefix) DESC NULLS LAST
+         ) AS rn
+  FROM fetches f
+  LEFT JOIN rules r
+    ON r.rdomain = f.domain AND starts_with(f.path, r.prefix)
+),
+winner AS (SELECT doc_id, domain, verdict FROM matched WHERE rn = 1)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(sum(CASE WHEN verdict = 'disallow' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_disallowed,
+       CAST(sum(CASE WHEN verdict = 'allow' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exception_allowed,
+       CAST(sum(CASE WHEN verdict IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched,
+       {_ppm_ratio_sql("sum(CASE WHEN verdict = 'disallow' THEN 1 ELSE 0 END)", "count(*)")}
+         AS violation_ppm
+FROM winner GROUP BY domain
+"""
+
+
+@register("crawl_robots_compliance", oracle=_ROBOTS_ORACLE)
+def crawl_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt compliance audit over the crawl log — the legal/policy
+    gate a shipped corpus must clear (and the fourth member of the crawl
+    family: profile, snapshot diff, URL dedup, this): every fetch's path
+    is matched against its domain's planted rule table under the real
+    longest-prefix-wins precedence (an Allow wins ONLY by being the
+    longer match — rule order never matters), and the report is
+    per-domain: fetch count, disallowed fetches, exception-allowed
+    fetches, unmatched fetches, and the exact violation ppm — what a
+    crawler operator reads to purge and to fix the frontier.
+
+    Determinism: prefix lengths decide precedence (the only overlapping
+    pair has distinct lengths by construction, so the rank is total);
+    matching is pure string prefix work; the ppm is the exact split.
+
+    Scale: the rule table is a literal |rules|-row broadcast (a real
+    robots corpus is |domains|-sized — still the broadcast side); the
+    left prefix-join fuses map-side, the longest-match rank is ONE
+    doc_id-keyed exchange (per-key group = matching rules, <= |rules per
+    domain|), the domain rollup the second. Nothing corpus-sized joins
+    corpus-sized."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fetches = url_crawl_frame(docs).select(
+        "doc_id",
+        "domain",
+        F.regexp_extract("url", "^https?://[^/]+([^?]*)", 1).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        list(_ROBOTS_RULES), "rdomain string, prefix string, verdict string"
+    )
+    matched = fetches.join(
+        F.broadcast(rules),
+        (F.col("rdomain") == F.col("domain"))
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc_nulls_last(F.length("prefix"))
+    )
+    winner = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "domain", "verdict")
+    )
+    dis = F.sum(F.when(F.col("verdict") == "disallow", 1).otherwise(0))
+    return winner.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        dis.cast("long").alias("n_disallowed"),
+        F.sum(F.when(F.col("verdict") == "allow", 1).otherwise(0))
+        .cast("long")
+        .alias("n_exception_allowed"),
+        F.sum(F.when(F.col("verdict").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unmatched"),
+        F.expr(
+            _ppm_ratio_sql(
+                "sum(CASE WHEN verdict = 'disallow' THEN 1 ELSE 0 END)",
+                "count(*)",
+                "DIV",
+            )
+        ).alias("violation_ppm"),
     )

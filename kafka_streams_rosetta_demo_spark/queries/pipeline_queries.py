@@ -4360,19 +4360,42 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROC_CELL_MICRO = 500
 _ROC_CELLS = 2 * _CAL_CLAMP // _ROC_CELL_MICRO  # 1000
 
-
-def _roc_oracle() -> str:
-    num = "(2 * conc + tied)"
-    den = "GREATEST(1, 2 * p * n)"  # one-class corpus: AUC defined as 0
-    return f"""
-WITH {_CLF_SCORED_WITH},
+# The <=1000-cell (cell, pos, neg) rank histogram over the shared scored
+# frame — ONE quantization definition feeding BOTH threshold-free gates
+# (ROC AUC and the PR curve) and both oracles.
+_CLF_CELLS_WITH = f"""{_CLF_SCORED_WITH},
 cells AS (
   SELECT (least(greatest(margin, -{_CAL_CLAMP}), {_CAL_CLAMP - 1})
           + {_CAL_CLAMP}) // {_ROC_CELL_MICRO} AS cell,
          CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS pos,
          CAST(sum(CASE WHEN good THEN 0 ELSE 1 END) AS BIGINT) AS neg
   FROM scored GROUP BY 1
-),
+)"""
+
+
+def _clf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of ``_CLF_CELLS_WITH``: the bounded margin-cell
+    histogram both threshold-free gates aggregate from."""
+    cell = F.expr(
+        f"CAST((least(greatest(margin, -{_CAL_CLAMP}), {_CAL_CLAMP - 1})"
+        f" + {_CAL_CLAMP}) DIV {_ROC_CELL_MICRO} AS BIGINT)"
+    )
+    return (
+        _clf_scored(spark, sf_dir)
+        .select(cell.alias("cell"), "good")
+        .groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("good"), 1).otherwise(0)).cast("long").alias("pos"),
+            F.sum(F.when(F.col("good"), 0).otherwise(1)).cast("long").alias("neg"),
+        )
+    )
+
+
+def _roc_oracle() -> str:
+    num = "(2 * conc + tied)"
+    den = "GREATEST(1, 2 * p * n)"  # one-class corpus: AUC defined as 0
+    return f"""
+WITH {_CLF_CELLS_WITH},
 c AS (
   SELECT pos, neg,
          coalesce(sum(neg) OVER (ORDER BY cell
@@ -4422,19 +4445,7 @@ def classifier_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the AUC per language/source and aggregate, or subsample one class."""
     from pyspark.sql import Window
 
-    cell = F.expr(
-        f"CAST((least(greatest(margin, -{_CAL_CLAMP}), {_CAL_CLAMP - 1})"
-        f" + {_CAL_CLAMP}) DIV {_ROC_CELL_MICRO} AS BIGINT)"
-    )
-    cells = (
-        _clf_scored(spark, sf_dir)
-        .select(cell.alias("cell"), "good")
-        .groupBy("cell")
-        .agg(
-            F.sum(F.when(F.col("good"), 1).otherwise(0)).cast("long").alias("pos"),
-            F.sum(F.when(F.col("good"), 0).otherwise(1)).cast("long").alias("neg"),
-        )
-    )
+    cells = _clf_cells(spark, sf_dir)
     w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
     c = cells.select(
         "pos",
@@ -4655,4 +4666,84 @@ def annotator_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pbar_ppm",
         "pe_ppm",
         F.expr(kp).alias("kappa_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# classifier_pr_curve — the imbalanced-data view of the quality filter
+# ---------------------------------------------------------------------------
+
+_PR_ORACLE = f"""
+WITH {_CLF_CELLS_WITH},
+tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tot_pos FROM cells),
+cum AS (
+  SELECT cell, pos, neg,
+         CAST(sum(pos) OVER (ORDER BY cell DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tp,
+         CAST(sum(neg) OVER (ORDER BY cell DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_fp
+  FROM cells
+)
+SELECT c.cell, c.pos, c.neg, c.cum_tp, c.cum_fp,
+       {_ppm_ratio_sql("c.cum_tp", "(c.cum_tp + c.cum_fp)")} AS precision_ppm,
+       {_ppm_ratio_sql("c.cum_tp", "GREATEST(1, t.tot_pos)")} AS recall_ppm
+FROM cum c CROSS JOIN tot t
+"""
+
+
+@register("classifier_pr_curve", oracle=_PR_ORACLE)
+def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve of the quality classifier — the
+    imbalanced-data companion to the ROC gate (when 'good' docs are rare,
+    ROC flatters: a filter can post 0.95 AUC while its precision at usable
+    recall is garbage — PR is the view a curation engineer actually sets
+    the threshold from). One row per occupied margin cell, read as
+    "predict keep at threshold >= this cell": cumulative TP/FP from the
+    top margin down, exact precision and recall ppm.
+
+    Shared frames: rides THE margin-cell histogram (``_clf_cells`` /
+    ``_CLF_CELLS_WITH`` — the ROC gate's quantization verbatim, itself on
+    the calibration curve's scored frame), so all three threshold-free
+    reports derive from one scoring + one quantization definition.
+
+    Determinism: the descending-cell cumulative is over the unique cell
+    key (total order, no ties); precision's denominator is the row's own
+    cum count (>= 1 by occupancy); recall floors the one-class corpus
+    denominator at 1 (the ROC discipline).
+
+    Scale: same shape as ROC — ONE corpus scan into a <=1000-key
+    map-side-combining aggregate; the cumulative window and the 1-row
+    total broadcast are bounded model state BY CONSTRUCTION, never a
+    corpus-sized sort."""
+    from pyspark.sql import Window
+
+    # the cell histogram feeds BOTH the cumulative curve and the 1-row
+    # recall total — truncate so the corpus scan runs once, not per
+    # consumer (the annotator_fleiss_kappa discipline; <=1000 rows)
+    cells = _clf_cells(spark, sf_dir).localCheckpoint(eager=True)
+    wd = Window.orderBy(F.desc("cell")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "cell",
+        "pos",
+        "neg",
+        F.sum("pos").over(wd).cast("long").alias("cum_tp"),
+        F.sum("neg").over(wd).cast("long").alias("cum_fp"),
+    )
+    tot = cells.agg(F.sum("pos").cast("long").alias("tot_pos"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "pos",
+        "neg",
+        "cum_tp",
+        "cum_fp",
+        F.expr(_ppm_ratio_sql("cum_tp", "(cum_tp + cum_fp)", "DIV")).alias(
+            "precision_ppm"
+        ),
+        F.expr(_ppm_ratio_sql("cum_tp", "GREATEST(1, tot_pos)", "DIV")).alias(
+            "recall_ppm"
+        ),
     )

@@ -2276,3 +2276,60 @@ def streaming_classifier_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staged, ignore_errors=True)
     return confusion_report(cells)
+
+
+# ---------------------------------------------------------------------------
+# streaming_gopher_screen — the named rule gate run AT INGEST
+# ---------------------------------------------------------------------------
+
+from .corpus_queries import _GOPHER_ORACLE, gopher_rules_frame  # noqa: E402
+
+
+@register("streaming_gopher_screen", oracle=_GOPHER_ORACLE)
+def streaming_gopher_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule gate run AT INGEST — the text-cleaning family's
+    SIXTH per-ingest screen (boilerplate, winnowing, ANN, blocklist,
+    decontamination, now the named hard-threshold ruleset): documents
+    arrive as a STREAM (three staged micro-batches) and each classifies
+    through the SAME shared rule evaluation the batch gate uses
+    (``gopher_rules_frame`` — one ruleset definition, so batch and ingest
+    can never disagree on which rule a doc fails first), emitting the
+    identical per-doc verdict row: the five features, five rule flags,
+    keep, and the first-failed rule name.
+
+    Scale & state: STATELESS per-row classification (a verdict depends
+    only on the arriving doc and the literal thresholds — no index, no
+    watermark, no state growth; the blocklist-screen shape); per-batch
+    cost is per-row HOF work, entirely map-side. Shares the batch gate's
+    oracle VERBATIM and a parity test pins the compacted verdicts equal
+    to the batch table row-for-row."""
+    import shutil
+
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    staged = tempfile.mkdtemp(prefix="gopher_ingest_")
+    try:
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang", "text")
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        with checkpoint_tmpdir("ckpt_gos_") as ckpt, (
+            checkpoint_tmpdir("sink_gos_")
+        ) as out_dir:
+            return run_update_query_to_df(
+                stream, ["doc_id"], ckpt, out_dir, batch_fn=gopher_rules_frame
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "knn_ann_pq",  # 1-row lazy cap-guard frame broadcast onto the query set (the knn_ann_ivf shape, r12)
     "privacy_t_closeness",  # two declared tiny-side cross joins: the 1-row corpus total onto the |langs| table, and the |langs| ppm table onto the QI group table (r14)
     "annotator_fleiss_kappa",  # 1-row pe scalar broadcast onto the |categories| report (r14)
+    "classifier_pr_curve",  # 1-row recall-total scalar broadcast onto the <=1000-cell curve (r14)
 }
 
 # Queries whose parquet scan must carry pushed filters: each has a selective
@@ -381,6 +382,9 @@ SHUFFLE_BUDGET = {
     "text_line_dedup": 2,  # digest-keyed keep-first rank (per-key sort bounded by dup-class size) + the per-doc rollup — the dedup_exact shape at paragraph grain
     "text_gopher_quality": 0,  # planted append + all five rules fuse into ONE codegen scan (the blocklist shape)
     "annotator_fleiss_kappa": 0,  # registered plan reads the two checkpointed report tables (vote counts charged at the eager truncation — the t_closeness discipline); pe is a SinglePartition reduce over |categories| rows
+    # round-14 fourth wave
+    "classifier_pr_curve": 0,  # reads the checkpointed <=1000-cell histogram (its corpus scan charged at the eager truncation); the cumulative window + recall total are SinglePartition over bounded cells
+    "crawl_robots_compliance": 2,  # broadcast literal rule table fuses map-side; the longest-match rank is one doc_id exchange (per-key group <= |rules per domain|) + the |domains| rollup
 }
 
 

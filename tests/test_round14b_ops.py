@@ -275,3 +275,92 @@ def test_classifier_monitor_matches_batch(spark, sf_smoke):
         map(tuple, qs["classifier_confusion_eval"].fn(spark, sf_smoke).collect())
     )
     assert mon == batch
+
+
+# ---------------------------------------------------------------------------
+# fourth wave: PR curve, robots compliance, gopher ingest screen
+# ---------------------------------------------------------------------------
+
+
+def test_pr_curve_matches_oracle_and_reconciles(spark, sf_smoke):
+    """Parity, plus cross-query reconciliation: the curve's final
+    cumulative TP must equal the confusion eval's total positives
+    (sum of tp+fn over languages — same 'good' definition), and recall
+    must be monotone along descending cells ending at 1e6."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    qs = load_all()
+    q = qs["classifier_pr_curve"]
+    compare(q.fn(spark, sf_smoke), q.oracle, sf_smoke)
+
+    rows = sorted(q.fn(spark, sf_smoke).collect(), key=lambda r: -r["cell"])
+    cm = qs["classifier_confusion_eval"].fn(spark, sf_smoke).collect()
+    total_pos = sum(r["tp"] + r["fn"] for r in cm)
+    assert rows[-1]["cum_tp"] == total_pos
+    assert rows[-1]["recall_ppm"] == 1_000_000
+    last = -1
+    for r in rows:
+        assert r["recall_ppm"] >= last
+        last = r["recall_ppm"]
+        assert r["cum_tp"] + r["cum_fp"] >= 1
+
+
+def test_robots_compliance_structure(spark, sf_correctness):
+    """site6's rule names a nonexistent source (zero-hit class), site0's
+    Allow exception fires, and every domain's disallowed count reconciles
+    with the planted rule: fetches of src{s+14} minus exceptions."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+    from kafka_streams_rosetta_demo_spark.queries.corpus_queries import (
+        url_crawl_frame,
+    )
+    from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+    q = load_all()["crawl_robots_compliance"]
+    compare(q.fn(spark, sf_correctness), q.oracle, sf_correctness)
+    out = {r["domain"]: r for r in q.fn(spark, sf_correctness).collect()}
+
+    docs = load_table(spark, sf_correctness, "documents")
+    frame = url_crawl_frame(docs)
+    per = {
+        (r["domain"], r["source"]): r["c"]
+        for r in frame.withColumn(
+            "source", F.regexp_extract("url", "/(src[0-9]+)/", 1)
+        )
+        .groupBy("domain", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    dom_totals = {}
+    for (d, s), c in per.items():
+        dom_totals[d] = dom_totals.get(d, 0) + c
+
+    s6 = out["site6.example.com"]
+    assert s6["n_disallowed"] == 0 and s6["n_exception_allowed"] == 0
+    assert out["site0.example.com"]["n_exception_allowed"] > 0
+    for s in range(6):
+        d = f"site{s}.example.com"
+        r = out[d]
+        banned = per.get((d, f"src{s + 14}"), 0)
+        assert r["n_disallowed"] == banned - r["n_exception_allowed"]
+        assert r["n_fetches"] == dom_totals[d]
+        assert (
+            r["n_unmatched"]
+            == r["n_fetches"] - r["n_disallowed"] - r["n_exception_allowed"]
+        )
+        assert r["violation_ppm"] == r["n_disallowed"] * 1_000_000 // r["n_fetches"]
+
+
+def test_gopher_screen_matches_batch(spark, sf_smoke):
+    """The ingest verdicts must equal the batch gate's row for row."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    qs = load_all()
+    mon = sorted(
+        map(tuple, qs["streaming_gopher_screen"].fn(spark, sf_smoke).collect())
+    )
+    batch = sorted(
+        map(tuple, qs["text_gopher_quality"].fn(spark, sf_smoke).collect())
+    )
+    assert mon == batch
