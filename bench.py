@@ -74,6 +74,11 @@ EXTRA_REPS = {
     "multimodal_resample": 2,
     "tpch_q14_promo_revenue": 2,
     "profile_drift_psi": 2,
+    # round 14: section-start rows still warming within their own 3 reps
+    # after the join/window warmup ([1.51, 1.52, 0.95]-shaped spreads)
+    "tpch_q10_returned_items": 2,
+    "tpch_q11_important_parts": 2,
+    "profile_column_stats": 2,
 }
 BENCH_SECTIONS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "4")))
 
@@ -108,6 +113,9 @@ ISOLATED_STREAMING = frozenset(
         "streaming_url_dedup_screen",
         "streaming_classifier_monitor",
         "streaming_gopher_screen",
+        # round 14 fifth wave: both are full micro-batch topologies
+        "streaming_robots_screen",
+        "streaming_roc_monitor",
     }
 )
 
@@ -394,6 +402,11 @@ OPTIONAL = [
     "classifier_pr_curve",
     "crawl_robots_compliance",
     "streaming_gopher_screen",
+    # round 14 fifth wave: the continuous policy gate (shared verdict +
+    # rollup frames) and the bounded-state streaming AUC monitor (the
+    # cell grid IS the key space — <=1000 rows of state by construction)
+    "streaming_robots_screen",
+    "streaming_roc_monitor",
 ]
 
 
@@ -503,6 +516,38 @@ def run_section(section: int) -> dict[str, dict[str, object]]:
             load_parquet_table(spark, SF_DIR, t).count()
         except Exception:
             pass
+    # Warm the JOIN/WINDOW/AGGREGATE machinery too, not just the scan path:
+    # section boundaries move as the basket grows, and a section whose first
+    # rows are multi-join plans (the TPC-H block in the r14 layout) showed a
+    # 2-3x cold-JIT gradient over its first ~12 queries with scan-only
+    # warmup — the Janino codegen compiler, shuffle writers, and broadcast
+    # machinery all JIT inside the first timed reps otherwise. Untimed, so
+    # cost attribution is unchanged.
+    try:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as _F
+
+        o = load_parquet_table(spark, SF_DIR, "orders")
+        c = load_parquet_table(spark, SF_DIR, "customer")
+        (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(_F.count(_F.lit(1)), _F.sum("o_totalprice"))
+            .collect()
+        )
+        (
+            o.withColumn(
+                "rn",
+                _F.row_number().over(
+                    Window.partitionBy("o_custkey").orderBy("o_orderkey")
+                ),
+            )
+            .where("rn = 1")
+            .count()
+        )
+        c.join(_F.broadcast(c.limit(50)), "c_custkey").count()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}

@@ -3714,10 +3714,18 @@ def crawl_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-keyed exchange (per-key group = matching rules, <= |rules per
     domain|), the domain rollup the second. Nothing corpus-sized joins
     corpus-sized."""
+    winner = robots_verdicts(spark, url_crawl_frame(load_table(spark, sf_dir, "documents")))
+    return robots_rollup(winner)
+
+
+def robots_verdicts(spark: SparkSession, crawl: DataFrame) -> DataFrame:
+    """THE per-fetch robots verdict — path extraction, broadcast rule
+    join, longest-prefix-wins rank — shared by the batch audit and the
+    streaming ingest screen (one precedence definition). ``crawl`` must
+    expose (doc_id, domain, url); returns (doc_id, domain, verdict)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    fetches = url_crawl_frame(docs).select(
+    fetches = crawl.select(
         "doc_id",
         "domain",
         F.regexp_extract("url", "^https?://[^/]+([^?]*)", 1).alias("path"),
@@ -3734,15 +3742,22 @@ def crawl_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.desc_nulls_last(F.length("prefix"))
     )
-    winner = (
+    return (
         matched.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", "domain", "verdict")
     )
-    dis = F.sum(F.when(F.col("verdict") == "disallow", 1).otherwise(0))
+
+
+def robots_rollup(winner: DataFrame) -> DataFrame:
+    """The |domains|-row compliance report over per-fetch verdicts — the
+    shared rollup tail (plain sums, so it also runs post-compaction on
+    the streaming screen's verdict log)."""
     return winner.groupBy("domain").agg(
         F.count(F.lit(1)).cast("long").alias("n_fetches"),
-        dis.cast("long").alias("n_disallowed"),
+        F.sum(F.when(F.col("verdict") == "disallow", 1).otherwise(0))
+        .cast("long")
+        .alias("n_disallowed"),
         F.sum(F.when(F.col("verdict") == "allow", 1).otherwise(0))
         .cast("long")
         .alias("n_exception_allowed"),

@@ -3750,6 +3750,13 @@ def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the per-language threshold, plus the rule-based reference
     flag. ONE corpus scan, 5-row broadcast model join, JVM HOFs only."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return _clf_scored_frame(spark, docs)
+
+
+def _clf_scored_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Frame form of :func:`_clf_scored` over any (lang, text) relation —
+    the streaming ROC monitor scores arriving micro-batches through THIS
+    same definition (one scoring, batch and ingest cannot drift)."""
     w = F.split("text", " ")
     stops = F.array(*[F.lit(s) for s in _QC_STOPS])
     feats = docs.select(
@@ -4373,15 +4380,17 @@ cells AS (
 )"""
 
 
-def _clf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark side of ``_CLF_CELLS_WITH``: the bounded margin-cell
-    histogram both threshold-free gates aggregate from."""
+def _clf_cells_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Frame form of the cell histogram over any (lang, text) relation —
+    plain sums of when-expressions keyed by the <=1000-cell grid, so the
+    SAME aggregation runs as a batch groupBy and as a bounded-state
+    streaming update-mode aggregate."""
     cell = F.expr(
         f"CAST((least(greatest(margin, -{_CAL_CLAMP}), {_CAL_CLAMP - 1})"
         f" + {_CAL_CLAMP}) DIV {_ROC_CELL_MICRO} AS BIGINT)"
     )
     return (
-        _clf_scored(spark, sf_dir)
+        _clf_scored_frame(spark, docs)
         .select(cell.alias("cell"), "good")
         .groupBy("cell")
         .agg(
@@ -4389,6 +4398,13 @@ def _clf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("good"), 0).otherwise(1)).cast("long").alias("neg"),
         )
     )
+
+
+def _clf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of ``_CLF_CELLS_WITH``: the bounded margin-cell
+    histogram both threshold-free gates aggregate from."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return _clf_cells_frame(spark, docs)
 
 
 def _roc_oracle() -> str:
@@ -4443,9 +4459,16 @@ def classifier_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized sort. Exact to p * n <= ~4.6e15 pairs (the _ppm_ratio_sql
     den envelope; ~1.4e8 docs per class balanced) — past that, stratify
     the AUC per language/source and aggregate, or subsample one class."""
+    return _roc_report(_clf_cells(spark, sf_dir))
+
+
+def _roc_report(cells: DataFrame) -> DataFrame:
+    """The Mann-Whitney AUC computation over a (cell, pos, neg) histogram
+    — shared by the batch gate and the streaming monitor's compacted
+    state (one report tail, the confusion_report discipline). Bounded
+    model state: the window and reduce run over <=1000 rows."""
     from pyspark.sql import Window
 
-    cells = _clf_cells(spark, sf_dir)
     w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
     c = cells.select(
         "pos",

@@ -2333,3 +2333,134 @@ def streaming_gopher_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming_robots_screen — robots compliance verdicts AT INGEST
+# ---------------------------------------------------------------------------
+
+from .corpus_queries import (  # noqa: E402
+    _ROBOTS_ORACLE,
+    robots_rollup,
+    robots_verdicts,
+)
+
+
+@register("streaming_robots_screen", oracle=_ROBOTS_ORACLE)
+def streaming_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots.txt compliance audit run AT INGEST — the crawl family's
+    continuous policy gate (a compliant crawler must refuse a disallowed
+    fetch when it ARRIVES, not discover it in a quarterly audit): fetches
+    arrive as a STREAM (three staged micro-batches of the shared crawl
+    log) and each micro-batch's verdicts derive through the SAME shared
+    longest-prefix-wins evaluation the batch audit uses
+    (``robots_verdicts`` — one precedence definition, so batch and ingest
+    can never disagree on whether an Allow outranks its Disallow); the
+    per-fetch verdict log lands keyed by doc_id and the compacted log
+    rolls up through the SAME report tail (``robots_rollup``) to the
+    per-domain compliance table. Shares the batch oracle VERBATIM.
+
+    Scale & state: STATELESS per-fetch classification (verdicts depend
+    only on the arriving fetch and the broadcast rule table — the
+    longest-match rank is per-doc, and every doc arrives in exactly one
+    micro-batch; no watermark, no cross-batch state growth — the
+    blocklist-screen shape); the changelog is the verdict log a
+    compliance officer replays, the rollup |domains|-sized."""
+    import shutil
+
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+    from .corpus_queries import url_crawl_frame
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    staged = tempfile.mkdtemp(prefix="robots_ingest_")
+    try:
+        (
+            url_crawl_frame(load_table(spark, sf_dir, "documents"))
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        with checkpoint_tmpdir("ckpt_robots_") as ckpt, (
+            checkpoint_tmpdir("sink_robots_")
+        ) as out_dir:
+            winner = run_update_query_to_df(
+                stream,
+                ["doc_id"],
+                ckpt,
+                out_dir,
+                batch_fn=lambda b: robots_verdicts(spark, b),
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return robots_rollup(winner)
+
+
+# ---------------------------------------------------------------------------
+# streaming_roc_monitor — continuous ranking power, <=1000-cell state
+# ---------------------------------------------------------------------------
+
+from .pipeline_queries import (  # noqa: E402
+    _clf_cells_frame,
+    _roc_oracle,
+    _roc_report,
+)
+
+
+@register("streaming_roc_monitor", oracle=_roc_oracle())
+def streaming_roc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROC/AUC gate maintained AS STREAMING STATE — the
+    threshold-free companion to ``streaming_classifier_monitor`` (that
+    one watches the 2x2 at the deployed threshold; this one watches
+    whether the model's SCORES still rank good docs above bad at all —
+    the earlier drift signal, since ranking power decays before any fixed
+    threshold's confusion does): arriving documents score through the
+    SAME shared frame (``_clf_scored_frame``/``_clf_cells_frame`` — the
+    calibration curve's scoring and the ROC gate's quantization verbatim)
+    and fold into the <=1000-cell margin histogram as update-mode
+    aggregation state; the compacted cells pass through the SAME
+    Mann-Whitney report tail (``_roc_report``). Shares the batch gate's
+    oracle VERBATIM.
+
+    State bound: the cell grid IS the aggregation key space, so state is
+    <=1000 rows of two longs BY CONSTRUCTION no matter how many documents
+    flow through (the streaming_cms_sketch discipline — the reason a
+    quantized histogram, not a corpus-sized rank sort, is the streaming
+    AUC primitive); no watermark, nothing evicted because nothing grows."""
+    import shutil
+
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+    from ..sources.parquet import load_table
+
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+
+    staged = tempfile.mkdtemp(prefix="roc_mon_ingest_")
+    try:
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "text")
+            .repartition(3)  # three files -> three genuine micro-batches
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        agg = _clf_cells_frame(spark, stream)
+        with checkpoint_tmpdir("ckpt_rocmon_") as ckpt, (
+            checkpoint_tmpdir("sink_rocmon_")
+        ) as out_dir:
+            cells = run_update_query_to_df(agg, ["cell"], ckpt, out_dir)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return _roc_report(cells)

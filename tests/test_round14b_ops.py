@@ -364,3 +364,35 @@ def test_gopher_screen_matches_batch(spark, sf_smoke):
         map(tuple, qs["text_gopher_quality"].fn(spark, sf_smoke).collect())
     )
     assert mon == batch
+
+
+# ---------------------------------------------------------------------------
+# fifth wave: robots ingest screen, streaming ROC monitor
+# ---------------------------------------------------------------------------
+
+
+def test_robots_screen_matches_batch(spark, sf_smoke):
+    """The continuous compliance table must equal the batch audit's row
+    for row (same verdicts, same rollup)."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    qs = load_all()
+    mon = sorted(
+        map(tuple, qs["streaming_robots_screen"].fn(spark, sf_smoke).collect())
+    )
+    batch = sorted(
+        map(tuple, qs["crawl_robots_compliance"].fn(spark, sf_smoke).collect())
+    )
+    assert mon == batch
+
+
+def test_roc_monitor_matches_batch(spark, sf_smoke):
+    """The streaming-state AUC must equal the batch gate exactly — same
+    cells, same Mann-Whitney arithmetic."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    qs = load_all()
+    mon = qs["streaming_roc_monitor"].fn(spark, sf_smoke).collect()
+    batch = qs["classifier_roc_auc"].fn(spark, sf_smoke).collect()
+    assert sorted(map(tuple, mon)) == sorted(map(tuple, batch))
+    assert mon[0]["auc_ppm"] > 500_000  # ranking signal survives the stream
