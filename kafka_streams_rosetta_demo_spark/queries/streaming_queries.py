@@ -397,9 +397,14 @@ def streaming_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v.event_id").alias("sum_event_id"),
         )
     )
-    with checkpoint_tmpdir("ckpt_swr_") as ckpt, (
-        checkpoint_tmpdir("sink_swr_")
-    ) as out_dir:
+    # State keys on event_type — a small enumeration by construction
+    # (the docstring's "the only state is the event_type counter rows");
+    # size the state exchange from that bound, not the core count.
+    from ..streaming.runner import bounded_state_shuffle
+
+    with bounded_state_shuffle(spark, 4096), checkpoint_tmpdir(
+        "ckpt_swr_"
+    ) as ckpt, checkpoint_tmpdir("sink_swr_") as out_dir:
         return run_update_query_to_df(agg, ["event_type"], ckpt, out_dir)
 
 
@@ -469,9 +474,13 @@ def streaming_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    with checkpoint_tmpdir("ckpt_sar_") as ckpt, (
-        checkpoint_tmpdir("sink_sar_")
-    ) as out_dir:
+    # Same bounded state as streaming_wire_roundtrip: event_type counter
+    # rows only — state exchange sized from the key bound.
+    from ..streaming.runner import bounded_state_shuffle
+
+    with bounded_state_shuffle(spark, 4096), checkpoint_tmpdir(
+        "ckpt_sar_"
+    ) as ckpt, checkpoint_tmpdir("sink_sar_") as out_dir:
         return run_update_query_to_df(agg, ["event_type"], ckpt, out_dir)
 
 
@@ -565,9 +574,13 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         CMS_DEPTH,
         CMS_WIDTH,
     )
-    with checkpoint_tmpdir("ckpt_cms_") as ckpt, (
-        checkpoint_tmpdir("sink_cms_")
-    ) as out_dir:
+    # The 4×2048 cell grid IS the key space — state exchange sized from
+    # depth×width, not the core count.
+    from ..streaming.runner import bounded_state_shuffle
+
+    with bounded_state_shuffle(spark, CMS_DEPTH * CMS_WIDTH), checkpoint_tmpdir(
+        "ckpt_cms_"
+    ) as ckpt, checkpoint_tmpdir("sink_cms_") as out_dir:
         return run_update_query_to_df(cells, ["d", "bucket"], ckpt, out_dir)
 
 
@@ -851,9 +864,14 @@ def streaming_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close_v",
         "n",
     )
-    with checkpoint_tmpdir("ckpt_sohlc_") as ckpt, (
-        checkpoint_tmpdir("sink_sohlc_")
-    ) as out_dir:
+    # State is one OHLC row per (series, open window) with the watermark
+    # evicting closed bars — |types| × in-play buckets, bounded by
+    # construction; the state exchange is sized from that bound.
+    from ..streaming.runner import bounded_state_shuffle
+
+    with bounded_state_shuffle(spark, 4096), checkpoint_tmpdir(
+        "ckpt_sohlc_"
+    ) as ckpt, checkpoint_tmpdir("sink_sohlc_") as out_dir:
         return run_update_query_to_df(out, ["event_type", "bucket"], ckpt, out_dir)
 
 
@@ -895,9 +913,15 @@ def streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.theta_sketch_estimate("sk").alias("est_users"),
     )
-    with checkpoint_tmpdir("ckpt_std_") as ckpt, (
-        checkpoint_tmpdir("sink_std_")
-    ) as out_dir:
+    # State is one fixed-size theta sketch per event type (the docstring's
+    # whole point) — the state exchange is sized from that key bound.
+    # Sketch union is a set union of retained hashes, so partition count
+    # cannot change the estimate.
+    from ..streaming.runner import bounded_state_shuffle
+
+    with bounded_state_shuffle(spark, 4096), checkpoint_tmpdir(
+        "ckpt_std_"
+    ) as ckpt, checkpoint_tmpdir("sink_std_") as out_dir:
         snap = run_update_query_to_df(out, ["event_type"], ckpt, out_dir)
     from ..sources.parquet import load_table, normalize_event_ts
 
@@ -946,9 +970,13 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_base"), 1)).alias("base_n"),
         F.count(F.when(~F.col("is_base"), 1)).alias("curr_n"),
     )
-    with checkpoint_tmpdir("ckpt_psi_") as ckpt, (
-        checkpoint_tmpdir("sink_psi_")
-    ) as out_dir:
+    # The 10-bin histogram IS the key space (bounded like the CMS cells) —
+    # state exchange sized from _PSI_BINS, not the core count.
+    from ..streaming.runner import bounded_state_shuffle
+
+    with bounded_state_shuffle(spark, _PSI_BINS), checkpoint_tmpdir(
+        "ckpt_psi_"
+    ) as ckpt, checkpoint_tmpdir("sink_psi_") as out_dir:
         counts = run_update_query_to_df(hist, ["bin"], ckpt, out_dir)
     # post-math over the compacted 10-row histogram — identical to the
     # batch monitor from here down (bin fan-out, smoothing, ppm, PSI)
@@ -1170,9 +1198,13 @@ def streaming_bpe_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.length("w")).cast("long").alias("n_chars"),
             )
         )
-        with checkpoint_tmpdir("ckpt_bpe_rate_") as ckpt, (
-            checkpoint_tmpdir("sink_bpe_rate_")
-        ) as out_dir:
+        # |sources|-row bounded state (the docstring's bound) — state
+        # exchange sized from the key bound, not the core count.
+        from ..streaming.runner import bounded_state_shuffle
+
+        with bounded_state_shuffle(spark, 4096), checkpoint_tmpdir(
+            "ckpt_bpe_rate_"
+        ) as ckpt, checkpoint_tmpdir("sink_bpe_rate_") as out_dir:
             totals = run_update_query_to_df(agg, ["source"], ckpt, out_dir)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -1719,9 +1751,13 @@ def streaming_unigram_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.length("w")).cast("long").alias("n_chars"),
             )
         )
-        with checkpoint_tmpdir("ckpt_uni_rate_") as ckpt, (
-            checkpoint_tmpdir("sink_uni_rate_")
-        ) as out_dir:
+        # |sources|-row bounded state — state exchange sized from the key
+        # bound, not the core count.
+        from ..streaming.runner import bounded_state_shuffle
+
+        with bounded_state_shuffle(spark, 4096), checkpoint_tmpdir(
+            "ckpt_uni_rate_"
+        ) as ckpt, checkpoint_tmpdir("sink_uni_rate_") as out_dir:
             totals = run_update_query_to_df(agg, ["source"], ckpt, out_dir)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -1891,6 +1927,9 @@ def streaming_mixture_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(weights.items()), schema="source string, target_ppm long"
     )
 
+    from ..operators.doremi import MAX_DOREMI_DOMAINS
+    from ..streaming.runner import bounded_state_shuffle
+
     staged = tempfile.mkdtemp(prefix="mix_mon_ingest_")
     try:
         (
@@ -1910,9 +1949,12 @@ def streaming_mixture_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.size(F.split("text", " "))).cast("long").alias("n_toks"),
         )
-        with checkpoint_tmpdir("ckpt_mixmon_") as ckpt, (
-            checkpoint_tmpdir("sink_mixmon_")
-        ) as out_dir:
+        # State keyed by source is |sources|-row bounded BY CONSTRUCTION
+        # (doremi_fit refuses past MAX_DOREMI_DOMAINS), so the state
+        # exchange is sized from that bound, not the core count.
+        with bounded_state_shuffle(spark, MAX_DOREMI_DOMAINS), checkpoint_tmpdir(
+            "ckpt_mixmon_"
+        ) as ckpt, checkpoint_tmpdir("sink_mixmon_") as out_dir:
             totals = run_update_query_to_df(agg, ["source"], ckpt, out_dir)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -2269,9 +2311,13 @@ def streaming_classifier_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(staged)
         )
         agg = confusion_cells(confusion_flags(spark, stream))
-        with checkpoint_tmpdir("ckpt_clfmon_") as ckpt, (
-            checkpoint_tmpdir("sink_clfmon_")
-        ) as out_dir:
+        # |langs|-row bounded state (the docstring's bound) — state
+        # exchange sized from the key bound, not the core count.
+        from ..streaming.runner import bounded_state_shuffle
+
+        with bounded_state_shuffle(spark, 4096), checkpoint_tmpdir(
+            "ckpt_clfmon_"
+        ) as ckpt, checkpoint_tmpdir("sink_clfmon_") as out_dir:
             cells = run_update_query_to_df(agg, ["lang"], ckpt, out_dir)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -2457,9 +2503,13 @@ def streaming_roc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(staged)
         )
         agg = _clf_cells_frame(spark, stream)
-        with checkpoint_tmpdir("ckpt_rocmon_") as ckpt, (
-            checkpoint_tmpdir("sink_rocmon_")
-        ) as out_dir:
+        # The <=1000-cell grid IS the key space (the docstring's bound) —
+        # state exchange sized from it, not the core count.
+        from ..streaming.runner import bounded_state_shuffle
+
+        with bounded_state_shuffle(spark, 1000), checkpoint_tmpdir(
+            "ckpt_rocmon_"
+        ) as ckpt, checkpoint_tmpdir("sink_rocmon_") as out_dir:
             cells = run_update_query_to_df(agg, ["cell"], ckpt, out_dir)
     finally:
         shutil.rmtree(staged, ignore_errors=True)

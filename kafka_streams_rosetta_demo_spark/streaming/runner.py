@@ -20,9 +20,56 @@ from __future__ import annotations
 
 import tempfile
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import types as T
+
+# How many bounded-state keys one state-store partition is sized to hold.
+# State rows here are a key plus a handful of longs (tens of bytes), so a
+# partition at this bound carries well under a megabyte of state — far
+# below any spill threshold — while the per-partition fixed cost stays paid
+# once, not |shuffle.partitions| times.
+_KEYS_PER_STATE_PARTITION = 4096
+
+
+@contextmanager
+def bounded_state_shuffle(spark: SparkSession, key_bound: int):
+    """Pin ``spark.sql.shuffle.partitions`` for a streaming topology whose
+    keyed state is bounded BY CONSTRUCTION to ``key_bound`` keys, restoring
+    the session default on exit (the invariant every query assumes at
+    entry).
+
+    Why (guide §2.2/§2.4 applied to streaming state): every micro-batch
+    pays a FIXED cost per state-store partition — a task, a state commit
+    (delta file + fsync), and maintenance — even when the partition holds
+    zero keys. With the session default of ``$SPARK_GRAFT_CPUS`` (32)
+    partitions and a state space of |sources| ≈ 8 keys, a 3-micro-batch
+    run spends most of its wall time committing empty state: measured
+    10.2 s at 32 partitions vs 4.9 s at 1-2 on the per-source totals
+    shape, identical results (OPTIMIZATION_r14.md §streaming).
+
+    The partition count derives from the DOCUMENTED key-space bound, never
+    from the machine: ``ceil(key_bound / 4096)`` clamped to the session
+    default. This is scale-adaptive, not local tuning — a state space
+    bounded by construction (|sources|-row model state, a ≤1000-cell grid)
+    needs the same handful of partitions on a 100 TB ingest, because the
+    heavy per-row work happens in the map-side partial aggregate at scan
+    parallelism BEFORE this exchange; only |keys| pre-aggregated rows ever
+    cross it. Unbounded-key topologies (URL-grain dedup state, per-user
+    windows) must NOT use this — they keep the scale-parameterised session
+    default.
+    """
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+
+    parts = max(1, min(DEFAULT_SHUFFLE_PARTITIONS, -(-key_bound // _KEYS_PER_STATE_PARTITION)))
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        ensure_conf(
+            spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+        )
 
 
 # Result frames whose pin degraded to DISK_ONLY. Unlike the artifact memos
