@@ -133,6 +133,63 @@ HEADLINE = [
     "set_union_distinct",
 ]
 
+# Names carried on the slim final stdout line (the ~2000-char capture
+# window can never hold all ~200 queries' medians — the full artifact lands
+# in BENCH_LOCAL.json). The set is the UNION of every query name a driver
+# round ever successfully parsed from this line (r01–r04; r05+ were all
+# "parsed": null because the full line outgrew the window) plus HEADLINE —
+# so no entry that ever appeared in a parsed driver artifact disappears
+# from the parsed stream, per the never-remove contract. ~1.6 KB with
+# 3-decimal medians: fits the window whole.
+SLIM_QUERIES = [
+    "rosetta_enriched",
+    "rosetta_calls_window_agg",
+    "agg_pricing_summary",
+    "join_three_way_topk",
+    "join_broadcast_dim",
+    "join_left_outer_count",
+    "window_moving_sum",
+    "agg_count_distinct",
+    "set_union_distinct",
+    "dedup_cluster_cc",
+    "dedup_cluster_keep_best",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_fuzzy_name",
+    "dedup_incremental_screen",
+    "dedup_minhash_lsh",
+    "embedding_dim_stats",
+    "embedding_label_confusion",
+    "event_transition_matrix",
+    "join_asof",
+    "kafka_wire_framing",
+    "kmeans_inertia",
+    "knn_ann_ivf",
+    "knn_brute_force",
+    "multimodal_frame_sample",
+    "multimodal_resample",
+    "multimodal_resize",
+    "pack_sequences",
+    "rosetta_ktable_latest",
+    "sample_mixture_weighted",
+    "sample_stratified_hash",
+    "sample_weighted_reservoir",
+    "search_hybrid_rerank",
+    "source_length_profile",
+    "streaming_calls_window_agg",
+    "text_bm25_search",
+    "text_contamination_check",
+    "text_lm_logprob",
+    "text_ngram_lm_counts",
+    "text_quality_scores",
+    "text_tfidf_topk",
+    "timeseries_gap_fill",
+    "window_rolling_distinct",
+    "window_session",
+    "window_sliding",
+]
+
 # Extension ops are added to the headline set as they land.
 OPTIONAL = [
     "dedup_minhash_lsh",
@@ -783,7 +840,7 @@ def main() -> None:
         "metric": out["metric"],
         "value": out["value"],
         "unit": "sec",
-        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "queries": {n: timings[n] for n in SLIM_QUERIES if n in timings},
         "extended_total": out["extended_total"],
         "n_queries": len(timings),
         "reps": REPS,

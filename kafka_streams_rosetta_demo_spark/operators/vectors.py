@@ -260,15 +260,36 @@ def ivf_assign(
     out: str = "cell_id",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (centroids are
-    literal model parameters — a closed-form expression per row, no join).
+    model parameters shipped in the task closure — a narrow per-row map,
+    no join, no shuffle).
 
-    Built as an ``array_max`` over (score, cell_id) structs: struct ordering
-    compares score first, so the max struct carries the argmax cell. All
-    ``k`` centroid dots compute in one pass over the vector
-    (:func:`multi_dot`), and the centroid ids/norms ride along as literal
-    arrays zipped against the dot array — the whole assignment is three
-    Literal nodes, not k expression subtrees.
+    Since round 14 this delegates to the Arrow kernel
+    (:func:`operators.veckernels.ivf_assign_arrow`): the k-centroid scoring
+    is the hottest per-row fold in the engine (k × dim interpreted HOF
+    steps per row), and the NumPy batch kernel computes the identical
+    sequential arithmetic at a fraction of the cost (1.81 s → 1.09 s on
+    the sf0.1 assign shape; bit-equality with the HOF twin pinned in
+    tests/test_veckernels.py). :func:`ivf_assign_hof` keeps the original
+    ``array_max``-over-structs expression as the reference twin.
     """
+    from .veckernels import ivf_assign_arrow
+
+    return ivf_assign_arrow(df, centroids, vec_col=vec_col, out=out)
+
+
+def ivf_assign_hof(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out: str = "cell_id",
+) -> DataFrame:
+    """The pre-round-14 JVM expression twin of :func:`ivf_assign` — an
+    ``array_max`` over (score, cell_id) structs: struct ordering compares
+    score first, so the max struct carries the argmax cell (ties to the
+    larger cid, NaN greatest). All ``k`` centroid dots compute in one pass
+    over the vector (:func:`multi_dot`), and the centroid ids/norms ride
+    along as literal arrays zipped against the dot array. Kept as the
+    bit-equality reference for the Arrow kernel."""
     scored = _centroid_scores(F.col(vec_col), centroids)
     return df.withColumn(out, F.array_max(scored).getField("cid"))
 

@@ -2990,8 +2990,26 @@ def _pq_codebooks(base: DataFrame) -> list[list[list[float]]]:
 
 def _pq_recon_frame(base: DataFrame, cb: list[list[list[float]]]) -> DataFrame:
     """(vec_id, embedding, recon): per-row PQ encode (nearest codebook entry
-    per subspace, smaller index on ties) + reconstruction — pure JVM
-    expressions against the literal codebooks, no join, no shuffle."""
+    per subspace, smaller index on ties) + reconstruction — a narrow
+    per-row map against the codebooks, no join, no shuffle.
+
+    Since round 14 the encode runs in the Arrow kernel
+    (:func:`operators.veckernels.pq_encode_recon_arrow`): the 8×16
+    8-dim squared-distance folds were the engine's single hottest per-row
+    expression (interpreted HOFs, ~3 ms/row), and the NumPy batch kernel
+    computes the identical sequential arithmetic 17x faster (6.34 s →
+    0.38 s on the sf0.1 corpus; bit-equality with the HOF twin pinned in
+    tests/test_veckernels.py). :func:`_pq_recon_frame_hof` keeps the JVM
+    expression as the reference twin."""
+    from ..operators.veckernels import pq_encode_recon_arrow
+
+    return pq_encode_recon_arrow(base.select("vec_id", "embedding"), cb)
+
+
+def _pq_recon_frame_hof(base: DataFrame, cb: list[list[list[float]]]) -> DataFrame:
+    """The pre-round-14 JVM expression twin of :func:`_pq_recon_frame` —
+    pure expressions against the literal codebooks. Kept as the
+    bit-equality reference for the Arrow kernel."""
     from ..operators.vectors import const_matrix
 
     emb_d = F.col("embedding").cast("array<double>")

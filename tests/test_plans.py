@@ -98,9 +98,25 @@ def test_arrow_python_only_in_multimodal(plans):
     arrow = [
         n
         for n, p in plans.items()
-        if ("ArrowEvalPython" in p or "InPandas" in p or "AggregatePython" in p)
+        if (
+            "ArrowEvalPython" in p
+            or "InPandas" in p
+            or "AggregatePython" in p
+            or "MapInArrow" in p
+        )
     ]
     assert set(arrow) <= {
+        # round 14: the Arrow vector kernels (operators/veckernels.py) —
+        # narrow zero-shuffle batch maps replacing the interpreted
+        # HOF folds (PQ encode 17x, IVF assign 1.7x), bit-equality with
+        # the JVM twins pinned in tests/test_veckernels.py
+        "knn_ann_ivf",
+        "kmeans_inertia",
+        "embedding_triplet_mining",
+        "dedup_semantic_semdedup",
+        "knn_pq_eval",
+        "knn_ann_pq",
+        "knn_recall_eval",  # composes knn_ann_ivf, so inherits its kernel
         "multimodal_features",
         "multimodal_frame_sample",
         "multimodal_resample",
