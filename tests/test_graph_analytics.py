@@ -41,6 +41,26 @@ def test_pagerank_matches_integer_twin(spark):
     assert got == _pagerank_twin(edges)
 
 
+def test_pagerank_checkpoint_cadence_invariant(spark, monkeypatch):
+    """The interval lineage truncation (optimization round 14) is a plan
+    mechanic, not arithmetic: every cadence must produce bit-identical
+    ranks, including an iteration count that is not a multiple of the
+    interval (exercises the lazy tail)."""
+    from kafka_streams_rosetta_demo_spark.operators import graph as G
+
+    und = [(1, 2), (2, 3), (3, 4), (1, 3), (4, 5), (2, 5)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    results = []
+    for cadence in (1, 2, 3):
+        monkeypatch.setattr(G, "_PR_CKPT_EVERY", cadence)
+        results.append(
+            sorted((r.node, r.rank_scaled) for r in G.pagerank(df, iterations=7).collect())
+        )
+    assert results[0] == results[1] == results[2]
+    assert results[0] == sorted(_pagerank_twin(edges, iterations=7).items())
+
+
 def test_pagerank_total_mass_bounded(spark):
     """Integer floor-division only ever LOSES mass: total rank stays within
     N·scale and above the pure-teleport floor."""
