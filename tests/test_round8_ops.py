@@ -319,9 +319,13 @@ def test_bench_parent_falls_back_inline_when_spawn_fails(monkeypatch, tmp_path, 
     out_lines = [l for l in err.out.strip().splitlines() if l.startswith("{")]
     # stdout's FINAL line is the slim contract line (round 14: the driver
     # keeps only the last ~2000 chars of stdout, so the line that ends
-    # stdout must fit the capture window whole — headline queries only)
+    # stdout must fit the capture window whole). Its `queries` dict carries
+    # SLIM_QUERIES ∩ timings — the union of every name a driver round ever
+    # parsed from this line (r01–r04) plus the headline set, so nothing a
+    # parsed driver artifact ever held disappears from the parsed stream;
+    # dedup_exact is in that union, rosetta_enriched in the headline set.
     d = _json.loads(out_lines[-1])
-    assert d["queries"] == {"rosetta_enriched": 1.5}  # headline names only
+    assert d["queries"] == {"rosetta_enriched": 1.5, "dedup_exact": 0.5}
     assert d["value"] == 1.5  # headline sum counts only headline names
     assert d["extended_total"] == 2.0
     assert d["n_queries"] == 2
