@@ -24,7 +24,11 @@ Scale design, per operator:
   shingles of each doc (in a global canonical order) are exploded into the
   inverted index. Two sets with Jaccard >= t provably share a prefix token,
   so recall is 1 by construction — this is the guaranteed-exact counterpart
-  to MinHash's probabilistic recall.
+  to MinHash's probabilistic recall. Index tokens ride as 8-byte xxhash64
+  keys (collisions only add candidates — guide §2.3), and matched rows
+  additionally pass the PPJoin LENGTH and POSITIONAL filters
+  (:func:`_jaccard_candidate_filters` — provably recall-safe, measured 7.4x
+  fewer candidates at sf0.1), which is what bounds the exact-verify cost.
 - **Verification** re-joins candidate pairs to their distinct-shingle arrays
   and computes exact Jaccard with ``array_intersect``/``size`` — candidates
   are rare after banding, so this is cheap.
@@ -148,26 +152,54 @@ def band_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFr
 
 
 def df_ordered_shingles(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """The PPJoin preprocessing artifact: each doc's distinct shingles as an
-    array sorted by *global document frequency* (rarest first, ties broken
-    by the shingle string — any total order preserves the prefix guarantee;
-    df order is what makes the filter effective).
+    """The PPJoin preprocessing artifact: each doc's distinct shingles — as
+    8-byte ``xxhash64`` TOKEN KEYS, not strings — as an array sorted by
+    *global document frequency* (rarest first, ties broken by the hash; any
+    total order shared by all docs preserves the prefix guarantee; df order
+    is what makes the filter effective).
+
+    Why hashed tokens (optimization round 14, guide §2.3 "shuffle keys and
+    metadata instead of payloads"): every consumer of this artifact — the
+    prefix slice, the inverted-index candidate join, the per-doc groupBy
+    here — needs token IDENTITY only, never the shingle text; the exact
+    verify step re-joins candidates to the original string-array frame. An
+    18-30 byte shingle string in the ordered structs, the collect_list
+    exchange, and both sides of the candidate join is pure payload; the
+    8-byte key shrinks those exchanges and makes the join compares long
+    equality instead of string compares. A hash collision (~2^-64 per token
+    pair) can only MERGE two tokens, which only ADDS candidate pairs —
+    recall stays exact: for common strings C with |C| >= ceil(t|S|), take
+    the minimal common (df, h) key; every element keyed strictly greater
+    sorts after it, so an element carrying that key sits inside BOTH
+    prefixes and the candidate join matches on its h. False positives are
+    removed by the exact string verify, so query RESULTS are unchanged
+    (recall pins: tests/test_dedup.py). The hash runs as a top-level
+    projection AFTER the explode so it stays whole-stage-codegen (inside a
+    ``transform`` lambda it would run interpreted, CodegenFallback).
 
     THRESHOLD-INDEPENDENT by construction — the threshold only picks how
     much of each sorted array the prefix slice takes — so this is the
     materialize-once artifact a pipeline running Jaccard-pairs +
     incremental-screen + cluster-collapse builds a single time
     (``queries/artifacts.py`` memoizes it per (application, sf_dir), the
-    same policy as the CC label cache). Cost: one df aggregation + one
-    annotate join + one per-doc groupBy — the standard PPJoin preprocessing
-    pass, paid once instead of per query.
+    same policy as the CC label cache). Cost: one explode + one window
+    count over the token key (A/B-measured faster than the former
+    aggregate-then-annotate-join: 0.60 s vs 0.94 s interleaved at sf0.1) +
+    one per-doc groupBy — the standard PPJoin preprocessing pass, paid once
+    instead of per query.
     """
-    ex = shingled.select(id_col, F.explode("shingles").alias("s"))
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    ex = shingled.select(id_col, F.explode("shingles").alias("s")).select(
+        id_col, F.xxhash64("s").alias("h")
+    )
+    # df as a window count over the token key instead of a groupBy+join-back:
+    # same values, one exchange on h instead of aggregate-then-join (A/B'd
+    # interleaved at sf0.1: 0.60 s vs 0.94 s median — OPTIMIZATION_r14.md).
     return (
-        ex.join(freq, "s")
+        ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ordered"))
     )
 
 
@@ -175,13 +207,49 @@ def prefix_tokens(
     ordered: DataFrame, threshold: float, id_col: str = "doc_id"
 ) -> DataFrame:
     """Slice the df-ordered arrays to the PPJoin prefix for ``threshold``:
-    the first ``|S| - ceil(t*|S|) + 1`` tokens of each doc. Pure per-row
-    slice + explode over the (cached) ordered artifact — no shuffle."""
+    the first ``|S| - ceil(t*|S|) + 1`` tokens of each doc, as
+    (id, n, pos, h) rows — the 8-byte hashed token plus the doc's token
+    count ``n`` and the token's 1-based position ``pos`` in the shared df
+    order, which the length/positional candidate filters consume. Pure
+    per-row slice + posexplode over the (cached) ordered artifact — no
+    shuffle."""
     n = F.size("ordered")
     prefix_len = (n - F.ceil(n * F.lit(threshold)) + F.lit(1)).cast("int")
     return ordered.select(
-        id_col, F.explode(F.slice("ordered", 1, prefix_len)).alias("tok")
-    ).select(id_col, F.col("tok.s").alias("s"))
+        id_col,
+        n.alias("n"),
+        F.posexplode(F.slice("ordered", 1, prefix_len)).alias("pos", "tok"),
+    ).select(
+        id_col, "n", (F.col("pos") + 1).alias("pos"), F.col("tok.h").alias("h")
+    )
+
+
+def _jaccard_candidate_filters(threshold: float) -> Column:
+    """The PPJoin LENGTH and POSITIONAL candidate filters for a symmetric
+    Jaccard join at ``threshold``, as one boolean over the matched
+    prefix-row columns (na, pa, nb, pb) — RELAXED BY ONE FULL TOKEN so
+    IEEE-double rounding of ``t*n`` can never drop a true pair (a double
+    mul/cmp errs by ulps, ~1e-12 tokens at these magnitudes; the slack is
+    1.0).
+
+    Safety (exact forms): J(A,B) >= t forces (length) ``|B| >= ceil(t|A|)``
+    and vice versa (t*max <= |A∩B| <= min), and (positional) for the
+    matched row pairing each side's FIRST occurrence of the minimal common
+    hash, every common token sits at or after that position in BOTH
+    df-ordered arrays, so ``|A∩B| <= 1 + min(na-pa, nb-pb)`` while
+    ``J >= t`` forces ``|A∩B| >= t(na+nb)/(1+t)``. A pair is kept when ANY
+    matched row passes (that row always does for a true pair), then ids
+    are made distinct — so recall stays exact while candidates shrink
+    ~7x at sf0.1 (159,907 -> 21,657 measured), which is what bounds the
+    exact-verify stage's cost. Recall pins: tests/test_dedup.py,
+    tests/test_properties.py."""
+    na, pa = F.col("na"), F.col("pa")
+    nb, pb = F.col("nb"), F.col("pb")
+    t = F.lit(float(threshold))
+    length_ok = (nb >= F.ceil(na * t) - 1) & (na >= F.ceil(nb * t) - 1)
+    ub_plus_slack = (F.lit(2) + F.least(na - pa, nb - pb)).cast("double")
+    pos_ok = ub_plus_slack * (F.lit(1.0) + t) >= t * (na + nb).cast("double")
+    return length_ok & pos_ok
 
 
 def prefix_filter_pairs(
@@ -207,12 +275,17 @@ def prefix_filter_pairs(
     if ordered is None:
         ordered = df_ordered_shingles(shingled, id_col)
     prefix = prefix_tokens(ordered, threshold, id_col)
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("n").alias("na"), F.col("pos").alias("pa"), "h"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("n").alias("nb"), F.col("pos").alias("pb"), "h"
+    )
     return (
-        a.join(b, on=["s"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        a.join(b, on=["h"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_jaccard_candidate_filters(threshold))
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -240,9 +313,9 @@ def prefix_filter_pairs_cross(
     Reuse path: pass ``ordered`` — a df-ordered artifact covering
     ``probe ∪ corpus`` (so the total order is shared by construction) — and
     the whole preprocessing pass is skipped; the prefix table splits back
-    into sides by an id semi-join (cheap: prefix rows carry only (id,
-    token)). This is how ``dedup_incremental_screen`` rides the same cached
-    artifact as the Jaccard-pairs and cluster-collapse queries.
+    into sides by an id semi-join (cheap: prefix rows carry only (id, n,
+    pos, hashed token)). This is how ``dedup_incremental_screen`` rides the
+    same cached artifact as the Jaccard-pairs and cluster-collapse queries.
     """
     if ordered is not None:
         # The reuse path's exact-recall guarantee holds only if the artifact
@@ -267,11 +340,26 @@ def prefix_filter_pairs_cross(
         prefix = prefix_tokens(ordered, threshold, id_col)
         a = prefix.join(
             probe.select(id_col).distinct(), id_col, "left_semi"
-        ).select(F.col(id_col).alias("id_a"), "s")
+        ).select(
+            F.col(id_col).alias("id_a"),
+            F.col("n").alias("na"),
+            F.col("pos").alias("pa"),
+            "h",
+        )
         b = prefix.join(
             corpus.select(id_col).distinct(), id_col, "left_semi"
-        ).select(F.col(id_col).alias("id_b"), "s")
-        return a.join(b, "s").select("id_a", "id_b").distinct()
+        ).select(
+            F.col(id_col).alias("id_b"),
+            F.col("n").alias("nb"),
+            F.col("pos").alias("pb"),
+            "h",
+        )
+        return (
+            a.join(b, "h")
+            .where(_jaccard_candidate_filters(threshold))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     # One tagged build instead of two: the sides union with a marker, the
     # df aggregation and the per-doc ordered-prefix groupBy each run ONCE
     # over the union, and the prefix table splits back by tag — halving the
@@ -286,21 +374,36 @@ def prefix_filter_pairs_cross(
                 "_side", F.lit(1)
             )
         )
-    )
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ).select(id_col, "_side", F.xxhash64("s").alias("h"))
+    from pyspark.sql import Window
+
     ordered = (
-        ex.join(freq, "s")
+        ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .groupBy("_side", id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ordered"))
     )
     n = F.size("ordered")
     prefix_len = (n - F.ceil(n * F.lit(threshold)) + F.lit(1)).cast("int")
     prefix = ordered.select(
-        "_side", id_col, F.explode(F.slice("ordered", 1, prefix_len)).alias("tok")
-    ).select("_side", id_col, F.col("tok.s").alias("s"))
-    a = prefix.where(F.col("_side") == 0).select(F.col(id_col).alias("id_a"), "s")
-    b = prefix.where(F.col("_side") == 1).select(F.col(id_col).alias("id_b"), "s")
-    return a.join(b, "s").select("id_a", "id_b").distinct()
+        "_side",
+        id_col,
+        n.alias("n"),
+        F.posexplode(F.slice("ordered", 1, prefix_len)).alias("pos", "tok"),
+    ).select(
+        "_side", id_col, "n", (F.col("pos") + 1).alias("pos"), F.col("tok.h").alias("h")
+    )
+    a = prefix.where(F.col("_side") == 0).select(
+        F.col(id_col).alias("id_a"), F.col("n").alias("na"), F.col("pos").alias("pa"), "h"
+    )
+    b = prefix.where(F.col("_side") == 1).select(
+        F.col(id_col).alias("id_b"), F.col("n").alias("nb"), F.col("pos").alias("pb"), "h"
+    )
+    return (
+        a.join(b, "h")
+        .where(_jaccard_candidate_filters(threshold))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def containment_filter_pairs(
@@ -320,15 +423,36 @@ def containment_filter_pairs(
     so B's long posting lists are hit by few prefixes. Output: (id_a
     contained-candidate, id_b container), a != b, distinct.
     """
-    ex = shingled.select(id_col, F.explode("shingles").alias("s"))
     ordered = df_ordered_shingles(shingled, id_col)
     a = prefix_tokens(ordered, threshold, id_col).select(
-        F.col(id_col).alias("id_a"), "s"
+        F.col(id_col).alias("id_a"), F.col("n").alias("na"), F.col("pos").alias("pa"), "h"
     )
-    b = ex.select(F.col(id_col).alias("id_b"), "s")
+    # The container side indexes ALL its tokens — the raw hashed explode of
+    # the (checkpointed) shingle frame, NOT a re-explode of the ordered
+    # artifact: deriving this side from the ordered groupBy was measured to
+    # defeat AQE's skew-split of the candidate join on the degenerate
+    # hot-shingle fixture (tests/test_skew.py), while the raw narrow side
+    # keeps it firing; the b-side positional component it would enable cut
+    # candidates only ~10% further (84,837 vs 76,377 at sf0.1).
+    b = shingled.select(
+        F.col(id_col).alias("id_b"),
+        F.size("shingles").alias("nb"),
+        F.explode("shingles").alias("s"),
+    ).select("id_b", "nb", F.xxhash64("s").alias("h"))
+    # One-sided filters, relaxed by one token like _jaccard_candidate_filters
+    # (same double-rounding argument): C(A,B) >= t forces |A∩B| >= ceil(t|A|)
+    # while |A∩B| <= |B| (length) and, for the matched row pairing A's first
+    # occurrence of the minimal common hash, |A∩B| <= 1 + (na - pa)
+    # (positional — every common token sits at or after pa in A's df order).
+    t = F.lit(float(threshold))
+    length_ok = F.col("nb") >= F.ceil(F.col("na") * t) - 1
+    pos_ok = (F.lit(2) + F.col("na") - F.col("pa")).cast("double") >= t * F.col(
+        "na"
+    ).cast("double")
     return (
-        a.join(b, "s")
+        a.join(b, "h")
         .where(F.col("id_a") != F.col("id_b"))
+        .where(length_ok & pos_ok)
         .select("id_a", "id_b")
         .distinct()
     )

@@ -7,7 +7,7 @@ job. Each of those rebuilds two identical intermediates when written naively:
 - the **shingled frame** (``with_shingles`` over documents) — per-row, but
   re-scanning + re-shingling the corpus per query multiplies the scan cost;
 - the **df-ordered prefix artifact** (``df_ordered_shingles``) — the PPJoin
-  preprocessing pass (one df aggregation + annotate join + per-doc groupBy),
+  preprocessing pass (one explode + window df count + per-doc groupBy),
   which is THRESHOLD-INDEPENDENT, so every prefix-filter query at any
   threshold can slice the same arrays.
 

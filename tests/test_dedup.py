@@ -136,6 +136,42 @@ def test_prefix_length_formula():
     assert prefix_length(100, 0.95) == 6
 
 
+def test_candidate_filters_keep_exact_boundary_pairs(spark):
+    """The PPJoin length/positional candidate filters (round-14
+    optimization) must not drop pairs sitting EXACTLY at the threshold —
+    the adversarial case for the one-token relaxation that guards against
+    double rounding. Symmetric boundary: |A|=|B|=7 words, 6 shared ->
+    J = 6/8 = 0.75 exactly. Containment boundary: |A|=10 words, 9 inside
+    B -> C = 9/10 = 0.9 exactly. k=1 shingles make the token sets the
+    word sets."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_rosetta_demo_spark.operators.textsim import (
+        containment_filter_pairs,
+        jaccard_verify,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),          # A
+            (2, "a b c d e f z"),          # B: 6 shared of union 8 -> J=0.75
+            (3, " ".join(f"w{i}" for i in range(10))),            # C
+            (4, " ".join(f"w{i}" for i in range(9)) + " q0 q1"),  # D ⊇ 9 of C
+        ],
+        "doc_id long, text string",
+    )
+    sh = with_shingles(docs, k=1)
+    jac = {(r.id_a, r.id_b) for r in prefix_filter_pairs(sh, threshold=0.75).collect()}
+    assert (1, 2) in jac, "boundary J=0.75 pair dropped by the candidate filters"
+    ver = jaccard_verify(prefix_filter_pairs(sh, 0.75), sh, 0.75)
+    assert {(r.doc_a, r.doc_b) for r in ver.collect()} >= {(1, 2)}
+    cont = {
+        (r.id_a, r.id_b)
+        for r in containment_filter_pairs(sh, threshold=0.9).collect()
+    }
+    assert (3, 4) in cont, "boundary C=0.9 pair dropped by the candidate filters"
+
+
 def test_exact_dedup_collapses_injected_duplicates(spark, sf_correctness):
     from kafka_streams_rosetta_demo_spark.queries import load_all
 
