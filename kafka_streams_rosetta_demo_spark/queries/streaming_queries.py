@@ -33,6 +33,7 @@ from ..sources.parquet import (
     rosetta_customers,
 )
 from ..streaming.runner import (
+    backlog_state_shuffle,
     checkpoint_tmpdir,
     file_stream,
     run_append_query_to_df,
@@ -78,9 +79,11 @@ def streaming_calls_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match the same oracle as the batch twin (rosetta_calls_window_agg)
     — one plan, two execution modes, one answer."""
     agg = streaming_windowed_call_agg(events_to_calls(_events_stream(spark, sf_dir)))
-    with checkpoint_tmpdir("ckpt_swa_") as ckpt, (
-        checkpoint_tmpdir("sink_swa_")
-    ) as out_dir:
+    # data-grain key space (phone × window) — state exchange sized from the
+    # bounded backlog's bytes, not the core count (see backlog_state_shuffle)
+    with backlog_state_shuffle(spark, f"{sf_dir}/events.parquet"), checkpoint_tmpdir(
+        "ckpt_swa_"
+    ) as ckpt, checkpoint_tmpdir("sink_swa_") as out_dir:
         return run_update_query_to_df(
             agg, ["id_telef_origen", "window_start"], ckpt, out_dir
         )
@@ -113,9 +116,9 @@ def streaming_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_col="event_id",
         value_cols=["ts", "event_id", "event_type", "value"],
     )
-    with checkpoint_tmpdir("ckpt_skt_") as ckpt, (
-        checkpoint_tmpdir("sink_skt_")
-    ) as out_dir:
+    with backlog_state_shuffle(spark, f"{sf_dir}/events.parquet"), checkpoint_tmpdir(
+        "ckpt_skt_"
+    ) as ckpt, checkpoint_tmpdir("sink_skt_") as out_dir:
         return run_update_query_to_df(latest, ["user_id"], ckpt, out_dir)
 
 
@@ -152,9 +155,9 @@ def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     def enrich(batch_df: DataFrame) -> DataFrame:
         return enrich_calls_with_customers(batch_df, customers)
 
-    with checkpoint_tmpdir("ckpt_enr_") as ckpt, (
-        checkpoint_tmpdir("sink_enr_")
-    ) as out_dir:
+    with backlog_state_shuffle(spark, f"{sf_dir}/events.parquet"), checkpoint_tmpdir(
+        "ckpt_enr_"
+    ) as ckpt, checkpoint_tmpdir("sink_enr_") as out_dir:
         return run_update_query_to_df(
             agg,
             ["id_telef_origen", "window_start_ts"],
@@ -204,9 +207,9 @@ def streaming_suppress_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_duracion_origen",
         "avg_duracion_origen",
     )
-    with checkpoint_tmpdir("ckpt_ssf_") as ckpt, (
-        checkpoint_tmpdir("sink_ssf_")
-    ) as out_dir:
+    with backlog_state_shuffle(spark, f"{sf_dir}/events.parquet"), checkpoint_tmpdir(
+        "ckpt_ssf_"
+    ) as ckpt, checkpoint_tmpdir("sink_ssf_") as out_dir:
         return run_append_query_to_df(final, ckpt, out_dir)
 
 
@@ -255,9 +258,9 @@ def streaming_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("diff_us"),
         )
     )
-    with checkpoint_tmpdir("ckpt_sij_") as ckpt, (
-        checkpoint_tmpdir("sink_sij_")
-    ) as out_dir:
+    with backlog_state_shuffle(spark, f"{sf_dir}/events.parquet"), checkpoint_tmpdir(
+        "ckpt_sij_"
+    ) as ckpt, checkpoint_tmpdir("sink_sij_") as out_dir:
         return run_append_query_to_df(out, ckpt, out_dir)
 
 
@@ -331,9 +334,9 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    with checkpoint_tmpdir("ckpt_ssw_") as ckpt, (
-        checkpoint_tmpdir("sink_ssw_")
-    ) as out_dir:
+    with backlog_state_shuffle(spark, f"{sf_dir}/events.parquet"), checkpoint_tmpdir(
+        "ckpt_ssw_"
+    ) as ckpt, checkpoint_tmpdir("sink_ssw_") as out_dir:
         return run_append_query_to_df(agg, ckpt, out_dir)
 
 
@@ -529,9 +532,9 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = streaming_dedup_within_watermark(
             stream, keys=["event_id"], ts_col="ts"
         ).select("event_id", "user_id", "event_type", "value")
-        with checkpoint_tmpdir("ckpt_sde_") as ckpt, (
-            checkpoint_tmpdir("sink_sde_")
-        ) as out_dir:
+        with backlog_state_shuffle(spark, staged), checkpoint_tmpdir(
+            "ckpt_sde_"
+        ) as ckpt, checkpoint_tmpdir("sink_sde_") as out_dir:
             return run_append_query_to_df(deduped, ckpt, out_dir)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -607,6 +610,10 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_totals_cents
 
     totals = running_totals_cents(_events_stream(spark, sf_dir))
+    # NOT backlog-sized (r14 wave 5, measured 1.19x WORSE): the stateful
+    # stage here runs per-row PYTHON work (applyInPandasWithState), whose
+    # cost scales with arriving rows, not keys — one state partition would
+    # serialize it onto a single Python worker. Keeps scan/core parallelism.
     with checkpoint_tmpdir("ckpt_sst_") as ckpt, (
         checkpoint_tmpdir("sink_sst_")
     ) as out_dir:
@@ -716,9 +723,9 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from ..streaming.runner import run_append_query_to_df
 
-    with checkpoint_tmpdir("ckpt_sijo_") as ckpt, (
-        checkpoint_tmpdir("sink_sijo_")
-    ) as sink_dir:
+    with backlog_state_shuffle(spark, f"{sf_dir}/events.parquet"), checkpoint_tmpdir(
+        "ckpt_sijo_"
+    ) as ckpt, checkpoint_tmpdir("sink_sijo_") as sink_dir:
         # Production sink shape: the parquet streaming sink receives the
         # finalized rows executor-side; nothing moves through the driver.
         out = run_append_query_to_df(joined, ckpt, sink_dir)
@@ -804,9 +811,9 @@ def streaming_range_join_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e_user").alias("user_id"),
         (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("w_ts"))).alias("lag_us"),
     )
-    with checkpoint_tmpdir("ckpt_srk_") as ckpt, (
-        checkpoint_tmpdir("sink_srk_")
-    ) as sink_dir:
+    with backlog_state_shuffle(spark, f"{sf_dir}/events.parquet"), checkpoint_tmpdir(
+        "ckpt_srk_"
+    ) as ckpt, checkpoint_tmpdir("sink_srk_") as sink_dir:
         return run_append_query_to_df(joined, ckpt, sink_dir)
 
 
@@ -1265,6 +1272,9 @@ def streaming_preference_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .preference_queries import winrate_matrix
 
     pairs = preference_pair_emitter(_events_stream(spark, sf_dir))
+    # NOT backlog-sized (r14 wave 5, measured 1.57x WORSE): same
+    # applyInPandasWithState rationale as streaming_stateful_totals — the
+    # per-row Python emitter needs the stateful stage's parallelism.
     with checkpoint_tmpdir("ckpt_prefpairs_") as ckpt, (
         checkpoint_tmpdir("sink_prefpairs_")
     ) as out_dir:
@@ -2248,9 +2258,9 @@ def streaming_url_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "doc_id", "domain", url_canonicalize(F.col("url")).alias("url")
         )
-        with checkpoint_tmpdir("ckpt_uds_") as ckpt, (
-            checkpoint_tmpdir("sink_uds_")
-        ) as out_dir:
+        with backlog_state_shuffle(spark, staged), checkpoint_tmpdir(
+            "ckpt_uds_"
+        ) as ckpt, checkpoint_tmpdir("sink_uds_") as out_dir:
             return run_append_query_to_df(deduped, ckpt, out_dir)
     finally:
         shutil.rmtree(staged, ignore_errors=True)

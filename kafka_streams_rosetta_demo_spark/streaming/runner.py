@@ -32,6 +32,14 @@ from pyspark.sql import types as T
 # once, not |shuffle.partitions| times.
 _KEYS_PER_STATE_PARTITION = 4096
 
+# One state-store partition per this many bytes of BOUNDED backlog
+# (parquet-encoded, on disk). ~32 MiB of columnar input inflates to roughly
+# 100-300 MB of raw rows — the guide's 100 MB-1 GB shuffle-partition target —
+# and keyed streaming state is a SUBSET of the rows that arrived (an
+# aggregate row per key, one sighting per dedup key, a watermark's worth of
+# join rows), so backlog bytes bound state volume from above.
+_BACKLOG_BYTES_PER_STATE_PARTITION = 32 * 1024 * 1024
+
 
 @contextmanager
 def bounded_state_shuffle(spark: SparkSession, key_bound: int):
@@ -63,6 +71,84 @@ def bounded_state_shuffle(spark: SparkSession, key_bound: int):
     from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
 
     parts = max(1, min(DEFAULT_SHUFFLE_PARTITIONS, -(-key_bound // _KEYS_PER_STATE_PARTITION)))
+    ensure_conf(spark, "spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        ensure_conf(
+            spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+
+def backlog_bytes(*paths: str) -> int:
+    """Total on-disk bytes of the parquet files under each staged-backlog
+    path (a file, or a directory walked recursively). This is the exact
+    volume a bounded ``availableNow`` run will ever admit — known up front
+    because the whole backlog is staged before the query starts."""
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+        elif os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for name in files:
+                    if name.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, name))
+    return total
+
+
+@contextmanager
+def backlog_state_shuffle(spark: SparkSession, *paths: str):
+    """Size the state exchange of a bounded ``availableNow`` topology whose
+    key space is DATA-GRAIN (per-user windows, per-URL dedup sightings,
+    stream-stream join rows — no construction bound) from the staged
+    backlog's on-disk bytes, restoring the session default on exit.
+
+    Why this is scale-adaptive, not local tuning (guide §2.2 applied to the
+    one exchange AQE cannot touch): every micro-batch pays a FIXED cost per
+    state-store partition — a task plus a state commit (delta file + fsync)
+    — even for partitions holding zero keys, and AQE never coalesces the
+    state exchange because the partition count is frozen into the
+    checkpoint at first batch. For a batch exchange AQE solves exactly this
+    by sizing partitions from the measured map output
+    (``advisoryPartitionSizeInBytes``); here the same number is available
+    BEFORE the query starts, because an ``availableNow`` run admits
+    precisely the staged backlog and keyed state never exceeds the rows
+    that arrived. ``ceil(backlog_bytes / 32 MiB)`` clamped to the session
+    default therefore tracks DATA volume: a backlog past ~1 GiB (32 MiB ×
+    the 32-partition session default) runs at the scale-parameterised
+    default exactly as before, and a genuinely unbounded production ingest
+    (no staged backlog to size from) keeps the default too — only runs
+    whose whole backlog is small stop paying 32 empty state commits per
+    micro-batch for kilobytes of state.
+
+    Topologies whose key space is bounded BY CONSTRUCTION should use the
+    tighter :func:`bounded_state_shuffle` instead. Topologies whose
+    stateful stage runs per-row PYTHON work (``applyInPandasWithState``)
+    must NOT use this: their cost scales with arriving rows, not state
+    commits, and fewer partitions serialize the Python workers (measured
+    1.2–1.6x WORSE on the two such topologies — OPTIMIZATION_r14.md).
+
+    ``SPARK_GRAFT_BACKLOG_STATE=0`` disables the sizing (A/B lever; the
+    session default then applies, the pre-round-14 behaviour).
+    """
+    import os
+
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
+
+    if os.environ.get("SPARK_GRAFT_BACKLOG_STATE", "1") == "0":
+        yield
+        return
+    n = backlog_bytes(*paths)
+    parts = max(
+        1,
+        min(
+            DEFAULT_SHUFFLE_PARTITIONS,
+            -(-n // _BACKLOG_BYTES_PER_STATE_PARTITION),
+        ),
+    )
     ensure_conf(spark, "spark.sql.shuffle.partitions", str(parts))
     try:
         yield

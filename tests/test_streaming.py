@@ -1092,3 +1092,79 @@ def test_streaming_psi_histogram_accumulates_across_batches(
         map(tuple, expected.collect())
     )
     assert got.count() <= _PSI_BINS
+
+
+# ---------------------------------------------------------------------------
+# round 14 wave 5: backlog-sized state exchanges
+# ---------------------------------------------------------------------------
+
+
+def test_backlog_bytes_sums_parquet_files(tmp_path):
+    from kafka_streams_rosetta_demo_spark.streaming.runner import backlog_bytes
+
+    d = tmp_path / "staged"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x" * 100)
+    (d / "b.parquet").write_bytes(b"y" * 50)
+    (d / "ignore.crc").write_bytes(b"z" * 999)  # non-parquet: not backlog
+    lone = tmp_path / "lone.parquet"
+    lone.write_bytes(b"w" * 7)
+    assert backlog_bytes(str(d)) == 150
+    assert backlog_bytes(str(d), str(lone)) == 157
+    assert backlog_bytes(str(tmp_path / "missing")) == 0
+
+
+def test_backlog_state_shuffle_sizes_from_bytes_and_restores(
+    spark, tmp_path, monkeypatch
+):
+    from kafka_streams_rosetta_demo_spark.session import DEFAULT_SHUFFLE_PARTITIONS
+    from kafka_streams_rosetta_demo_spark.streaming.runner import (
+        _BACKLOG_BYTES_PER_STATE_PARTITION,
+        backlog_state_shuffle,
+    )
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    monkeypatch.delenv("SPARK_GRAFT_BACKLOG_STATE", raising=False)
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * 1024)  # << one partition's worth
+    with backlog_state_shuffle(spark, str(small)):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    # exit restores the session-default invariant every query assumes
+    assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+        DEFAULT_SHUFFLE_PARTITIONS
+    )
+
+    # a backlog past the clamp point keeps the scale-parameterised default:
+    # the sizing can only LOWER the count for small backlogs, never change
+    # production parallelism
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"x")
+    import os
+
+    os.truncate(big, _BACKLOG_BYTES_PER_STATE_PARTITION * (DEFAULT_SHUFFLE_PARTITIONS + 5))
+    with backlog_state_shuffle(spark, str(big)):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            DEFAULT_SHUFFLE_PARTITIONS
+        )
+
+    # the A/B kill-switch leaves the session conf untouched
+    monkeypatch.setenv("SPARK_GRAFT_BACKLOG_STATE", "0")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    with backlog_state_shuffle(spark, str(small)):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def test_backlog_sized_state_results_identical(spark, sf_smoke, monkeypatch):
+    """The partition count cannot change what a stateful topology computes:
+    the within-watermark dedup run with the backlog-derived count and with
+    the session default must return identical rows."""
+    from kafka_streams_rosetta_demo_spark.queries import load_all
+
+    fn = load_all()["streaming_dedup_events"].fn
+    monkeypatch.setenv("SPARK_GRAFT_BACKLOG_STATE", "0")
+    before = sorted(map(tuple, fn(spark, sf_smoke).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_BACKLOG_STATE", "1")
+    after = sorted(map(tuple, fn(spark, sf_smoke).collect()))
+    assert before == after
+    assert len(after) > 0
