@@ -133,6 +133,85 @@ def ivf_assign_arrow(
     return df.mapInArrow(fn, schema)
 
 
+def hyperplane_bands_arrow(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow twin of :func:`operators.vectors.hyperplane_band_keys_hof` —
+    sign-bit signatures over the literal hyperplane matrix, folded into
+    ``bands`` integer band keys and exploded to (id, band_id, band_key)
+    rows (``bands`` output rows per input row, band_id ascending — the
+    JVM twin's ``explode(array(...))`` order).
+
+    Optimization round 15 (guide §4.2): the 64-plane signature is the
+    hottest remaining HOF fold — ``multi_dot`` runs |planes| × dim
+    interpreted ``aggregate``/``zip_with`` steps per row (4096 at the
+    64×64 shape) with a per-step array allocation. Round 14's first
+    numpy probe saw "no win" because it timed a full query whose cost was
+    elsewhere; measured on the charged band-index build itself the kernel
+    is the same 3-5× the other veckernels showed (numbers in
+    OPTIMIZATION_r15.md).
+
+    BIT-EXACTNESS: the running-dots accumulator updates in ascending
+    element order (``dots += x_i * P[:, i]``) — the identical
+    left-associative float64 sequence as the JVM fold. The sign test
+    mirrors Spark SQL's total ordering, where NaN is GREATER than every
+    value (so ``NaN >= 0`` is true and a NaN dot sets its bit — unlike
+    IEEE/numpy ``>=``): ``(dot >= 0) | isnan(dot)``. The band-key bit sum
+    is integer, order-exact. Pinned row-for-row against the HOF twin in
+    tests/test_veckernels.py, including a NaN-poisoned vector.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    pmat = np.array(planes, dtype=np.float64)  # n_planes x dim
+    n_planes, dim = pmat.shape
+    if n_planes % bands:
+        raise ValueError(f"{n_planes} planes do not split into {bands} bands")
+    rows_per_band = n_planes // bands
+    if rows_per_band > 62:
+        raise ValueError("band keys past 62 bits overflow the long bit sum")
+
+    def fn(batches):
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+            vals = _as_f64_matrix(b.column(vec_col), n, dim, "hyperplane_bands_arrow")
+            dots = np.zeros((n, n_planes), dtype=np.float64)
+            for i in range(dim):  # ascending element order = the fold's order
+                dots += vals[:, i][:, None] * pmat[:, i][None, :]
+            # Spark SQL's NaN-greatest total order: NaN >= 0 is TRUE there
+            bits = (dots >= 0.0) | np.isnan(dots)
+            weights = (np.int64(1) << np.arange(rows_per_band, dtype=np.int64))
+            # (n, bands): integer bit sums — order-exact regardless of assoc
+            keys = (
+                bits.reshape(n, bands, rows_per_band).astype(np.int64) * weights
+            ).sum(axis=2)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            yield pa.record_batch(
+                [
+                    b.column(id_col).take(idx),
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    pa.array(keys.reshape(-1)),
+                ],
+                names=[id_col, "band_id", "band_key"],
+            )
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("band_id", T.IntegerType()),
+            T.StructField("band_key", T.LongType()),
+        ]
+    )
+    return df.select(id_col, vec_col).mapInArrow(fn, schema)
+
+
 def pq_encode_recon_arrow(
     df: DataFrame, cb: list[list[list[float]]], vec_col: str = "embedding"
 ) -> DataFrame:

@@ -179,7 +179,46 @@ def hyperplane_band_keys(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Sign-bit signature over ``planes``, folded into ``bands`` integer band
-    keys and exploded to (id, band_id, band_key) rows.
+    keys and exploded to (id, band_id, band_key) rows. Per-row map, no
+    shuffle.
+
+    Since round 15 this delegates to the Arrow kernel
+    (:func:`operators.veckernels.hyperplane_bands_arrow`): the |planes| × dim
+    signature fold was the hottest remaining interpreted HOF in the engine
+    (4096 steps/row at the 64×64 shape — the charged ann_band_index build
+    and both banded dedup queries pay it over the whole corpus), and the
+    NumPy batch kernel computes the identical sequential arithmetic at a
+    fraction of the cost (A/B in OPTIMIZATION_r15.md; bit-equality with the
+    HOF twin pinned in tests/test_veckernels.py).
+    :func:`hyperplane_band_keys_hof` keeps the original expression as the
+    reference twin.
+
+    A key property used by the dedup oracle: a vector and any *positive
+    scaling* of it produce identical sign bits (dot scales by a positive
+    constant), so exact-duplicate-up-to-scale pairs collide in every band —
+    recall 1 by construction, not by probability.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_HYPERPLANE_KERNEL", "1") == "0":
+        # A/B lever: the pre-round-15 HOF expression path
+        return hyperplane_band_keys_hof(
+            df, planes, bands, id_col=id_col, vec_col=vec_col
+        )
+    from .veckernels import hyperplane_bands_arrow
+
+    return hyperplane_bands_arrow(df, planes, bands, id_col=id_col, vec_col=vec_col)
+
+
+def hyperplane_band_keys_hof(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The pre-round-15 JVM expression twin of :func:`hyperplane_band_keys`
+    — kept as the bit-equality reference for the Arrow kernel.
 
     All ``len(planes)`` dot products compute in a *single pass* over the
     vector: one ``aggregate`` whose accumulator is the array of running
@@ -187,11 +226,6 @@ def hyperplane_band_keys(
     hyperplane matrix (~3x faster than one aggregate per plane, measured —
     the vector is walked once, not once per plane). Per-row expression, no
     shuffle.
-
-    A key property used by the dedup oracle: a vector and any *positive
-    scaling* of it produce identical sign bits (dot scales by a positive
-    constant), so exact-duplicate-up-to-scale pairs collide in every band —
-    recall 1 by construction, not by probability.
     """
     rows = len(planes) // bands
     sig = df.withColumn("_dots", multi_dot(F.col(vec_col), planes))

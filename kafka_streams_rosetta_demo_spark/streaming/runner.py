@@ -132,16 +132,38 @@ def backlog_state_shuffle(spark: SparkSession, *paths: str):
     1.2–1.6x WORSE on the two such topologies — OPTIMIZATION_r14.md).
 
     ``SPARK_GRAFT_BACKLOG_STATE=0`` disables the sizing (A/B lever; the
-    session default then applies, the pre-round-14 behaviour).
+    session default then applies, the pre-round-14 behaviour). A backlog of
+    ZERO bytes (missing path, or a staged dir with no ``.parquet`` files)
+    also keeps the session default: there is nothing to size from, and
+    silently serializing every shuffle onto one task on a typo'd path would
+    be the opposite of the adaptive contract (ADVICE r14). Both the sized
+    and the kill-switch leg restore the session default on exit — the
+    invariant every query assumes at entry — so A/B legs leave identical
+    session state behind.
     """
     import os
 
     from ..session import DEFAULT_SHUFFLE_PARTITIONS, ensure_conf
 
     if os.environ.get("SPARK_GRAFT_BACKLOG_STATE", "1") == "0":
-        yield
+        try:
+            yield
+        finally:
+            ensure_conf(
+                spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+            )
         return
     n = backlog_bytes(*paths)
+    if n == 0:
+        # nothing staged to size from: keep the scale-parameterised default
+        # (never clamp to 1 on a missing/typo'd path), same exit invariant
+        try:
+            yield
+        finally:
+            ensure_conf(
+                spark, "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+            )
+        return
     parts = max(
         1,
         min(

@@ -117,6 +117,11 @@ def test_arrow_python_only_in_multimodal(plans):
         "knn_pq_eval",
         "knn_ann_pq",
         "knn_recall_eval",  # composes knn_ann_ivf, so inherits its kernel
+        # round 15: the hyperplane band-key signature kernel
+        # (hyperplane_bands_arrow) behind both banded-LSH dedup queries —
+        # same narrow zero-shuffle batch-map contract, bit-equality pinned
+        "dedup_embedding_cosine",
+        "dedup_crosslingual_mirror",
         "multimodal_features",
         "multimodal_frame_sample",
         "multimodal_resample",

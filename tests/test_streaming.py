@@ -1124,35 +1124,50 @@ def test_backlog_state_shuffle_sizes_from_bytes_and_restores(
     )
 
     prior = spark.conf.get("spark.sql.shuffle.partitions")
-    monkeypatch.delenv("SPARK_GRAFT_BACKLOG_STATE", raising=False)
-    small = tmp_path / "small.parquet"
-    small.write_bytes(b"x" * 1024)  # << one partition's worth
-    with backlog_state_shuffle(spark, str(small)):
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
-    # exit restores the session-default invariant every query assumes
-    assert spark.conf.get("spark.sql.shuffle.partitions") == str(
-        DEFAULT_SHUFFLE_PARTITIONS
-    )
-
-    # a backlog past the clamp point keeps the scale-parameterised default:
-    # the sizing can only LOWER the count for small backlogs, never change
-    # production parallelism
-    big = tmp_path / "big.parquet"
-    big.write_bytes(b"x")
-    import os
-
-    os.truncate(big, _BACKLOG_BYTES_PER_STATE_PARTITION * (DEFAULT_SHUFFLE_PARTITIONS + 5))
-    with backlog_state_shuffle(spark, str(big)):
+    try:
+        monkeypatch.delenv("SPARK_GRAFT_BACKLOG_STATE", raising=False)
+        small = tmp_path / "small.parquet"
+        small.write_bytes(b"x" * 1024)  # << one partition's worth
+        with backlog_state_shuffle(spark, str(small)):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        # exit restores the session-default invariant every query assumes
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(
             DEFAULT_SHUFFLE_PARTITIONS
         )
 
-    # the A/B kill-switch leaves the session conf untouched
-    monkeypatch.setenv("SPARK_GRAFT_BACKLOG_STATE", "0")
-    spark.conf.set("spark.sql.shuffle.partitions", "7")
-    with backlog_state_shuffle(spark, str(small)):
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
-    spark.conf.set("spark.sql.shuffle.partitions", prior)
+        # a backlog past the clamp point keeps the scale-parameterised
+        # default: the sizing can only LOWER the count for small backlogs,
+        # never change production parallelism
+        big = tmp_path / "big.parquet"
+        big.write_bytes(b"x")
+        import os
+
+        os.truncate(
+            big, _BACKLOG_BYTES_PER_STATE_PARTITION * (DEFAULT_SHUFFLE_PARTITIONS + 5)
+        )
+        with backlog_state_shuffle(spark, str(big)):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                DEFAULT_SHUFFLE_PARTITIONS
+            )
+
+        # ZERO backlog (missing path / no .parquet files) never clamps to 1:
+        # the in-scope conf stays whatever the session had (ADVICE r14)
+        with backlog_state_shuffle(spark, str(tmp_path / "missing")):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                DEFAULT_SHUFFLE_PARTITIONS
+            )
+
+        # the A/B kill-switch leaves the in-scope conf untouched, and BOTH
+        # legs restore the session default on exit (symmetric A/B state)
+        monkeypatch.setenv("SPARK_GRAFT_BACKLOG_STATE", "0")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        with backlog_state_shuffle(spark, str(small)):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            DEFAULT_SHUFFLE_PARTITIONS
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
 
 
 def test_backlog_sized_state_results_identical(spark, sf_smoke, monkeypatch):

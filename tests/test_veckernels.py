@@ -80,6 +80,41 @@ def test_pq_encode_recon_arrow_matches_hof(spark, sf_correctness):
     ]
 
 
+def test_hyperplane_bands_arrow_matches_hof(spark, sf_correctness):
+    # round 15: the banded-LSH signature kernel vs the multi_dot HOF fold —
+    # every (id, band_id) must carry the IDENTICAL band_key long, including
+    # a planted all-zero vector (dot exactly 0.0 -> sign bit 1 in both
+    # engines: 0.0 >= 0) and a NaN-poisoned vector (every dot NaN -> bit
+    # SET in both engines: Spark SQL's total order ranks NaN greatest, so
+    # NaN >= 0 is true there and the kernel mirrors it)
+    from kafka_streams_rosetta_demo_spark.operators.vectors import (
+        hyperplane_band_keys,
+        hyperplane_band_keys_hof,
+        hyperplanes,
+    )
+
+    base = _base(spark, sf_correctness)
+    special = spark.createDataFrame(
+        [(10_000_000, [0.0] * 64), (10_000_001, [float("nan")] * 64)],
+        "vec_id bigint, embedding array<float>",
+    )
+    allv = base.unionByName(special)
+    planes = hyperplanes(dim=64, n=64, seed=7)
+    a = (
+        hyperplane_band_keys_hof(allv, planes, bands=4)
+        .orderBy("vec_id", "band_id")
+        .collect()
+    )
+    b = (
+        hyperplane_band_keys(allv, planes, bands=4)
+        .orderBy("vec_id", "band_id")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    nan_rows = [r for r in a if r["vec_id"] == 10_000_001]
+    assert {r["band_key"] for r in nan_rows} == {(1 << 16) - 1}
+
+
 def test_kernel_refuses_null_and_ragged_vectors(spark):
     from kafka_streams_rosetta_demo_spark.operators.veckernels import (
         ivf_assign_arrow,
