@@ -76,7 +76,33 @@ def minhash_signature(
     shingled: DataFrame, id_col: str = "doc_id", n_hashes: int = 64
 ) -> DataFrame:
     """MinHash signature: ``minhash[j] = min over shingles of
-    xxhash64(j, shingle)``, as one ``array<long>`` column.
+    xxhash64(j, shingle)``, as one ``array<long>`` column. Per-row map, no
+    shuffle.
+
+    Since round 15 this delegates to the Arrow kernel
+    (:func:`operators.txtkernels.minhash_signature_arrow`): the HOF fold
+    runs 64 interpreted ``xxhash64`` evaluations plus a ``zip_with`` merge
+    per shingle — the engine's last multi-second ``CodegenFallback`` hash
+    loop (VERDICT r14 item 5) — while the NumPy XXH64 reimplementation
+    computes the identical bits batch-at-a-time (bit-equality pinned in
+    tests/test_txtkernels.py; A/B in OPTIMIZATION_r15.md).
+    :func:`minhash_signature_hof` keeps the original expression as the
+    reference twin; ``SPARK_GRAFT_MINHASH_KERNEL=0`` selects it (A/B lever).
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_MINHASH_KERNEL", "1") == "0":
+        return minhash_signature_hof(shingled, id_col=id_col, n_hashes=n_hashes)
+    from .txtkernels import minhash_signature_arrow
+
+    return minhash_signature_arrow(shingled, id_col=id_col, n_hashes=n_hashes)
+
+
+def minhash_signature_hof(
+    shingled: DataFrame, id_col: str = "doc_id", n_hashes: int = 64
+) -> DataFrame:
+    """The pre-round-15 JVM expression twin of :func:`minhash_signature` —
+    kept as the bit-equality reference for the Arrow kernel.
 
     The minima range over a single document's own shingles, so the whole
     signature is a per-row expression — one ``aggregate`` pass over the

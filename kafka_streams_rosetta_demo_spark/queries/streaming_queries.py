@@ -1501,9 +1501,16 @@ def streaming_expectation_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("long")
             .alias("n_len_ok"),
         )
-        with checkpoint_tmpdir("ckpt_expmon_") as ckpt, (
-            checkpoint_tmpdir("sink_expmon_")
-        ) as out_dir:
+        # round 15 (the r14 wave-5 lever this topology missed): the per-id
+        # aggregate is a DATA-GRAIN keyed state store — size its exchange
+        # from the staged backlog bytes instead of paying 32 empty state
+        # commits per micro-batch; the heavy per-row work (length check)
+        # happens map-side at scan parallelism before the exchange.
+        from ..streaming.runner import backlog_state_shuffle
+
+        with backlog_state_shuffle(spark, staged), checkpoint_tmpdir(
+            "ckpt_expmon_"
+        ) as ckpt, checkpoint_tmpdir("sink_expmon_") as out_dir:
             compacted = run_update_query_to_df(per_id, ["doc_id"], ckpt, out_dir)
     finally:
         shutil.rmtree(staged, ignore_errors=True)

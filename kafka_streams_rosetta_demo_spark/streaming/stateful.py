@@ -71,11 +71,11 @@ def running_totals_cents(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np  # resolved once per fn call from sys.modules
+
         n, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            import numpy as np
-
             total += int(np.floor(pdf[value_col].to_numpy() * 100).astype("int64").sum())
         state.update((n, total))
         yield pd.DataFrame(

@@ -197,6 +197,7 @@ def test_jvm_written_containers_and_timestamps_decode_with_python_codec(
     )
 )
 @settings(max_examples=200, deadline=None)
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_codec_roundtrip_property(rows):
     """Spec identity on arbitrary records: decode(encode(r)) == r for any
     long/unicode-string/nullable-double/boolean combination (negative

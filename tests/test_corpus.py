@@ -6,6 +6,7 @@ twin, packing bin invariants, sampling determinism)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_streams_rosetta_demo_spark.operators.graph import connected_components
@@ -44,6 +45,7 @@ def test_connected_components_matches_union_find(spark):
     assert got == _union_find_components(edges)
 
 
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_connected_components_long_chain_converges_logarithmically(spark):
     """A 400-node path graph has diameter 400 — plain neighbor-min label
     propagation would need 400 rounds (far past max_iter and a RuntimeError

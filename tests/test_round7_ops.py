@@ -291,6 +291,7 @@ def test_profile_approx_production_plan_is_expand_free(spark, sf_smoke):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_gen_scaled_sf_invariants(spark, tmp_path):
     """The scaling-sweep generator must preserve the invariants the sweep
     queries measure: row counts scale by the factor, key spaces stay
@@ -489,6 +490,7 @@ def test_compaction_plan_bins_are_contiguous_and_start_bounded(spark, sf_smoke):
             cum += r.bytes_total
 
 
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_hostile_sweep_runner_smoke(tmp_path):
     """tools/hostile_sweep.py is the committed evidence runner for the
     config-robustness records — it must actually run a query-vs-oracle

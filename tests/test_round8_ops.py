@@ -4,6 +4,7 @@ guarantees, and the sectioned bench harness's slicing invariants."""
 
 from __future__ import annotations
 
+import pytest
 import tempfile
 
 from pyspark.sql import functions as F
@@ -94,6 +95,7 @@ def _run_and_collect_state_rows(spark, plan_fn, root: str) -> list[int]:
     return rows
 
 
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_streaming_cms_state_is_bounded_measured(spark):
     from kafka_streams_rosetta_demo_spark.operators.sketches import (
         CMS_DEPTH,
@@ -123,6 +125,7 @@ def test_streaming_cms_state_is_bounded_measured(spark):
     assert max(tail) == min(tail), f"state still growing in the tail: {tail}"
 
 
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_streaming_psi_histogram_state_is_bounded_measured(spark):
     from kafka_streams_rosetta_demo_spark.queries.relational_queries import (
         _PSI_BINS,

@@ -18,6 +18,7 @@ unbounded operator would end at its maximum.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -195,6 +196,7 @@ def test_artifact_budget_size_parser():
     assert _parse_size("1gb") == 1 << 30
 
 
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_windowed_agg_state_evicts_on_watermark_measured(spark, tmp_path):
     """streaming_calls_window_agg's exact transform (1 h tumbling update-mode
     aggregate, `streaming/transforms.py:streaming_windowed_call_agg`): state
@@ -211,6 +213,7 @@ def test_windowed_agg_state_evicts_on_watermark_measured(spark, tmp_path):
     _assert_rises_then_falls(rows)
 
 
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_dedup_within_watermark_state_evicts_measured(spark, tmp_path):
     """streaming_dedup_events' exact transform
     (`streaming_dedup_within_watermark` -> dropDuplicatesWithinWatermark):
@@ -230,6 +233,7 @@ def test_dedup_within_watermark_state_evicts_measured(spark, tmp_path):
     _assert_rises_then_falls(rows)
 
 
+@pytest.mark.slow  # full-suite lane: r15 fast lane must fit the driver's verify window
 def test_interval_join_state_evicts_measured(spark, tmp_path):
     """streaming_interval_join(_outer)'s exact transform: both sides buffer
     rows in the symmetric hash join's state; a row is evictable once the

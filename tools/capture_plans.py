@@ -42,6 +42,18 @@ def build_df(name: str, spark, sf_dir: str):
             "vec_id", "embedding"
         )
         return hyperplane_band_keys(corpus, hyperplanes(dim=64, n=64, seed=7), bands=4)
+    if name == "dedup_minhash_lsh:build":
+        # the charged signature build (memoized behind a localCheckpoint pin,
+        # so the consumer query's own plan shows Scan ExistingRDD — this is
+        # the frame the kernel actually changes)
+        from kafka_streams_rosetta_demo_spark.operators.textsim import (
+            minhash_signature,
+            with_shingles,
+        )
+        from kafka_streams_rosetta_demo_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return minhash_signature(with_shingles(docs, k=3))
     raise KeyError(name)
 
 
