@@ -79,23 +79,25 @@ def minhash_signature(
     xxhash64(j, shingle)``, as one ``array<long>`` column. Per-row map, no
     shuffle.
 
-    Since round 15 this delegates to the Arrow kernel
-    (:func:`operators.txtkernels.minhash_signature_arrow`): the HOF fold
-    runs 64 interpreted ``xxhash64`` evaluations plus a ``zip_with`` merge
-    per shingle — the engine's last multi-second ``CodegenFallback`` hash
-    loop (VERDICT r14 item 5) — while the NumPy XXH64 reimplementation
-    computes the identical bits batch-at-a-time (bit-equality pinned in
-    tests/test_txtkernels.py; A/B in OPTIMIZATION_r15.md).
-    :func:`minhash_signature_hof` keeps the original expression as the
-    reference twin; ``SPARK_GRAFT_MINHASH_KERNEL=0`` selects it (A/B lever).
+    Round 15 ran the VERDICT-r14-item-5 experiment: a bit-exact NumPy XXH64
+    Arrow kernel (:func:`operators.txtkernels.minhash_signature_arrow`,
+    equality pinned in tests/test_txtkernels.py) that additionally hashes
+    each DISTINCT shingle once per batch (measured 9.6× instance/unique at
+    sf0.1 — work sharing a per-row expression cannot express). Measured
+    outcome: the kernel wins 1.5–2× only when the build runs on ONE
+    partition (the isolated-stage shape); at the query's real scan
+    parallelism the fold is not the bottleneck and the end-to-end A/B is
+    neutral-to-slightly-worse (0.93–1.19 across 8 paired reps,
+    OPTIMIZATION_r15.md), so the JVM fold REMAINS THE DEFAULT and
+    ``SPARK_GRAFT_MINHASH_KERNEL=1`` opts in to the kernel.
     """
     import os
 
-    if os.environ.get("SPARK_GRAFT_MINHASH_KERNEL", "1") == "0":
-        return minhash_signature_hof(shingled, id_col=id_col, n_hashes=n_hashes)
-    from .txtkernels import minhash_signature_arrow
+    if os.environ.get("SPARK_GRAFT_MINHASH_KERNEL", "0") == "1":
+        from .txtkernels import minhash_signature_arrow
 
-    return minhash_signature_arrow(shingled, id_col=id_col, n_hashes=n_hashes)
+        return minhash_signature_arrow(shingled, id_col=id_col, n_hashes=n_hashes)
+    return minhash_signature_hof(shingled, id_col=id_col, n_hashes=n_hashes)
 
 
 def minhash_signature_hof(

@@ -88,6 +88,7 @@ def _xxh64_bytes_batch(ctx: dict, seed: int):
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     lens = ctx["lens_u64"]
+    np.seterr(over="ignore")  # uint64 wraparound IS the algorithm
     seed_u = _u64(seed)
 
     # --- 32-byte stripe prefix (rare for word shingles, exact when hit)
@@ -139,15 +140,11 @@ def _xxh64_bytes_batch(ctx: dict, seed: int):
     return _fmix64(h)
 
 
-def _prep_strings(starts, lens, data):
-    """Seed-independent preprocessing of a flat UTF-8 string batch:
-    zero-padded little-endian word matrix plus precomputed tail terms."""
+def _pad_strings(starts, lens, data):
+    """Zero-padded (n, Lp) uint8 byte matrix of a flat UTF-8 string batch."""
     import numpy as np
 
     n = len(lens)
-    ctx: dict = {"n": n}
-    if n == 0:
-        return ctx
     maxlen = int(lens.max()) if n else 0
     Lp = max(8, ((maxlen + 7) // 8) * 8)
     pos = np.arange(Lp, dtype=np.int64)
@@ -155,6 +152,42 @@ def _prep_strings(starts, lens, data):
     flat_idx = starts[:, None] + pos[None, :]
     B = np.zeros((n, Lp), dtype=np.uint8)
     B[mask] = data[flat_idx[mask]]
+    return B
+
+
+def _unique_strings(B, lens):
+    """(unique_row_indices, inverse) over (len, padded bytes) rows — exact
+    string identity (zero padding cannot collide once the length rides in
+    the key). This is the batch-level work sharing the JVM per-row fold can
+    never express: word shingles repeat heavily across documents (measured
+    9.6× at sf0.1), so each distinct string is hashed ONCE per batch and
+    per-document minima gather from the unique table."""
+    import numpy as np
+
+    n, Lp = B.shape
+    key = np.empty((n, Lp + 8), dtype=np.uint8)
+    key[:, :8] = lens.astype("<u8").view(np.uint8).reshape(n, 8)
+    key[:, 8:] = B
+    voids = np.ascontiguousarray(key).view(
+        np.dtype((np.void, Lp + 8))
+    ).reshape(n)
+    _, first_idx, inverse = np.unique(voids, return_index=True, return_inverse=True)
+    return first_idx, inverse
+
+
+def _prep_strings(starts, lens, data):
+    """Seed-independent preprocessing of a flat UTF-8 string batch:
+    zero-padded little-endian word matrix plus precomputed tail terms."""
+    if len(lens) == 0:
+        return {"n": 0}
+    return _prep_padded(_pad_strings(starts, lens, data), lens)
+
+
+def _prep_padded(B, lens):
+    import numpy as np
+
+    n, Lp = B.shape
+    ctx: dict = {"n": n}
 
     W = B.view("<u8").reshape(n, Lp // 8)  # little-endian, Platform.getLong
     n_words = (lens // 8).astype(np.int64)
@@ -228,15 +261,22 @@ def minhash_signature_arrow(
                 else np.zeros(0, dtype=np.uint8)
             )
             starts, lens = soff[:-1], np.diff(soff)
-            ctx = _prep_strings(starts, lens, data)
+            if len(lens):
+                B = _pad_strings(starts, lens, data)
+                first_idx, inverse = _unique_strings(B, lens)
+                ctx = _prep_padded(B[first_idx], lens[first_idx])
+            else:
+                inverse = np.zeros(0, dtype=np.int64)
+                ctx = {"n": 0}
 
             doc_starts = np.zeros(nd, dtype=np.int64)
             np.cumsum(counts[:-1], out=doc_starts[1:])
             out = np.full((nd, n_hashes), np.int64(_FOLD_INIT), dtype=np.int64)
             nonempty = counts > 0
             for j, seed in enumerate(seeds):
-                h = _xxh64_bytes_batch(ctx, seed).view(np.int64)  # SIGNED min
-                if len(h):
+                hu = _xxh64_bytes_batch(ctx, seed).view(np.int64)  # SIGNED min
+                if len(hu):
+                    h = hu[inverse]  # scatter back to instance order
                     mins = np.minimum.reduceat(h, doc_starts)
                     out[nonempty, j] = np.minimum(
                         mins[nonempty], np.int64(_FOLD_INIT)

@@ -103,6 +103,8 @@ FAST_PARITY = {
     # r15 wave A (hyperplane band-key Arrow kernel) consumers
     "dedup_crosslingual_mirror",
     "streaming_ann_screen",
+    # r15 wave C (backlog-sized state exchange)
+    "streaming_expectation_monitor",
 }
 
 
