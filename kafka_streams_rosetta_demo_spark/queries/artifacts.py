@@ -895,6 +895,10 @@ def boilerplate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_docs")
     )
     freq = (
+        # (round 15 examined and reverted: rebalancing the raw doc rows
+        # before the paragraph explode measured 1.07-1.31x WORSE across 4
+        # in-session reps — the md5/explode is cheaper than shuffling the
+        # text payload, and the (source, ph) aggregate redistributes anyway)
         boilerplate_paras(docs)
         .groupBy("source", "ph")
         .agg(F.countDistinct("doc_id").cast("long").alias("df"))

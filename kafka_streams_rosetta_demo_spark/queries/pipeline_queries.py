@@ -4053,6 +4053,10 @@ def _doremi_domain_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
     )
     words = F.split(F.lower("text"), " ")
     big = (
+        # (round 15 examined and reverted: a §2.5 rebalance before the
+        # explode measured +0.2 s — shuffling the raw text costs more than
+        # the single-partition explode saves at this corpus size; the
+        # §2.3 pre-aggregation below is the change that pays)
         docs.where(F.size(F.split("text", " ")) >= 2)
         .select("source", words.alias("words"))
         .select(
@@ -4066,20 +4070,32 @@ def _doremi_domain_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
         )
         .select("source", "b.prev", "b.cur")
     )
-    cb = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
-    cp = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    # round 15 (guide §2.3 "aggregate before you shuffle"): collapse the
+    # bigram stream to (source, prev, cur, c_s) FIRST — one map-side-partial
+    # aggregate — then derive both LM count tables and the per-source fold
+    # from the collapsed rows. The original shuffled the full |tokens|-row
+    # string-keyed stream three times (cb, cp, and the join probe); every
+    # downstream number is an exact integer function of the collapsed
+    # counts: c2 = Σ_s c_s per (prev,cur), c1 = Σ per prev, per-source
+    # n_bigrams = Σ c_s and nll_sum = -Σ c_s · t_micro (t_micro is shared
+    # by all rows of a (prev,cur) group, so row-sum == count-weighted sum).
+    bigc = big.groupBy("source", "prev", "cur").agg(
+        F.count(F.lit(1)).alias("c_s")
+    ).localCheckpoint(eager=True)
+    cb = bigc.groupBy("prev", "cur").agg(F.sum("c_s").alias("c2"))
+    cp = bigc.groupBy("prev").agg(F.sum("c_s").alias("c1"))
     t_micro = F.floor(
         F.log(F.col("c2").cast("double") / F.col("c1")) * 1_000_000
         + F.lit(0.5)
     ).cast("long")
     dom = (
-        big.join(cb, ["prev", "cur"])
+        bigc.join(cb, ["prev", "cur"])
         .join(cp, "prev")
-        .select("source", t_micro.alias("t_micro"))
+        .select("source", "c_s", t_micro.alias("t_micro"))
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            (-F.sum("t_micro")).cast("long").alias("nll_sum"),
+            F.sum("c_s").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("t_micro") * F.col("c_s"))).cast("long").alias("nll_sum"),
         )
     )
     return [

@@ -2051,7 +2051,11 @@ def streaming_decontaminate_screen(spark: SparkSession, sf_dir: str) -> DataFram
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    # the static index: benchmark docs' distinct grams, built once
+    # the static index: benchmark docs' distinct grams, built once.
+    # (round 15 examined and reverted: rebalancing the ~50-doc bench build
+    # and the per-batch probe shuffles the raw TEXT payload for hundreds of
+    # docs of compute — measured 1.33-1.64x WORSE across 3 interleaved
+    # rounds; the corpus-sized batch twin _contam_hits keeps its rebalance)
     bench = _contam_bench_from_grams(
         _contam_grams(docs.where(F.col("doc_id") % _DC_MOD == 0))
     ).localCheckpoint(eager=True)

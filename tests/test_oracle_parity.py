@@ -105,6 +105,16 @@ FAST_PARITY = {
     "streaming_ann_screen",
     # r15 wave C (backlog-sized state exchange)
     "streaming_expectation_monitor",
+    # r15 wave D (parallelized single-file corpus derivations + DoReMi
+    # bigram pre-aggregation)
+    "corpus_mixture_doremi",
+    "sample_mixture_doremi",
+    "streaming_mixture_sampler",
+    "streaming_boilerplate_screen",
+    "streaming_decontaminate_screen",
+    "streaming_winnowing_screen",
+    # boilerplate_index consumers on the batch side
+    "text_boilerplate_scrub",
 }
 
 
